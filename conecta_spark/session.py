@@ -1,0 +1,78 @@
+"""SparkSession factory with Arrow-friendly defaults.
+
+The reference engine (conecta) hands results to Python as zero-copy Arrow
+tables (conecta-python/src/lib.rs:76-101).  Our Spark-native analog keeps
+Arrow interchange on by default and sizes shuffle parallelism for the local
+test harness while remaining sane on a real cluster (AQE coalesces).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Configs applied by :func:`get_session`.  All of them are safe on a real
+#: cluster: AQE re-plans at runtime, Arrow only affects driver interchange.
+DEFAULT_CONFIGS: dict[str, str] = {
+    # Arrow interchange for toPandas()/toArrow()/pandas_udf -- the analog of
+    # the reference's zero-copy Arrow hand-off.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
+    # Adaptive execution: runtime shuffle-partition coalescing and skew-join
+    # splitting -- our first line of defense at 100 TB.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Deterministic timestamp semantics vs the DuckDB oracle.
+    "spark.sql.session.timeZone": "UTC",
+    # ANSI off: we want permissive casts like the reference loader, which
+    # never errors on overflow (it wraps in release builds).
+    "spark.sql.ansi.enabled": "false",
+}
+
+
+def default_parallelism() -> int:
+    """Shuffle partition count for the current machine.
+
+    On a real cluster this should be ~2-3x total cores; locally the
+    ``SPARK_GRAFT_CPUS`` env var (driver contract) wins.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if cpus:
+        return max(int(cpus), 1)
+    return os.cpu_count() or 8
+
+
+def get_session(app_name: str = "conecta-spark", master: str | None = None,
+                extra_conf: dict[str, str] | None = None) -> SparkSession:
+    """Get or create a SparkSession with the engine defaults applied."""
+    builder = SparkSession.builder.appName(app_name)
+    if master:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(f"local[{default_parallelism()}]")
+    conf = dict(DEFAULT_CONFIGS)
+    conf.setdefault("spark.sql.shuffle.partitions", str(default_parallelism()))
+    conf.setdefault("spark.driver.memory", "8g")
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine defaults to an externally-created
+    session (e.g. the driver's).  Only touches runtime-mutable confs."""
+    for k, v in {
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.ansi.enabled": "false",
+    }.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # immutable in this deployment -- fine, best effort
+            pass
+    return spark

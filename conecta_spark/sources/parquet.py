@@ -1,0 +1,137 @@
+"""Parquet-directory source: a folder of ``<table>.parquet`` files becomes a
+queryable catalog.
+
+This is the engine's primary local/test backend (driver testdata layout,
+TESTDATA.md).  At cluster scale the same code path serves any
+directory-of-datasets layout readable by ``spark.read.parquet``.
+
+Scale notes:
+
+* Views are plain ``spark.read.parquet`` relations -- Catalyst pushes
+  filters/projections into the scan (``PushedFilters``/``ReadSchema``), so a
+  partition-bounded read touches only matching row groups.
+* Partitioned reads are executed as ONE scan with a range filter, not N
+  unioned scans: ``union(filter(a<=c<b) for each bound)`` would re-read the
+  files N times, which at 100 TB is the difference between one pass and N
+  passes.  The bounded per-partition SQL is still generated and exposed on
+  the plan for introspection parity (reference behavior, postgres.rs:488-510).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.partition import QueryPartitioningMode
+from .base import Source
+
+_IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def load_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """``spark.read.parquet`` with nanosecond-timestamp handling.
+
+    Spark rejects parquet TIMESTAMP(NANOS) outright ([PARQUET_TYPE_ILLEGAL]);
+    the driver's ``events`` table uses it.  We read nanos as raw longs
+    (``spark.sql.legacy.parquet.nanosAsLong``) and truncate to microsecond
+    TimestampType -- the same precision the reference uses everywhere
+    (postgres.rs:401-412 truncates to micros).
+    """
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    df = spark.read.parquet(path)
+    ns_cols = _nanos_timestamp_columns(path)
+    for name in ns_cols:
+        if name in df.columns:
+            df = df.withColumn(
+                name,
+                F.expr(f"timestamp_micros(CAST(`{name}` DIV 1000 AS LONG))"),
+            )
+    return df
+
+
+def _nanos_timestamp_columns(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS), from the footer."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    target = path
+    if os.path.isdir(path):
+        inner = [n for n in sorted(os.listdir(path)) if n.endswith(".parquet")]
+        if not inner:
+            return []
+        target = os.path.join(path, inner[0])
+    try:
+        schema = pq.read_schema(target)
+    except Exception:
+        return []
+    return [
+        f.name
+        for f in schema
+        if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+    ]
+
+
+class ParquetDirSource(Source):
+    """Register every ``*.parquet`` under ``root`` as a temp view named after
+    the file stem, then answer SQL over those views."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        super().__init__(spark)
+        self.root = root.removeprefix("file://")
+        if not os.path.isdir(self.root):
+            raise ValueError(f"not a directory of parquet tables: {root!r}")
+        self.tables: dict[str, str] = {}
+        for name in sorted(os.listdir(self.root)):
+            if name.endswith(".parquet"):
+                stem = name[: -len(".parquet")]
+                if _IDENT.match(stem):
+                    self.tables[stem] = os.path.join(self.root, name)
+        if not self.tables:
+            raise ValueError(f"no *.parquet tables found under {root!r}")
+        self._registered = False
+
+    def register_views(self) -> None:
+        if self._registered:
+            return
+        for stem, path in self.tables.items():
+            load_parquet(self.spark, path).createOrReplaceTempView(stem)
+        self._registered = True
+
+    def query(self, sql: str) -> DataFrame:
+        self.register_views()
+        return self.spark.sql(sql)
+
+    def min_max(self, sql: str, column: str) -> tuple[int | None, int | None]:
+        row = (
+            self.query(sql)
+            .agg(
+                F.min(column).cast("long").alias("mn"),
+                F.max(column).cast("long").alias("mx"),
+            )
+            .collect()[0]
+        )
+        return row["mn"], row["mx"]
+
+    def read_partitioned(self, plan) -> DataFrame:
+        cfg = plan.config
+        if cfg.mode is QueryPartitioningMode.PARTITIONED_QUERIES:
+            dfs = [self.query(q) for q in cfg.query]
+            out = dfs[0]
+            for d in dfs[1:]:
+                out = out.unionAll(d)
+            return out
+        base = self.query(cfg.query[0])
+        if cfg.mode is QueryPartitioningMode.ONE_UNPARTITIONED_QUERY:
+            return base
+        # ONE_PARTITIONED_QUERY: single scan + range filter (see module
+        # docstring).  Union of the plan's [start,stop) bounds == the closed
+        # envelope [min, max]; NULL partition keys are dropped, matching the
+        # reference (SURVEY 1.4).
+        col = F.col(cfg.partition_on)
+        return base.where(col.isNotNull() & (col >= plan.min) & (col <= plan.max))
