@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Benchmark runner (driver contract): run every registered query at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Per-query timing forces full materialization without driver transfer
+(count of a no-op projection), the honest analog of the reference's
+read_sql wall-clock (conecta-benchmark/benchmark.py methodology).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from conecta_spark.session import get_session
+
+    spark = get_session(
+        app_name="conecta-spark-bench",
+        master=f"local[{cpus}]",
+        extra_conf={
+            "spark.sql.shuffle.partitions": cpus,
+            "spark.ui.enabled": "false",
+            "spark.driver.memory": "16g",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from conecta_spark.queries import queries
+
+    qs = queries()
+
+    # Warm the JVM + parquet footers once so per-query numbers measure the
+    # queries, not first-touch class loading.
+    next(iter(qs.values()))(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name, fn in sorted(qs.items()):
+        start = time.perf_counter()
+        try:
+            fn(spark, sf_dir).count()
+            timings[name] = round(time.perf_counter() - start, 4)
+        except Exception as e:  # never let one query kill the whole bench
+            print(f"bench: {name} failed: {e}", file=sys.stderr)
+            timings[name] = -1.0
+    total = round(sum(v for v in timings.values() if v >= 0), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,368 @@
+"""Declared correctness queries (SURVEY 2.3 Q1-Q16) + the query registry.
+
+Every operator the engine claims is registered here as a named query: a
+Spark callable ``fn(spark, sf_dir) -> DataFrame`` plus (when SQL-expressible)
+an equivalent ANSI-SQL oracle string for DuckDB.  The driver hash-compares
+the two at sf=0.01; ``tests/test_oracle.py`` does the same locally.
+
+Determinism rules used throughout:
+
+* Column names are aliased identically in Spark and oracle SQL (the driver
+  sorts columns by name before hashing).
+* Floating aggregates go through exact ``DECIMAL(18,4)`` arithmetic and are
+  cast back to ``DOUBLE`` at the end -- decimal addition is associative, so
+  Spark's partial-aggregate tree and DuckDB's sequential sum produce the
+  same value bit-for-bit; a raw double SUM would differ in the last ulps
+  depending on summation order (SURVEY 7.5 risk 4).
+* No raw nanosecond timestamps in outputs (Spark truncates parquet NANOS to
+  micros -- sources/parquet.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .plans.partition import wrap_query_with_bounds
+from .session import tune_session
+from .sources.parquet import ParquetDirSource
+
+
+@dataclass
+class QueryDef:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]
+    doc: str
+
+
+REGISTRY: dict[str, QueryDef] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn):
+        REGISTRY[name] = QueryDef(name=name, fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+_SOURCES: dict[tuple[int, str], ParquetDirSource] = {}
+
+
+def catalog(spark: SparkSession, sf_dir: str) -> ParquetDirSource:
+    """Cached parquet catalog for (session, dir); registers temp views."""
+    key = (id(spark), sf_dir)
+    src = _SOURCES.get(key)
+    if src is None:
+        tune_session(spark)
+        src = ParquetDirSource(spark, sf_dir)
+        src.register_views()
+        _SOURCES[key] = src
+    return src
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    catalog(spark, sf_dir)
+    return spark.table(name)
+
+
+def dsum(col: Column | str, alias: str) -> Column:
+    """Order-independent SUM of a double column (see module docstring)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast("decimal(18,4)")).cast("double").alias(alias)
+
+
+def DSUM(expr: str) -> str:
+    """Oracle-side twin of :func:`dsum`."""
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,4))) AS DOUBLE)"
+
+
+# ---------------------------------------------------------------------------
+# Q1-Q10: the reference-implemented operator surface (SURVEY 2.1)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q01_full_scan",
+    "SELECT * FROM lineitem",
+    "O11 full scan: cursor-stream equivalent, parquet batch scan",
+)
+def q01(spark, sf_dir):
+    return t(spark, sf_dir, "lineitem")
+
+
+@register(
+    "q02_projection",
+    "SELECT l_orderkey, l_extendedprice, l_shipdate FROM lineitem",
+    "O15 schema probe / column pruning: scan reads only 3 columns",
+)
+def q02(spark, sf_dir):
+    return t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_shipdate"
+    )
+
+
+@register(
+    "q03_bounded_interior",
+    "SELECT * FROM (SELECT * FROM lineitem) AS query_inner "
+    "WHERE l_orderkey >= 100 AND l_orderkey < 200",
+    "O6 bounded partition query, interior half-open bound",
+)
+def q03(spark, sf_dir):
+    src = catalog(spark, sf_dir)
+    return src.query(
+        wrap_query_with_bounds(
+            "select * from lineitem", "l_orderkey", (100, 200), is_last=False
+        )
+    )
+
+
+@register(
+    "q04_bounded_last",
+    "SELECT * FROM (SELECT * FROM lineitem) AS query_inner "
+    "WHERE l_orderkey >= 100 AND l_orderkey <= 200",
+    "O6 bounded partition query, last bound inclusive",
+)
+def q04(spark, sf_dir):
+    src = catalog(spark, sf_dir)
+    return src.query(
+        wrap_query_with_bounds(
+            "select * from lineitem", "l_orderkey", (100, 200), is_last=True
+        )
+    )
+
+
+@register(
+    "q05_min_max_metadata",
+    "SELECT CAST(MIN(l_orderkey) AS BIGINT) AS mn, "
+    "CAST(MAX(l_orderkey) AS BIGINT) AS mx FROM lineitem",
+    "O8 MIN/MAX metadata pushdown (postgres.rs:556-592)",
+)
+def q05(spark, sf_dir):
+    return t(spark, sf_dir, "lineitem").agg(
+        F.min("l_orderkey").cast("long").alias("mn"),
+        F.max("l_orderkey").cast("long").alias("mx"),
+    )
+
+
+@register(
+    "q06_count_metadata",
+    "SELECT COUNT(*) AS c FROM lineitem",
+    "O9 COUNT(*) preallocation metadata (postgres.rs:353-366)",
+)
+def q06(spark, sf_dir):
+    return t(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("c"))
+
+
+@register(
+    "q07_merged_counts",
+    "SELECT (SELECT COUNT(*) FROM orders) + (SELECT COUNT(*) FROM customer) "
+    "AS total_count",
+    "O10 merged multi-query count (postgres.rs:512-526)",
+)
+def q07(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").agg(F.count(F.lit(1)).alias("a"))
+    c = t(spark, sf_dir, "customer").agg(F.count(F.lit(1)).alias("b"))
+    return o.crossJoin(c).select(
+        (F.col("a") + F.col("b")).alias("total_count")
+    )
+
+
+@register(
+    "q08_partition_union_invariant",
+    "SELECT COUNT(*) AS c FROM ("
+    " SELECT * FROM lineitem WHERE l_orderkey >= "
+    "  (SELECT MIN(l_orderkey) FROM lineitem) AND l_orderkey < 3000"
+    " UNION ALL SELECT * FROM lineitem WHERE l_orderkey >= 3000 "
+    "  AND l_orderkey <= (SELECT MAX(l_orderkey) FROM lineitem)) t",
+    "O5+O6: union of bounded partitions == full scan (row preservation)",
+)
+def q08(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    # Driver-side min/max probe, exactly the planner's metadata step.
+    row = li.agg(
+        F.min("l_orderkey").alias("mn"), F.max("l_orderkey").alias("mx")
+    ).collect()[0]
+    k = F.col("l_orderkey")
+    lo = li.where((k >= row["mn"]) & (k < 3000))
+    hi = li.where((k >= 3000) & (k <= row["mx"]))
+    return lo.unionAll(hi).agg(F.count(F.lit(1)).alias("c"))
+
+
+@register(
+    "q09_limit",
+    "SELECT * FROM (SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber) "
+    "t LIMIT 10",
+    "LIMIT pushdown (deterministic: ordered on a unique key first)",
+)
+def q09(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "lineitem")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(10)
+    )
+
+
+@register(
+    "q10_multi_query_union",
+    "SELECT * FROM orders WHERE o_orderkey < 750 "
+    "UNION ALL SELECT * FROM orders WHERE o_orderkey >= 750",
+    "O12/user-partitioned multi-query read via read_sql(list[str])",
+)
+def q10(spark, sf_dir):
+    from .io import read_sql
+
+    return read_sql(
+        sf_dir,
+        [
+            "select * from orders where o_orderkey < 750",
+            "select * from orders where o_orderkey >= 750",
+        ],
+        spark=spark,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11-Q16: the delegated SQL surface (SURVEY 2.2) -- native Spark ops
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q11_filter_projection",
+    "SELECT l_returnflag, l_linestatus, l_quantity FROM lineitem "
+    "WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'",
+    "pushdown filter + projection (TPC-H Q1 input shape)",
+)
+def q11(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")).select(
+        "l_returnflag", "l_linestatus", "l_quantity"
+    )
+
+
+@register(
+    "q12_groupby_agg",
+    "SELECT l_returnflag, l_linestatus, "
+    f" {DSUM('l_quantity')} AS sum_qty, "
+    f" {DSUM('l_extendedprice')} AS sum_base, "
+    f" {DSUM('l_extendedprice * (1 - l_discount)')} AS sum_disc, "
+    f" {DSUM('l_quantity')} / COUNT(*) AS avg_qty, "
+    " COUNT(*) AS cnt "
+    "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+    "GROUP BY l_returnflag, l_linestatus",
+    "grouped aggregation, TPC-H Q1 shape (partial aggs map-side)",
+)
+def q12(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base"),
+            dsum(disc, "sum_disc"),
+            (
+                F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_qty"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+@register(
+    "q13_join_agg",
+    "SELECT n.n_name, COUNT(*) AS c FROM customer c "
+    "JOIN nation n ON c.c_nationkey = n.n_nationkey GROUP BY n.n_name",
+    "equi-join + grouped count; nation is broadcast (no shuffle of customer)",
+)
+def q13(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+@register(
+    "q14_three_way_join",
+    "SELECT r.r_name, n.n_name, COUNT(*) AS c FROM customer c "
+    "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+    "JOIN region r ON n.n_regionkey = r.r_regionkey "
+    "GROUP BY r.r_name, n.n_name",
+    "3-way join; both dims broadcast, fact table never shuffled pre-agg",
+)
+def q14(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+@register(
+    "q15_window",
+    "SELECT o_custkey, o_orderkey, ROW_NUMBER() OVER "
+    "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn "
+    "FROM orders",
+    "window function: per-key ordered numbering (deterministic tiebreak)",
+)
+def q15(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", F.row_number().over(w).alias("rn")
+    )
+
+
+@register(
+    "q16_events_rollup",
+    "SELECT user_id, event_type, COUNT(*) AS c, "
+    f"{DSUM('value')} AS v FROM events GROUP BY user_id, event_type",
+    "event-stream rollup on batch (streaming-shape aggregation)",
+)
+def q16(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"), dsum("value", "v"))
+    )
+
+
+def _load_extensions() -> None:
+    """Import the extension-operator modules so their @register entries
+    land in REGISTRY (dedup / similarity / text analysis / streaming)."""
+    import importlib
+
+    for mod in (
+        "conecta_spark.operators.dedup",
+        "conecta_spark.operators.simsearch",
+        "conecta_spark.functions.text",
+        "conecta_spark.streaming.events",
+    ):
+        try:
+            importlib.import_module(mod)
+        except ImportError:
+            pass
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _load_extensions()
+    return {name: q.fn for name, q in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    _load_extensions()
+    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle}
