@@ -1,0 +1,236 @@
+"""Text-analysis operators over the ``documents`` table (extension surface,
+SURVEY 2.4): token counting, quality scoring, language ID, document
+fingerprinting.
+
+Everything here is built from JVM-side ``pyspark.sql.functions`` expressions
+(whole-stage codegen; no Python in the hot path) and each operator carries a
+structurally-identical DuckDB oracle, so results are bit-for-bit checkable.
+
+Engine-parity primitives (verified identical Spark vs DuckDB):
+
+* polyhash: fold ``(acc*31 + codepoint) % 1_000_000_007`` over characters.
+* char shingles: ``substr(text, i, k)`` over a 1-indexed sequence.
+* whitespace tokens: regex split on ``\\s+`` after trim.
+* "BPE-ish" tokens: maximal runs ``[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]``.
+
+Scale notes (100 TB): all operators are embarrassingly parallel per-row maps
+-- no shuffle, no UDF, pushdown-friendly (only ``text``/``doc_id`` columns
+are read).  Costs are O(len(text)) per row inside codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..queries import register, t
+
+MOD = 1_000_000_007
+
+#: Tiny per-language stopword lists for the n-gram/stopword language-ID
+#: heuristic.  Deliberately short and ASCII so the heuristic is cheap and
+#: dialect-portable; at real scale swap in a trained model via pandas_udf.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it"],
+    "es": ["el", "la", "de", "que", "los", "una", "por", "con"],
+    "fr": ["le", "les", "des", "est", "une", "dans", "pour", "sur"],
+    "de": ["der", "die", "und", "das", "ein", "nicht", "mit", "ist"],
+}
+
+
+# -- column builders (Spark side) -------------------------------------------
+
+
+def ws_token_count(col: str = "text") -> Column:
+    """Whitespace token count; 0 for blank strings."""
+    return F.when(F.length(F.trim(F.col(col))) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(F.col(col)), r"\s+"))
+    ).alias("n_tokens")
+
+
+def bpe_token_count(col: str = "text") -> Column:
+    """Count of BPE-ish word/number/symbol units (regex above)."""
+    return F.size(
+        F.expr(rf"regexp_extract_all({col}, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0)")
+    )
+
+
+def punct_count(col: str = "text") -> Column:
+    return F.size(F.expr(rf"regexp_extract_all({col}, '[^A-Za-z0-9\\s]', 0)"))
+
+
+def stopword_count(col: str = "text", words: list[str] | None = None) -> Column:
+    words = words or LANG_MARKERS["en"]
+    arr = ", ".join(f"'{w}'" for w in words)
+    return F.expr(
+        rf"size(filter(split(trim(lower({col})), '\\s+'), "
+        rf"x -> array_contains(array({arr}), x)))"
+    )
+
+
+def quality_score(col: str = "text") -> Column:
+    """Heuristic document quality in [0,1]: length saturation, low
+    punctuation, presence of common-word signal.  Structure mirrors the
+    oracle exactly -- same operation tree, same IEEE result."""
+    n_tok = F.size(F.split(F.trim(F.col(col)), r"\s+")).cast("double")
+    n_chars = F.length(F.col(col)).cast("double")
+    punct = punct_count(col).cast("double")
+    stop = stopword_count(col).cast("double")
+    len_component = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    punct_component = F.lit(1.0) - F.least(
+        punct / F.greatest(n_chars, F.lit(1.0)) * F.lit(4.0), F.lit(1.0)
+    )
+    stop_component = F.least(
+        stop / F.greatest(n_tok, F.lit(1.0)) * F.lit(4.0), F.lit(1.0)
+    )
+    return (
+        F.lit(0.4) * len_component
+        + F.lit(0.3) * punct_component
+        + F.lit(0.3) * stop_component
+    )
+
+
+def _marker_hits(col: str, words: list[str]) -> Column:
+    arr = ", ".join(f"'{w}'" for w in words)
+    return F.expr(
+        rf"size(filter(split(trim(lower({col})), '\\s+'), "
+        rf"x -> array_contains(array({arr}), x)))"
+    )
+
+
+def lang_id(col: str = "text") -> Column:
+    """Stopword-marker language ID: argmax of per-language hit counts with a
+    deterministic tie-break (list order en > es > fr > de, then 'und')."""
+    hits = {lang: _marker_hits(col, ws) for lang, ws in LANG_MARKERS.items()}
+    best = F.greatest(*hits.values())
+    expr = F.lit("und")
+    # Build the CASE in reverse so earlier languages win ties.
+    for lang in reversed(list(LANG_MARKERS)):
+        expr = F.when((hits[lang] > 0) & (hits[lang] == best), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def shingle_fingerprint(col: str = "text", k: int = 5) -> Column:
+    """Order-insensitive document fingerprint: md5 of the sorted distinct
+    set of ``k``-char shingles of the lowercased text.  Robust to shuffled
+    word order, unlike a rolling hash of the raw string."""
+    return F.expr(
+        f"md5(array_join(array_sort(array_distinct("
+        f"transform(sequence(1, greatest(length(lower({col}))-{k - 1}, 1)), "
+        f"i -> substr(lower({col}), i, {k})))), '|'))"
+    )
+
+
+def polyhash(expr: str) -> str:
+    """Spark SQL snippet: polynomial rolling hash of a string expression."""
+    return (
+        f"aggregate(transform(split({expr}, ''), c -> CAST(ascii(c) AS BIGINT)), "
+        f"0L, (acc, c) -> (acc * 31 + c) % {MOD})"
+    )
+
+
+# -- oracle-side twins (DuckDB SQL snippets) --------------------------------
+
+
+def duck_polyhash(expr: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0::BIGINT, "
+        f"list_transform(string_split_regex({expr}, ''), c -> ord(c)::BIGINT)), "
+        f"(acc, c) -> (acc * 31 + c) % {MOD})"
+    )
+
+
+def _duck_hits(words: list[str]) -> str:
+    arr = ", ".join(f"'{w}'" for w in words)
+    return (
+        rf"len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), "
+        rf"x -> list_contains([{arr}], x)))"
+    )
+
+
+_DUCK_NTOK = r"len(regexp_split_to_array(trim(text), '\s+'))"
+
+
+def _duck_quality() -> str:
+    punct = r"len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))"
+    stop = _duck_hits(LANG_MARKERS["en"])
+    return (
+        f"0.4 * least({_DUCK_NTOK}::DOUBLE / 100.0, 1.0) "
+        f"+ 0.3 * (1.0 - least({punct}::DOUBLE / "
+        f"greatest(length(text)::DOUBLE, 1.0) * 4.0, 1.0)) "
+        f"+ 0.3 * least({stop}::DOUBLE / "
+        f"greatest({_DUCK_NTOK}::DOUBLE, 1.0) * 4.0, 1.0)"
+    )
+
+
+def _duck_lang_case() -> str:
+    hit_exprs = {lang: _duck_hits(ws) for lang, ws in LANG_MARKERS.items()}
+    best = "greatest(" + ", ".join(hit_exprs.values()) + ")"
+    case = "'und'"
+    for lang in reversed(list(LANG_MARKERS)):
+        h = hit_exprs[lang]
+        case = f"CASE WHEN {h} > 0 AND {h} = {best} THEN '{lang}' ELSE {case} END"
+    return case
+
+
+# -- registered queries ------------------------------------------------------
+
+
+@register(
+    "x01_text_stats",
+    "SELECT doc_id, "
+    r" CASE WHEN length(trim(text)) = 0 THEN 0 ELSE "
+    rf" {_DUCK_NTOK} END AS n_tokens, "
+    r" len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tokens_bpe, "
+    r" len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct, "
+    " length(text) AS n_chars_actual "
+    "FROM documents",
+    "token counting (whitespace + BPE-ish regex) and punctuation stats",
+)
+def x01_text_stats(spark, sf_dir) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        ws_token_count(),
+        bpe_token_count().alias("n_tokens_bpe"),
+        punct_count().alias("n_punct"),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+@register(
+    "x02_quality_score",
+    f"SELECT doc_id, {_duck_quality()} AS quality FROM documents",
+    "heuristic quality scoring (length/punct/stopword components)",
+)
+def x02_quality(spark, sf_dir) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score().alias("quality"))
+
+
+@register(
+    "x03_lang_id",
+    f"SELECT doc_id, {_duck_lang_case()} AS lang_pred FROM documents",
+    "language ID via stopword-marker argmax (deterministic tie-break)",
+)
+def x03_lang_id(spark, sf_dir) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", lang_id().alias("lang_pred"))
+
+
+@register(
+    "x04_fingerprint",
+    "SELECT doc_id, md5(array_to_string(list_sort(list_distinct("
+    " list_transform(range(1, greatest(length(lower(text))-4, 1) + 1), "
+    " i -> substr(lower(text), i, 5)))), '|')) AS fp, "
+    f"{duck_polyhash('text')} AS rolling_hash "
+    "FROM documents",
+    "document fingerprinting: shingle-set md5 + polynomial rolling hash",
+)
+def x04_fingerprint(spark, sf_dir) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        shingle_fingerprint().alias("fp"),
+        F.expr(polyhash("text")).alias("rolling_hash"),
+    )

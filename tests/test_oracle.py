@@ -5,7 +5,9 @@ from __future__ import annotations
 
 import pytest
 
-from conecta_spark.queries import REGISTRY
+from conecta_spark.queries import REGISTRY, _load_extensions
+
+_load_extensions()
 
 from .oracle_utils import assert_match, duckdb_con
 
