@@ -1,0 +1,340 @@
+"""Similarity search over embedding columns (extension surface, SURVEY 2.4):
+brute-force cosine top-k (the correctness baseline), embedding-cosine
+near-dup pairs, deterministic random-hyperplane LSH ANN (the scale path,
+still oracle-checkable), and ml-based BRP-LSH / IVF variants.
+
+Scale notes (100 TB):
+
+* brute-force top-k is a single map + one 10-row windowed reduce; the
+  window is a TopK over the full relation -- at cluster scale Spark turns
+  ``ORDER BY score LIMIT k`` into per-partition partial top-k, so prefer
+  :func:`knn_topk`'s sort-limit form over a global row_number when k is
+  small.  Kept as row_number here for oracle determinism.
+* near-dup pairs normalize once per row, then join; the pair join is the
+  quadratic wall -- at scale replace with :func:`ann_lsh_topk` buckets or
+  ml BucketedRandomProjectionLSH (:func:`brp_lsh_ml`).
+* hyperplane components are integer-arithmetic pseudo-randoms, so bucket
+  assignment is reproducible across engines and runs -- no RNG state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vector import (
+    cosine_expr,
+    dot_expr,
+    duck_cosine,
+    duck_dot,
+    duck_normalize,
+    normalize_expr,
+)
+from ..queries import register, t
+
+DIM = 64  # driver embeddings are 64-dim (FIXTURES.md 4)
+
+#: Deterministic pseudo-random hyperplane component (j = plane, i = dim):
+#: integer LCG-style mix mod 1e9+7, centered to [-0.5, 0.5].  Same formula
+#: on the DuckDB side -- exact parity.
+_PLANE = "((({j} * 64 + i) * 2654435761) % 1000000007) / 1000000007.0 - 0.5"
+
+
+def _plane_dot(vec: str, j: int, dim: int = DIM) -> str:
+    comp = _PLANE.format(j=j)
+    return (
+        f"aggregate(transform(sequence(1, {dim}), "
+        f"i -> element_at({vec}, i) * ({comp})), 0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def _duck_plane_dot(vec: str, j: int, dim: int = DIM) -> str:
+    comp = _PLANE.format(j=j)
+    return (
+        f"list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(range(1, {dim} + 1), i -> {vec}[i] * ({comp}))), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+def hyperplane_bucket_expr(vec: str, planes: int = 4, dim: int = DIM) -> str:
+    """Spark SQL: LSH bucket id = sign-bit pattern over ``planes`` fixed
+    hyperplanes."""
+    bits = " + ".join(
+        f"IF({_plane_dot(vec, j, dim)} >= 0.0D, {1 << j}L, 0L)"
+        for j in range(planes)
+    )
+    return f"({bits})"
+
+
+def duck_hyperplane_bucket(vec: str, planes: int = 4, dim: int = DIM) -> str:
+    bits = " + ".join(
+        f"(CASE WHEN {_duck_plane_dot(vec, j, dim)} >= 0.0 "
+        f"THEN {1 << j}::BIGINT ELSE 0::BIGINT END)"
+        for j in range(planes)
+    )
+    return f"({bits})"
+
+
+# -- DataFrame transforms ----------------------------------------------------
+
+
+def _vectors(df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    return df.select(
+        F.col(id_col), F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("v")
+    )
+
+
+def knn_topk(
+    df: DataFrame,
+    query_id: int = 0,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Brute-force cosine top-k against the row with ``query_id``'s vector.
+
+    The single query row is broadcast; scores are computed map-side; ranking
+    uses (rounded score, id) so ties are deterministic."""
+    from pyspark.sql.window import Window
+
+    e = _vectors(df, vec_col, id_col)
+    q = e.where(F.col(id_col) == query_id).select(F.col("v").alias("qv"))
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .where(F.col(id_col) != query_id)
+        .select(
+            id_col,
+            F.round(F.expr(cosine_expr("v", "qv", DIM)), 6).alias("score"),
+        )
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.92,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """All pairs with cosine >= threshold.  Vectors are unit-normalized once
+    per row so each pair costs a single dot fold."""
+    e = _vectors(df, vec_col, id_col).select(
+        id_col, F.expr(normalize_expr("v", DIM)).alias("nv")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("vec_a"),
+            F.col(f"b.{id_col}").alias("vec_b"),
+            F.round(F.expr(dot_expr("a.nv", "b.nv", DIM)), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def ann_lsh_topk(
+    df: DataFrame,
+    query_id: int = 0,
+    k: int = 10,
+    planes: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN top-k: random-hyperplane LSH bucket prefilter, then exact cosine
+    within the query's bucket.  ~2^planes fold reduction in candidates; at
+    scale add multiprobe (flip one bit) for recall."""
+    from pyspark.sql.window import Window
+
+    e = _vectors(df, vec_col, id_col).withColumn(
+        "bucket", F.expr(hyperplane_bucket_expr("v", planes))
+    )
+    q = e.where(F.col(id_col) == query_id).select(
+        F.col("v").alias("qv"), F.col("bucket").alias("qbucket")
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+        .where(F.col(id_col) != query_id)
+        .select(
+            id_col,
+            F.round(F.expr(cosine_expr("v", "qv", DIM)), 6).alias("score"),
+        )
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def brp_lsh_ml(
+    df: DataFrame,
+    query_id: int = 0,
+    k: int = 10,
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Scale-path ANN via ml BucketedRandomProjectionLSH
+    approxNearestNeighbors (Euclidean).  Not SQL-expressible -> rows-only."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    feat = df.select(
+        F.col(id_col), array_to_vector(F.col(vec_col)).alias("features")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    )
+    model = lsh.fit(feat)
+    key = feat.where(F.col(id_col) == query_id).head()
+    if key is None:
+        raise ValueError(f"query_id {query_id} not found")
+    out = model.approxNearestNeighbors(
+        feat.where(F.col(id_col) != query_id), key.features, k
+    )
+    return out.select(id_col, F.col("distCol").alias("l2_dist"))
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_id: int = 0,
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style ANN: KMeans coarse quantizer, search the ``n_probe``
+    centroids nearest to the query, exact cosine within those cells.
+    Training is one pass over a sample; assignment is a map.  Rows-only
+    (KMeans is not SQL-expressible)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql.window import Window
+
+    feat = df.select(
+        F.col(id_col),
+        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("v"),
+        array_to_vector(F.col(vec_col)).alias("features"),
+    )
+    km = KMeans(k=n_clusters, seed=seed, featuresCol="features", predictionCol="cell")
+    model = km.fit(feat)
+    assigned = model.transform(feat)
+    qrow = assigned.where(F.col(id_col) == query_id).head()
+    if qrow is None:
+        raise ValueError(f"query_id {query_id} not found")
+    import numpy as np
+
+    centers = model.clusterCenters()
+    qv = np.array(qrow.v)
+    dists = [float(np.linalg.norm(qv - c)) for c in centers]
+    probe_cells = sorted(range(len(centers)), key=lambda i: dists[i])[:n_probe]
+    q = assigned.where(F.col(id_col) == query_id).select(F.col("v").alias("qv"))
+    scored = (
+        assigned.where(F.col("cell").isin(probe_cells))
+        .where(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            id_col,
+            F.round(F.expr(cosine_expr("v", "qv", DIM)), 6).alias("score"),
+        )
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
+# -- registered queries ------------------------------------------------------
+
+_DUCK_VECS = (
+    "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+    "q AS (SELECT v AS qv FROM e WHERE vec_id = 0) "
+)
+
+
+@register(
+    "x10_knn_cosine_topk",
+    _DUCK_VECS
+    + "SELECT vec_id, score, rank FROM ("
+    " SELECT vec_id, round(" + duck_cosine("v", "qv", DIM) + ", 6) AS score, "
+    "  row_number() OVER (ORDER BY round(" + duck_cosine("v", "qv", DIM) + ", 6) DESC, vec_id) AS rank "
+    " FROM e CROSS JOIN q WHERE vec_id <> 0) t WHERE rank <= 10",
+    "brute-force cosine top-10 against vec_id=0 (deterministic tie-break)",
+)
+def x10_knn(spark, sf_dir) -> DataFrame:
+    return knn_topk(t(spark, sf_dir, "embeddings"), query_id=0, k=10)
+
+
+_DUCK_NORMED = (
+    "WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+    f"e AS (SELECT vec_id, {duck_normalize('v', DIM)} AS nv FROM e0) "
+)
+
+_DUCK_PAIR_COS = f"round({duck_dot('a.nv', 'b.nv', DIM)}, 6)"
+
+
+@register(
+    "x11_embed_near_dup",
+    _DUCK_NORMED
+    + "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+    + _DUCK_PAIR_COS
+    + " AS cosine FROM e a JOIN e b ON a.vec_id < b.vec_id "
+    + "WHERE " + _DUCK_PAIR_COS + " >= 0.92",
+    "embedding-cosine near-dup pairs (unit-normalized, threshold 0.92)",
+)
+def x11_near_dup(spark, sf_dir) -> DataFrame:
+    return embedding_near_dup_pairs(t(spark, sf_dir, "embeddings"), threshold=0.92)
+
+
+_DUCK_BUCKETED = (
+    "WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+    f"e AS (SELECT vec_id, v, {duck_hyperplane_bucket('v')} AS bucket FROM e0), "
+    "q AS (SELECT v AS qv, bucket AS qbucket FROM e WHERE vec_id = 0) "
+)
+
+
+@register(
+    "x12_ann_lsh_topk",
+    _DUCK_BUCKETED
+    + "SELECT vec_id, score, rank FROM ("
+    " SELECT e.vec_id, round(" + duck_cosine("e.v", "q.qv", DIM) + ", 6) AS score, "
+    "  row_number() OVER (ORDER BY round(" + duck_cosine("e.v", "q.qv", DIM) + ", 6) DESC, e.vec_id) AS rank "
+    " FROM e JOIN q ON e.bucket = q.qbucket WHERE e.vec_id <> 0) t "
+    "WHERE rank <= 10",
+    "ANN top-10: deterministic hyperplane-LSH bucket prefilter + exact "
+    "cosine (oracle-checkable LSH)",
+)
+def x12_ann_lsh(spark, sf_dir) -> DataFrame:
+    return ann_lsh_topk(t(spark, sf_dir, "embeddings"), query_id=0, k=10)
+
+
+@register(
+    "x13_ann_brp_ml",
+    None,  # ml BRP-LSH is not SQL-expressible -> rows-only check
+    "scale-path ANN via ml BucketedRandomProjectionLSH (top-10 by L2)",
+)
+def x13_brp_ml(spark, sf_dir) -> DataFrame:
+    return brp_lsh_ml(t(spark, sf_dir, "embeddings"), query_id=0, k=10)
+
+
+@register(
+    "x14_ann_ivf_ml",
+    None,  # KMeans coarse quantizer is not SQL-expressible -> rows-only
+    "IVF-style ANN: seeded KMeans cells + exact cosine in 2 probed cells",
+)
+def x14_ivf_ml(spark, sf_dir) -> DataFrame:
+    return ivf_topk(t(spark, sf_dir, "embeddings"), query_id=0, k=10)

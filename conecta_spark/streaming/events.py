@@ -1,0 +1,250 @@
+"""Event-stream operators: tumbling-window rollups and gap-based
+sessionization, in both batch form (oracle-checkable, SURVEY 2.3 Q16 family)
+and Structured Streaming form (readStream + watermark + state).
+
+The batch and streaming forms share semantics: the batch query IS the
+correctness oracle for the streaming one (tests assert availableNow over the
+same parquet produces the batch result).
+
+Scale notes (100 TB / real streams):
+
+* hourly rollup: partial aggregation map-side; the shuffle key
+  (window, event_type) is low-cardinality -- AQE coalesces.
+* sessionization (batch): the only shuffle is repartition-by-user for the
+  lag/cumsum window; gap logic is two window functions, no UDF.
+* sessionization (streaming): per-user state via applyInPandasWithState
+  with event-time timeout = the gap -- state size is O(active users), not
+  O(events).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..queries import dsum, register, t, DSUM
+
+SESSION_GAP_US = 1_800_000_000  # 30 min in microseconds
+
+
+# -- batch forms -------------------------------------------------------------
+
+
+def hourly_rollup(events: DataFrame) -> DataFrame:
+    return (
+        events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+            F.col("event_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"), dsum("value", "v"))
+    )
+
+
+def sessionize_batch(events: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFrame:
+    """Gap-based sessions per user: a new session starts when the time since
+    the previous event exceeds ``gap_us``.  All-integer microsecond
+    arithmetic for engine parity."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+    e = events.select(
+        "user_id", "event_id", F.unix_micros(F.col("ts")).alias("tsu")
+    )
+    flagged = e.withColumn("prev_tsu", F.lag("tsu").over(w)).withColumn(
+        "is_new",
+        F.when(
+            F.col("prev_tsu").isNull()
+            | ((F.col("tsu") - F.col("prev_tsu")) > gap_us),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sessions = flagged.withColumn(
+        "session_seq",
+        F.sum("is_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        sessions.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("tsu").alias("start_us"),
+            F.max("tsu").alias("end_us"),
+        )
+        .withColumn("duration_us", F.col("end_us") - F.col("start_us"))
+    )
+
+
+# -- streaming forms ---------------------------------------------------------
+
+
+def read_event_stream(spark, sf_dir: str, max_files_per_trigger: int | None = None) -> DataFrame:
+    """readStream over the events parquet (nanos ts handled like the batch
+    reader: nanosAsLong + truncate to micros).
+
+    Spark's file-stream source requires a *directory*; the testdata is a
+    single read-only file, so we stage a symlink directory under /tmp.  On a
+    real deployment the source is already a directory of files landing over
+    time and this staging disappears."""
+    import hashlib
+    import os
+
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    src_file = os.path.join(sf_dir, "events.parquet")
+    stage = os.path.join(
+        "/tmp/conecta_spark_stream",
+        hashlib.md5(src_file.encode()).hexdigest()[:12],
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events-000.parquet")
+    if not os.path.exists(link):
+        os.symlink(src_file, link)
+    # The streaming source must see the on-disk schema (ts as raw long ns).
+    disk_schema = spark.read.parquet(src_file).schema
+    reader = spark.readStream.schema(disk_schema).format("parquet")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.load(stage)
+    return df.withColumn(
+        "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))")
+    )
+
+
+def streaming_hourly_rollup(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window rollup; late events beyond the watermark
+    are dropped, state is bounded to open windows."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("c"), dsum("value", "v"))
+        .select(
+            F.col("window.start").alias("hour_start"),
+            "event_type",
+            "c",
+            "v",
+        )
+    )
+
+
+def streaming_sessionize(
+    stream: DataFrame, gap_us: int = SESSION_GAP_US, watermark: str = "1 hour"
+):
+    """Custom stateful operator: per-user gap sessionization with
+    applyInPandasWithState.  State = (open session start/end/count); an
+    event-time timeout closes idle sessions."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("start_us", LongType()),
+            StructField("end_us", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("start_us", LongType()),
+            StructField("end_us", LongType()),
+            StructField("n_events", LongType()),
+        ]
+    )
+
+    def fn(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            start_us, end_us, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "n_events": [n],
+                    "start_us": [start_us],
+                    "end_us": [end_us],
+                }
+            )
+            return
+        closed: list[tuple[int, int, int]] = []
+        cur = state.get if state.exists else None
+        ts_list: list[int] = []
+        for pdf in pdf_iter:
+            ts_list.extend(int(v) for v in pdf["tsu"])
+        for tsu in sorted(ts_list):
+            if cur is None:
+                cur = (tsu, tsu, 0)
+            start_us, end_us, n = cur
+            if tsu - end_us > gap_us:
+                closed.append(cur)
+                cur = (tsu, tsu, 1)
+            else:
+                cur = (start_us, max(end_us, tsu), n + 1)
+        if cur is not None:
+            state.update(cur)
+            state.setTimeoutTimestamp(cur[1] // 1000 + gap_us // 1000)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "n_events": [c[2] for c in closed],
+                    "start_us": [c[0] for c in closed],
+                    "end_us": [c[1] for c in closed],
+                }
+            )
+
+    prepared = stream.withWatermark("ts", watermark).select(
+        "user_id", F.unix_micros(F.col("ts")).alias("tsu"), F.col("ts")
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+# -- registered queries ------------------------------------------------------
+
+
+@register(
+    "x15_events_hourly",
+    "SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start, "
+    f"event_type, COUNT(*) AS c, {DSUM('value')} AS v "
+    "FROM events GROUP BY 1, 2",
+    "tumbling 1h window rollup (batch form of the streaming aggregation)",
+)
+def x15_hourly(spark, sf_dir) -> DataFrame:
+    return hourly_rollup(t(spark, sf_dir, "events"))
+
+
+@register(
+    "x16_sessionization",
+    "WITH e AS (SELECT user_id, event_id, "
+    " epoch_us(CAST(ts AS TIMESTAMP)) AS tsu FROM events), "
+    "flagged AS (SELECT user_id, event_id, tsu, "
+    " lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS prev_tsu "
+    " FROM e), "
+    "seq AS (SELECT user_id, tsu, "
+    " SUM(CASE WHEN prev_tsu IS NULL OR tsu - prev_tsu > 1800000000 "
+    "  THEN 1 ELSE 0 END) OVER ("
+    "  PARTITION BY user_id ORDER BY tsu, event_id "
+    "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq "
+    " FROM flagged) "
+    "SELECT user_id, session_seq, COUNT(*) AS n_events, "
+    " MIN(tsu) AS start_us, MAX(tsu) AS end_us, "
+    " MAX(tsu) - MIN(tsu) AS duration_us "
+    "FROM seq GROUP BY user_id, session_seq",
+    "gap-based sessionization (30 min) -- batch twin of the stateful "
+    "streaming operator",
+)
+def x16_sessions(spark, sf_dir) -> DataFrame:
+    return sessionize_batch(t(spark, sf_dir, "events"))

@@ -1,0 +1,99 @@
+"""Structured Streaming behavior: the streaming forms must reproduce their
+batch twins on the same data (availableNow over the events parquet)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from conecta_spark.streaming.events import (
+    hourly_rollup,
+    read_event_stream,
+    sessionize_batch,
+    streaming_hourly_rollup,
+    streaming_sessionize,
+)
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    from conecta_spark.sources.parquet import load_parquet
+
+    return load_parquet(spark, f"{sf_dir}/events.parquet").cache()
+
+
+def _run_stream(spark, sdf, name: str, timeout: int = 120):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout)
+    return spark.table(name)
+
+
+def test_stream_source_reads_events(spark, sf_dir, events):
+    sdf = read_event_stream(spark, sf_dir)
+    assert sdf.isStreaming
+    out = _run_stream(spark, sdf.select("event_id", "ts", "user_id"), "raw_events")
+    assert out.count() == events.count()
+    # nanos were truncated to micros identically to the batch reader
+    b = events.select(F.max("ts")).collect()[0][0]
+    s = out.select(F.max("ts")).collect()[0][0]
+    assert b == s
+
+
+def test_streaming_hourly_rollup_matches_batch(spark, sf_dir):
+    # Windowed agg in append mode only emits watermark-closed windows; with
+    # availableNow the final window would stay open, so compare in complete
+    # mode where every window is emitted.
+    sdf = streaming_hourly_rollup(read_event_stream(spark, sf_dir))
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("hourly_complete")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("hourly_complete")
+    want = hourly_rollup(_batch_events(spark, sf_dir))
+    gs = {(r.hour_start, r.event_type, r.c, r.v) for r in got.collect()}
+    ws = {(r.hour_start, r.event_type, r.c, r.v) for r in want.collect()}
+    assert gs == ws
+
+
+def _batch_events(spark, sf_dir):
+    from conecta_spark.sources.parquet import load_parquet
+
+    return load_parquet(spark, f"{sf_dir}/events.parquet")
+
+
+def test_streaming_sessionize_matches_batch(spark, sf_dir, events):
+    sdf = streaming_sessionize(read_event_stream(spark, sf_dir))
+    got = _run_stream(spark, sdf, "sessions_stream", timeout=180)
+    # availableNow + event-time timeout: all sessions close once the
+    # watermark passes end-of-input... except sessions still open at the
+    # final watermark, which stay in state. Compare against batch sessions
+    # that END before (max_ts - gap - watermark) to be safe, keyed by
+    # (user_id, start_us).
+    batch = sessionize_batch(events)
+    max_ts = events.agg(F.max(F.unix_micros("ts"))).collect()[0][0]
+    horizon = max_ts - 1_800_000_000 - 3_600_000_000
+    closed_batch = {
+        (r.user_id, r.start_us, r.end_us, r.n_events)
+        for r in batch.where(F.col("end_us") < horizon).collect()
+    }
+    got_set = {
+        (r.user_id, r.start_us, r.end_us, r.n_events) for r in got.collect()
+    }
+    missing = closed_batch - got_set
+    assert not missing, f"{len(missing)} closed sessions missing from stream"
+    # and everything the stream emitted must be a genuine batch session
+    all_batch = {
+        (r.user_id, r.start_us, r.end_us, r.n_events) for r in batch.collect()
+    }
+    bogus = got_set - all_batch
+    assert not bogus, f"stream emitted {len(bogus)} sessions not in batch"
