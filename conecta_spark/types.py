@@ -1,0 +1,174 @@
+"""Type system bridge: Postgres -> Spark mappings and the post-read cast
+layer (reference O13/O17/O18; conecta-core/src/schema.rs,
+postgres.rs:595-646; documented table conecta-docs
+docs/reference/databases/postgres.md:30-157).
+
+The reference maps Postgres wire types to Arrow; on Spark the JDBC dialect
+already covers primitives/temporal/arrays, so this module adds what Spark's
+PostgresDialect gets wrong or loses:
+
+* UUID -> Spark reads as string; the reference used FixedSizeBinary(16).
+  We keep string (lossless hex form) and provide ``uuid_to_binary``.
+* TIME -> microseconds-since-midnight BIGINT (reference Arrow Time64(us),
+  postgres.rs:401-405; Spark has no TimeType before 4.x's TIME).
+* Geometric types -> Postgres *text* representations parsed into
+  ``array<double>`` with the reference's encodings (SURVEY 1.3): Point
+  (x,y)->[x,y]; Circle <(x,y),r> -> [x,y,r]; Box/Lseg -> [x1,y1,x2,y2];
+  Path -> [is_open, n, x1, y1, ...]; Polygon -> [x1, y1, ...]; Line
+  {a,b,c} -> [a,b,c].  Parsing is JVM-side regexp -- no UDFs.
+* Unsupported-in-reference types (NUMERIC, TIMESTAMPTZ, INTERVAL, JSON,
+  ranges -- which PANIC there, postgres.rs:642) are all native in Spark:
+  DecimalType, TimestampType, DayTimeIntervalType, string+from_json.  We
+  support them instead of panicking; ``REFERENCE_UNSUPPORTED`` documents
+  the divergence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Postgres type name -> Spark type, mirroring the reference's supported
+#: matrix (schema.rs:70-141) with Spark-native choices.
+PG_TO_SPARK: dict[str, T.DataType] = {
+    "bool": T.BooleanType(),
+    "int2": T.ShortType(),
+    "int4": T.IntegerType(),
+    "int8": T.LongType(),
+    "float4": T.FloatType(),
+    "float8": T.DoubleType(),
+    "char": T.StringType(),
+    "bpchar": T.StringType(),
+    "text": T.StringType(),
+    "varchar": T.StringType(),
+    "bytea": T.BinaryType(),
+    "uuid": T.StringType(),
+    "date": T.DateType(),
+    "time": T.LongType(),  # us since midnight
+    "timestamp": T.TimestampNTZType(),
+    # arrays
+    "_int2": T.ArrayType(T.ShortType()),
+    "_int4": T.ArrayType(T.IntegerType()),
+    "_int8": T.ArrayType(T.LongType()),
+    "_float4": T.ArrayType(T.FloatType()),
+    "_float8": T.ArrayType(T.DoubleType()),
+    "_text": T.ArrayType(T.StringType()),
+    "_bool": T.ArrayType(T.BooleanType()),
+    "_bytea": T.ArrayType(T.BinaryType()),
+    "_uuid": T.ArrayType(T.StringType()),
+    # geo -> flattened coords
+    "point": T.ArrayType(T.DoubleType()),
+    "line": T.ArrayType(T.DoubleType()),
+    "circle": T.ArrayType(T.DoubleType()),
+    "box": T.ArrayType(T.DoubleType()),
+    "lseg": T.ArrayType(T.DoubleType()),
+    "path": T.ArrayType(T.DoubleType()),
+    "polygon": T.ArrayType(T.DoubleType()),
+    # PostGIS passthrough (EWKB bytes)
+    "geometry": T.BinaryType(),
+}
+
+#: Types the reference panics on (postgres.rs:642) but we support natively.
+REFERENCE_UNSUPPORTED: dict[str, T.DataType] = {
+    "numeric": T.DecimalType(38, 18),
+    "timestamptz": T.TimestampType(),
+    "timetz": T.StringType(),
+    "interval": T.DayTimeIntervalType(),
+    "json": T.StringType(),
+    "jsonb": T.StringType(),
+}
+
+
+def uuid_to_binary(col: str) -> Column:
+    """Hex UUID string -> 16-byte binary (the reference's
+    FixedSizeBinary(16) representation)."""
+    return F.unhex(F.regexp_replace(F.col(col), "-", ""))
+
+
+def time_to_micros(col: str) -> Column:
+    """``HH:MM:SS[.ffffff]`` string -> microseconds since midnight BIGINT,
+    truncating to us exactly like the reference (postgres.rs:401-405)."""
+    c = F.col(col)
+    h = F.split(c, ":").getItem(0).cast("long")
+    m = F.split(c, ":").getItem(1).cast("long")
+    sec = F.split(c, ":").getItem(2).cast("double")
+    return (
+        (h * 3600 + m * 60) * 1_000_000
+        + F.floor(sec * 1_000_000).cast("long")
+    )
+
+
+def _nums(expr: str) -> str:
+    """Spark SQL: all decimal numbers in a geo text literal, in order, as
+    array<double> (JVM regexp, no UDF)."""
+    return (
+        f"transform(regexp_extract_all({expr}, '-?[0-9]+(\\\\.[0-9]+)?([eE][-+]?[0-9]+)?', 0), "
+        f"x -> CAST(x AS DOUBLE))"
+    )
+
+
+def parse_point(col: str) -> Column:
+    """``(x,y)`` -> [x, y]."""
+    return F.expr(_nums(col))
+
+
+def parse_circle(col: str) -> Column:
+    """``<(x,y),r>`` -> [x, y, r]."""
+    return F.expr(_nums(col))
+
+
+def parse_box(col: str) -> Column:
+    """``(x1,y1),(x2,y2)`` -> [x1, y1, x2, y2]."""
+    return F.expr(_nums(col))
+
+
+def parse_lseg(col: str) -> Column:
+    """``[(x1,y1),(x2,y2)]`` -> [x1, y1, x2, y2]."""
+    return F.expr(_nums(col))
+
+
+def parse_line(col: str) -> Column:
+    """``{a,b,c}`` of ax+by+c=0 -> [a, b, c] (reference postgres.rs:29-65)."""
+    return F.expr(_nums(col))
+
+
+def parse_polygon(col: str) -> Column:
+    """``((x1,y1),...)`` -> [x1, y1, ...]."""
+    return F.expr(_nums(col))
+
+
+def parse_path(col: str) -> Column:
+    """Path text -> [is_open, n_points, x1, y1, ...] (reference encoding,
+    postgres.rs:185-240): ``[...]`` = open path, ``(...)`` = closed."""
+    nums = _nums(col)
+    is_open = F.when(F.col(col).startswith("["), F.lit(1.0)).otherwise(F.lit(0.0))
+    n_points = (F.size(F.expr(nums)) / 2).cast("double")
+    return F.concat(F.array(is_open, n_points), F.expr(nums))
+
+
+GEO_PARSERS = {
+    "point": parse_point,
+    "line": parse_line,
+    "circle": parse_circle,
+    "box": parse_box,
+    "lseg": parse_lseg,
+    "path": parse_path,
+    "polygon": parse_polygon,
+}
+
+
+def apply_pg_casts(df: DataFrame, column_pg_types: dict[str, str]) -> DataFrame:
+    """Post-read cast layer for a JDBC-loaded DataFrame: given the original
+    Postgres type per column (as the reference records in
+    ``Column.original_type_repr``, schema.rs:144-165), normalize to the
+    engine's mapping -- geo text -> array<double>, time -> us bigint."""
+    for name, pg_type in column_pg_types.items():
+        if name not in df.columns:
+            continue
+        pg = pg_type.lower()
+        if pg in GEO_PARSERS:
+            df = df.withColumn(name, GEO_PARSERS[pg](name))
+        elif pg == "time":
+            df = df.withColumn(name, time_to_micros(name))
+    return df

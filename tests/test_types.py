@@ -1,0 +1,167 @@
+"""Type bridge tests: geo text parsing against the reference's encodings
+(SURVEY 1.3 / FIXTURES.md 2), time/uuid conversions, and an all-types
+round-trip mirroring the pg_datatypes matrix."""
+
+from __future__ import annotations
+
+import datetime
+
+import pyspark.sql.functions as F
+import pytest
+
+from conecta_spark.types import (
+    PG_TO_SPARK,
+    REFERENCE_UNSUPPORTED,
+    apply_pg_casts,
+    parse_box,
+    parse_circle,
+    parse_line,
+    parse_lseg,
+    parse_path,
+    parse_point,
+    parse_polygon,
+    time_to_micros,
+    uuid_to_binary,
+)
+
+
+@pytest.fixture(scope="module")
+def geo_df(spark):
+    # Literal Postgres text output for each geometric type
+    # (values mirror pg_datatypes_data.sql / FIXTURES.md 2).
+    return spark.createDataFrame(
+        [
+            (
+                "(1,2)",
+                "<(0,0),5>",
+                "{1,-1,0}",
+                "(2,2),(0,0)",
+                "[(0,0),(3,4)]",
+                "((1,1),(4,1),(4,4),(1,4))",
+                "((0,0),(4,0),(2,3))",
+            )
+        ],
+        "point string, circle string, line string, box string, "
+        "lseg string, path string, polygon string",
+    )
+
+
+class TestGeoParsers:
+    def test_point(self, geo_df):
+        assert geo_df.select(parse_point("point").alias("v")).first().v == [1.0, 2.0]
+
+    def test_circle(self, geo_df):
+        assert geo_df.select(parse_circle("circle").alias("v")).first().v == [0.0, 0.0, 5.0]
+
+    def test_line(self, geo_df):
+        assert geo_df.select(parse_line("line").alias("v")).first().v == [1.0, -1.0, 0.0]
+
+    def test_box(self, geo_df):
+        assert geo_df.select(parse_box("box").alias("v")).first().v == [2.0, 2.0, 0.0, 0.0]
+
+    def test_lseg(self, geo_df):
+        assert geo_df.select(parse_lseg("lseg").alias("v")).first().v == [0.0, 0.0, 3.0, 4.0]
+
+    def test_path_open_flag(self, geo_df):
+        v = geo_df.select(parse_path("lseg").alias("v")).first().v
+        assert v[0] == 1.0 and v[1] == 2.0  # open, 2 points
+
+    def test_path_closed(self, geo_df):
+        v = geo_df.select(parse_path("path").alias("v")).first().v
+        assert v == [0.0, 4.0, 1.0, 1.0, 4.0, 1.0, 4.0, 4.0, 1.0, 4.0]
+
+    def test_polygon(self, geo_df):
+        v = geo_df.select(parse_polygon("polygon").alias("v")).first().v
+        assert v == [0.0, 0.0, 4.0, 0.0, 2.0, 3.0]
+
+    def test_negative_and_scientific(self, spark):
+        df = spark.createDataFrame([("(-1.5,2e3)",)], "p string")
+        assert df.select(parse_point("p").alias("v")).first().v == [-1.5, 2000.0]
+
+    def test_apply_pg_casts(self, geo_df):
+        out = apply_pg_casts(
+            geo_df, {"point": "point", "circle": "circle", "box": "box"}
+        )
+        row = out.first()
+        assert row.point == [1.0, 2.0]
+        assert row.circle == [0.0, 0.0, 5.0]
+        assert dict(out.dtypes)["point"] == "array<double>"
+
+
+class TestScalarConversions:
+    def test_time_to_micros(self, spark):
+        df = spark.createDataFrame(
+            [("14:30:00",), ("00:00:00.000001",), ("23:59:59.999999",)],
+            "t string",
+        )
+        vals = [r.v for r in df.select(time_to_micros("t").alias("v")).collect()]
+        assert vals == [52_200_000_000, 1, 86_399_999_999]
+
+    def test_uuid_to_binary(self, spark):
+        df = spark.createDataFrame(
+            [("123e4567-e89b-12d3-a456-426614174000",)], "u string"
+        )
+        b = bytes(df.select(uuid_to_binary("u").alias("v")).first().v)
+        assert len(b) == 16
+        assert b.hex() == "123e4567e89b12d3a456426614174000"
+
+
+class TestTypeMatrix:
+    """pg_datatypes-style round trip: every supported Spark type survives
+    DataFrame -> Arrow -> values (reference type test,
+    tests/databases/test_postgres.py:7-10)."""
+
+    def test_all_types_roundtrip(self, spark):
+        import pyspark.sql.types as T
+
+        schema = T.StructType(
+            [
+                T.StructField("id", T.IntegerType()),
+                T.StructField("small_int", T.ShortType()),
+                T.StructField("big_int", T.LongType()),
+                T.StructField("double_", T.DoubleType()),
+                T.StructField("varchar_", T.StringType()),
+                T.StructField("bool_", T.BooleanType()),
+                T.StructField("bytea_", T.BinaryType()),
+                T.StructField("date_", T.DateType()),
+                T.StructField("timestamp_", T.TimestampNTZType()),
+                T.StructField("int_array", T.ArrayType(T.IntegerType())),
+                T.StructField("text_array", T.ArrayType(T.StringType())),
+                T.StructField("bool_array", T.ArrayType(T.BooleanType())),
+                T.StructField("double_array", T.ArrayType(T.DoubleType())),
+            ]
+        )
+        row = (
+            1,
+            5,
+            9_000_000_000,
+            2.71828,
+            "Hello, world!",
+            True,
+            bytes.fromhex("deadbeef"),
+            datetime.date(2025, 8, 22),
+            datetime.datetime(2025, 8, 22, 14, 30, 0),
+            [1, 2, 3],
+            ["foo", "bar", "baz"],
+            [True, False],
+            [3.14159, 2.71828],
+        )
+        df = spark.createDataFrame([row], schema)
+        table = df.toArrow()
+        assert table.num_rows == 1
+        got = table.to_pylist()[0]
+        assert got["big_int"] == 9_000_000_000
+        assert bytes(got["bytea_"]) == bytes.fromhex("deadbeef")
+        assert got["int_array"] == [1, 2, 3]
+        assert got["timestamp_"] == datetime.datetime(2025, 8, 22, 14, 30)
+
+    def test_mapping_tables_cover_reference_matrix(self):
+        # every reference-supported pg type has a Spark mapping
+        for pg in ["bool", "int2", "int4", "int8", "float4", "float8",
+                   "text", "varchar", "bytea", "uuid", "date", "time",
+                   "timestamp", "point", "polygon", "geometry", "_int4",
+                   "_text", "_uuid"]:
+            assert pg in PG_TO_SPARK
+        # and the reference's panic set is supported, not panicking
+        for pg in ["numeric", "timestamptz", "interval", "json", "jsonb"]:
+            assert pg in REFERENCE_UNSUPPORTED
