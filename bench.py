@@ -4,9 +4,12 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
 {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
 
-Per-query timing forces full materialization without driver transfer
-(count of a no-op projection), the honest analog of the reference's
-read_sql wall-clock (conecta-benchmark/benchmark.py methodology).
+Per-query timing forces full materialization without driver transfer via a
+``noop``-format write -- every column of every row is computed and handed to
+the sink, the honest analog of the reference's read_sql wall-clock
+(conecta-benchmark/benchmark.py methodology).  A bare ``.count()`` would let
+Catalyst prune scan queries down to parquet footer metadata and report
+fantasy numbers.
 """
 
 from __future__ import annotations
@@ -39,15 +42,18 @@ def main() -> None:
 
     qs = queries()
 
+    def run(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
     # Warm the JVM + parquet footers once so per-query numbers measure the
     # queries, not first-touch class loading.
-    next(iter(qs.values()))(spark, sf_dir).count()
+    run(next(iter(qs.values()))(spark, sf_dir))
 
     timings: dict[str, float] = {}
     for name, fn in sorted(qs.items()):
         start = time.perf_counter()
         try:
-            fn(spark, sf_dir).count()
+            run(fn(spark, sf_dir))
             timings[name] = round(time.perf_counter() - start, 4)
         except Exception as e:  # never let one query kill the whole bench
             print(f"bench: {name} failed: {e}", file=sys.stderr)

@@ -4,10 +4,11 @@ DataFrame transform plus a registered oracle-checked query over
 ``documents``.
 
 Determinism & parity: the hash family is the engine's polyhash
-(``(acc*31+cp) % 1e9+7``, functions/text.py) with affine permutations
-``h -> ((2p+1)*h + p*p+7) % M`` -- pure integer arithmetic, so Spark and
-DuckDB produce bit-identical signatures and the LSH pipeline itself is
-oracle-checkable end-to-end (rare for LSH implementations).
+(``(acc*31+cp) % 1e9+7``, functions/text.py) with multiplicative-mixed
+permutations ``h -> (a_p*h + p*p+7) % M`` (``a_p`` Knuth-constant derived)
+-- pure integer arithmetic, so Spark and DuckDB produce bit-identical
+signatures and the LSH pipeline itself is oracle-checkable end-to-end
+(rare for LSH implementations), document-frequency filter included.
 
 Scale notes (100 TB):
 
@@ -48,12 +49,21 @@ def duck_shingles(col: str = "text", k: int = 5) -> str:
     )
 
 
+#: Per-permutation multiplier: Knuth's multiplicative constant mixed with the
+#: permutation index, reduced mod M.  A weak multiplier like ``2p+1`` barely
+#: wraps the modulus, leaving the "permutation" order-preserving in segments
+#: -- every minhash coordinate then correlates with the raw min shingle hash
+#: and LSH bands collide for *any* overlapping pair (measured: 800k candidate
+#: pairs from 5k docs; with this mixing: ~hundreds).
+_PERM_A = f"((2654435761 * (p + 1)) % {MOD})"
+
+
 def minhash_expr(shingle_hashes: str, num_perms: int = 16) -> str:
     """array<bigint> of MinHash signature values."""
     return (
         f"transform(sequence(0, {num_perms - 1}), p -> "
         f"array_min(transform({shingle_hashes}, h -> "
-        f"((2*p+1)*h + p*p + 7) % {MOD})))"
+        f"({_PERM_A} * h + p * p + 7) % {MOD})))"
     )
 
 
@@ -61,7 +71,7 @@ def duck_minhash(shingle_hashes: str, num_perms: int = 16) -> str:
     return (
         f"list_transform(range(0, {num_perms}), p -> "
         f"list_min(list_transform({shingle_hashes}, h -> "
-        f"((2*p+1)*h + p*p + 7) % {MOD})))"
+        f"({_PERM_A} * h + p * p + 7) % {MOD})))"
     )
 
 
@@ -129,29 +139,69 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Brute-force near-dup pairs by character-``k``-gram Jaccard, blocked on
     ``block_cols`` + a text-length band (adjacent bands included so boundary
-    pairs aren't lost)."""
-    sh = df.select(
+    pairs aren't lost).
+
+    Shape matters more than the O(n^2) here.  Two traps this avoids:
+
+    * **Skewed fat join**: joining rows that carry their shingle arrays on a
+      ~5-value key (``lang``) serializes all pair work into 5 giant tasks.
+      Instead the pair join runs on *skinny* (id, lang, band) rows -- cheap
+      even when skewed -- and the arrays are re-attached afterwards by id.
+    * **Array shuffle**: candidate pairs never drag shingle arrays through
+      a shuffle; the shingle relation (one array per doc) is broadcast and
+      hash-joined to the id pairs, so the expensive Jaccard evaluation is
+      spread across the candidate partitions.
+
+    The probe side is exploded to its 3 neighboring length bands, making the
+    band part of the equi-key; each boundary pair is produced exactly once.
+    At real scale the broadcast re-attach flips to a shuffled hash join on
+    doc_id (high-cardinality, parallel), and beyond that this baseline is
+    superseded by :func:`minhash_lsh_pairs`."""
+    skinny = df.select(
         F.col(id_col),
         *[F.col(c) for c in block_cols],
-        F.expr(shingles_expr(text_col, k)).alias("sh"),
         (F.length(text_col) / F.lit(length_band)).cast("long").alias("lb"),
     )
-    a, b = sh.alias("a"), sh.alias("b")
-    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    a = skinny.alias("a")
+    b = skinny.withColumn(
+        "lbx", F.explode(F.expr("array(lb - 1, lb, lb + 1)"))
+    ).alias("b")
+    cond = (F.col("a.lb") == F.col("b.lbx")) & (
+        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    )
     for c in block_cols:
         cond &= F.col(f"a.{c}") == F.col(f"b.{c}")
-    cond &= (F.col("a.lb") - F.col("b.lb")).between(-1, 1)
+    cands = a.join(b, cond).select(
+        F.col(f"a.{id_col}").alias("doc_a"),
+        F.col(f"b.{id_col}").alias("doc_b"),
+    )
+    # Spread the Jaccard evaluation across the cluster regardless of how few
+    # (lang, band) buckets the candidate join produced.
+    cands = cands.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, "doc_a"
+    )
+    # Jaccard over polyhashed shingles: array_intersect/union on BIGINT is
+    # several times cheaper than on strings, and because Spark and DuckDB
+    # apply the identical hash, parity is exact whether or not a collision
+    # ever merges two shingles.
+    sh = df.select(
+        F.col(id_col),
+        F.expr(
+            f"transform({shingles_expr(text_col, k)}, s -> {polyhash('s')})"
+        ).alias("sh"),
+    )
     jac = (
-        F.size(F.array_intersect("a.sh", "b.sh")).cast("double")
-        / F.size(F.array_union("a.sh", "b.sh")).cast("double")
+        F.size(F.array_intersect("sa.sh", "sb.sh")).cast("double")
+        / F.size(F.array_union("sa.sh", "sb.sh")).cast("double")
     )
     return (
-        a.join(b, cond)
-        .select(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
-            jac.alias("jaccard"),
+        cands.join(
+            F.broadcast(sh.alias("sa")), cands.doc_a == F.col(f"sa.{id_col}")
         )
+        .join(
+            F.broadcast(sh.alias("sb")), cands.doc_b == F.col(f"sb.{id_col}")
+        )
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
 
@@ -164,22 +214,51 @@ def minhash_lsh_pairs(
     bands: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_df: float = 0.1,
 ) -> DataFrame:
     """MinHash + LSH banding near-dup pairs with exact Jaccard verification.
 
-    shingle -> polyhash -> ``num_perms`` affine-permutation minima ->
-    ``bands`` band keys (md5 of each signature slice) -> band-key equi-join
-    for candidates -> re-join to recompute exact shingle Jaccard >= threshold.
+    shingle -> polyhash -> document-frequency filter -> ``num_perms``
+    permutation minima -> ``bands`` band keys (md5 of each signature slice)
+    -> band-key equi-join for candidates -> re-join to recompute exact
+    Jaccard over the RAW shingle sets >= threshold.
+
+    The DF filter is what makes this hold up on boilerplate-heavy corpora:
+    shingles present in > ``max_df`` of documents (template/boilerplate
+    text) otherwise dominate every document's minimum and collapse the
+    signature space -- measured here: a single LSH band bucket holding 44%
+    of the corpus and 2.5M candidate pairs for 5k docs; with the filter,
+    signatures are built from discriminative shingles only and candidates
+    drop to the genuinely-similar tail.  Verification still scores the raw
+    shingle Jaccard, so surviving pairs mean exactly what the threshold
+    says; pairs similar *only* through boilerplate are deliberately not
+    recalled (and the DuckDB oracle mirrors the full pipeline, filter
+    included).  The DF table is a corpus-wide aggregate that scales as the
+    vocabulary, not the corpus, and broadcasts to the anti-join.
     """
     rows = bands and num_perms // bands
-    sigs = df.select(
+    n_docs = df.count()  # planner-style metadata probe (cf. reference O9)
+    hashed = df.select(
         F.col(id_col),
         F.expr(
             f"transform({shingles_expr(text_col, k)}, s -> {polyhash('s')})"
-        ).alias("sh_hashes"),
-    ).select(
+        ).alias("sh"),
+    )
+    tok = hashed.select(F.col(id_col), F.explode("sh").alias("h"))
+    common = (
+        tok.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > F.lit(max_df) * F.lit(n_docs))
+        .select("h")
+    )
+    filtered = (
+        tok.join(F.broadcast(common), "h", "left_anti")
+        .groupBy(id_col)
+        .agg(F.collect_list("h").alias("shf"))
+    )
+    sigs = filtered.select(
         id_col,
-        F.expr(minhash_expr("sh_hashes", num_perms)).alias("mh"),
+        F.expr(minhash_expr("shf", num_perms)).alias("mh"),
     )
     banded = sigs.select(
         id_col,
@@ -207,9 +286,10 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    sh = df.select(
-        F.col(id_col), F.expr(shingles_expr(text_col, k)).alias("sh")
-    )
+    # Exact-verification join on the raw hashed shingles (see
+    # ngram_jaccard_pairs on why BIGINT arrays + identical cross-engine
+    # hashing).
+    sh = hashed
     jac = (
         F.size(F.array_intersect("sa.sh", "sb.sh")).cast("double")
         / F.size(F.array_union("sa.sh", "sb.sh")).cast("double")
@@ -265,23 +345,40 @@ def simhash_near_dup_pairs(
     )
 
 
+def word_shingles_expr(col: str = "text", w: int = 3) -> str:
+    """``w``-word shingles of the lowercased, whitespace-split text."""
+    toks = rf"split(trim(lower({col})), '\\s+')"
+    return (
+        f"array_distinct(transform(sequence(1, greatest(size({toks})-{w - 1}, 1)), "
+        f"i -> array_join(slice({toks}, i, {w}), ' ')))"
+    )
+
+
 def minhash_lsh_ml(
     df: DataFrame,
     threshold: float = 0.5,
     num_features: int = 1 << 18,
-    num_hash_tables: int = 8,
-    k: int = 5,
+    num_hash_tables: int = 4,
+    w: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
     seed: int = 42,
 ) -> DataFrame:
-    """Scale-path MinHash via pyspark.ml (HashingTF shingle vectors +
-    MinHashLSH.approxSimilarityJoin).  Not SQL-expressible -> rows-only
-    correctness check; recall vs the exact path is covered in tests."""
+    """ml.feature variant: HashingTF shingle vectors +
+    MinHashLSH.approxSimilarityJoin.  Not SQL-expressible -> rows-only
+    correctness check; recall vs the exact path is covered in tests.
+
+    Caveat that makes :func:`minhash_lsh_pairs` the production path: Spark's
+    MinHashLSH amplifies OR-only (a pair is a candidate if ANY of the
+    ``num_hash_tables`` single hashes collide) -- there is no banding (AND)
+    stage, so candidate volume grows ~``1-(1-J)^T`` even for low-J pairs.
+    Character 5-grams made nearly every doc pair collide somewhere (measured
+    ~9 min for 5k docs); WORD 3-gram shingles share far fewer features
+    across unrelated docs and keep the candidate set near-linear."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     sh = df.select(
-        F.col(id_col), F.expr(shingles_expr(text_col, k)).alias("sh")
+        F.col(id_col), F.expr(word_shingles_expr(text_col, w)).alias("sh")
     ).where(F.size("sh") > 0)
     tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=num_features, binary=True)
     feat = tf.transform(sh)
@@ -314,7 +411,7 @@ def x05_dedup_exact(spark, sf_dir) -> DataFrame:
 @register(
     "x06_dedup_ngram_jaccard",
     "WITH sh AS (SELECT doc_id, lang, "
-    f" {duck_shingles('text', 3)} AS sh, "
+    f" list_transform({duck_shingles('text', 3)}, s -> {duck_polyhash('s')}) AS sh, "
     " (length(text) // 100)::BIGINT AS lb FROM documents) "
     "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
     " len(list_intersect(a.sh, b.sh))::DOUBLE / "
@@ -334,21 +431,26 @@ _DUCK_SH_HASHES = (
 )
 
 _DUCK_MH_SIGS = (
-    "WITH sigs AS (SELECT doc_id, "
-    f"{duck_minhash(_DUCK_SH_HASHES)}"
-    " AS mh FROM documents), "
+    f"WITH hashed AS (SELECT doc_id, {_DUCK_SH_HASHES} AS sh FROM documents), "
+    "tok AS (SELECT doc_id, unnest(sh) AS h FROM hashed), "
+    "common AS (SELECT h FROM (SELECT h, COUNT(*) AS c FROM tok GROUP BY h) "
+    " WHERE c > 0.1 * (SELECT COUNT(*) FROM documents)), "
+    "filtered AS (SELECT doc_id, list(h) AS shf FROM tok "
+    " WHERE h NOT IN (SELECT h FROM common) GROUP BY doc_id), "
+    "sigs AS (SELECT doc_id, "
+    f"{duck_minhash('shf')}"
+    " AS mh FROM filtered), "
     "banded AS (SELECT doc_id, j AS band_idx, "
     " md5(array_to_string(mh[j*4+1 : j*4+4], '-')) AS band_key "
     " FROM sigs CROSS JOIN range(0, 4) AS r(j)), "
     "cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
     " FROM banded a JOIN banded b ON a.band_idx = b.band_idx "
-    " AND a.band_key = b.band_key AND a.doc_id < b.doc_id), "
-    f"sh AS (SELECT doc_id, {duck_shingles()} AS sh FROM documents) "
+    " AND a.band_key = b.band_key AND a.doc_id < b.doc_id) "
     "SELECT doc_a, doc_b, "
     " len(list_intersect(sa.sh, sb.sh))::DOUBLE / "
     " len(list_distinct(list_concat(sa.sh, sb.sh)))::DOUBLE AS jaccard "
-    "FROM cands JOIN sh sa ON cands.doc_a = sa.doc_id "
-    "JOIN sh sb ON cands.doc_b = sb.doc_id "
+    "FROM cands JOIN hashed sa ON cands.doc_a = sa.doc_id "
+    "JOIN hashed sb ON cands.doc_b = sb.doc_id "
     "WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE / "
     " len(list_distinct(list_concat(sa.sh, sb.sh)))::DOUBLE >= 0.5"
 )

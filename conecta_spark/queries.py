@@ -347,6 +347,7 @@ def _load_extensions() -> None:
     import importlib
 
     for mod in (
+        "conecta_spark.sql_surface",
         "conecta_spark.operators.dedup",
         "conecta_spark.operators.simsearch",
         "conecta_spark.functions.text",

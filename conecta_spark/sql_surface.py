@@ -1,0 +1,516 @@
+"""Delegated-SQL-surface queries (SURVEY 2.2): the relational operations the
+reference forwards to the source database as SQL text.  In the Spark engine
+they come from Catalyst "for free"; this module pins them down as registered,
+DuckDB-oracle-checked queries so the surface is *proved*, not assumed.
+
+Covers: sort/top-k, DISTINCT, set operations (INTERSECT/EXCEPT/UNION),
+semi/anti/outer joins, HAVING + CASE, scalar subqueries, CTE shapes
+(TPC-H Q3/Q5/Q10 forms), ROLLUP grouping sets, string functions, date
+functions, math functions, JSON extraction, conditional pivot, and exact
+COUNT(DISTINCT).
+
+Scale notes (100 TB):
+
+* Top-k (``ORDER BY ... LIMIT k``) compiles to TakeOrderedAndProject --
+  per-partition partial top-k, no global sort. This is why q17/q28/q30 use
+  sort-limit rather than a row_number window over the whole relation.
+* Semi/anti joins keep only the probe side's columns -- Catalyst plans a
+  LeftSemi/LeftAnti broadcast join when the build side is small (orders here
+  is the big side, so these broadcast the *aggregated* key set at real
+  scale; on cluster, prefer a bloom-filter pre-pass for 100 TB probes).
+* The TPC-H-shaped CTE queries join facts to broadcast dims and aggregate
+  with map-side partials; none of them shuffles the fact table more than
+  once.
+* All float aggregates use the DECIMAL(18,4) trick (queries.dsum) so the
+  result is independent of Spark's partial-aggregation tree shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .queries import DSUM, dsum, register, t
+
+
+# ---------------------------------------------------------------------------
+# sort / distinct / set operations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q17_orderby_topk",
+    "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem "
+    "ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100",
+    "global top-k by sort-limit (TakeOrderedAndProject, partial top-k "
+    "per partition -- no full sort at scale)",
+)
+def q17(spark, sf_dir) -> DataFrame:
+    return (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(
+            F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber"
+        )
+        .limit(100)
+    )
+
+
+@register(
+    "q18_distinct",
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "DISTINCT via hash aggregate (map-side partial dedup)",
+)
+def q18(spark, sf_dir) -> DataFrame:
+    return (
+        t(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_linestatus")
+        .distinct()
+    )
+
+
+@register(
+    "q19_set_ops",
+    "SELECT 'both' AS tag, nk FROM ("
+    " SELECT CAST(c_nationkey AS BIGINT) AS nk FROM customer"
+    " INTERSECT SELECT CAST(s_nationkey AS BIGINT) FROM supplier) a "
+    "UNION ALL "
+    "SELECT 'cust_only' AS tag, nk FROM ("
+    " SELECT CAST(c_nationkey AS BIGINT) AS nk FROM customer"
+    " EXCEPT SELECT CAST(s_nationkey AS BIGINT) FROM supplier) b",
+    "INTERSECT + EXCEPT + UNION ALL over nation-key sets",
+)
+def q19(spark, sf_dir) -> DataFrame:
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("long").alias("nk")
+    )
+    s = t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").cast("long").alias("nk")
+    )
+    both = c.intersect(s).select(F.lit("both").alias("tag"), "nk")
+    cust_only = c.subtract(s).select(F.lit("cust_only").alias("tag"), "nk")
+    return both.unionAll(cust_only)
+
+
+@register(
+    "q20_union_distinct",
+    "SELECT CAST(c_nationkey AS BIGINT) AS nk FROM customer "
+    "UNION SELECT CAST(s_nationkey AS BIGINT) FROM supplier",
+    "UNION (distinct) of two key sets",
+)
+def q20(spark, sf_dir) -> DataFrame:
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("long").alias("nk")
+    )
+    s = t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").cast("long").alias("nk")
+    )
+    return c.unionAll(s).distinct()
+
+
+# ---------------------------------------------------------------------------
+# join shapes beyond inner: semi / anti / left outer
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q21_anti_join",
+    "SELECT c_custkey FROM customer c WHERE NOT EXISTS "
+    "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
+    "left anti join: customers with zero orders (NOT EXISTS form)",
+)
+def q21(spark, sf_dir) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_anti"
+    ).select("c_custkey")
+
+
+@register(
+    "q22_semi_join",
+    "SELECT c_custkey FROM customer c WHERE EXISTS "
+    "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
+    "left semi join: customers with at least one order (EXISTS form)",
+)
+def q22(spark, sf_dir) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_semi"
+    ).select("c_custkey")
+
+
+@register(
+    "q23_left_outer_join",
+    "SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders "
+    "FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey "
+    "GROUP BY c.c_custkey",
+    "left outer join + count of matches (zero-order customers kept)",
+)
+def q23(spark, sf_dir) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# HAVING / CASE / scalar subquery / grouping sets
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q24_case_having",
+    "SELECT o_orderpriority, COUNT(*) AS c, "
+    "SUM(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS n_big "
+    "FROM orders GROUP BY o_orderpriority HAVING COUNT(*) > 10",
+    "CASE WHEN inside aggregate + HAVING post-filter",
+)
+def q24(spark, sf_dir) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum(
+                F.when(F.col("o_totalprice") > 100000, 1).otherwise(0)
+            ).alias("n_big"),
+        )
+        .where(F.col("c") > 10)
+    )
+
+
+@register(
+    "q25_scalar_subquery",
+    "SELECT p_partkey, p_retailprice FROM part WHERE p_retailprice > "
+    "(SELECT CAST(AVG(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE) "
+    " FROM part)",
+    "scalar-subquery threshold (above-average price); broadcast 1-row agg",
+)
+def q25(spark, sf_dir) -> DataFrame:
+    p = t(spark, sf_dir, "part")
+    avg = p.agg(
+        F.avg(F.col("p_retailprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("avg_price")
+    )
+    return (
+        p.crossJoin(F.broadcast(avg))
+        .where(F.col("p_retailprice") > F.col("avg_price"))
+        .select("p_partkey", "p_retailprice")
+    )
+
+
+@register(
+    "q26_rollup",
+    "SELECT r_name, n_name, COUNT(*) AS c FROM customer c "
+    "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+    "JOIN region r ON n.n_regionkey = r.r_regionkey "
+    "GROUP BY ROLLUP(r_name, n_name)",
+    "ROLLUP grouping sets: per-(region,nation), per-region, grand total",
+)
+def q26(spark, sf_dir) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+@register(
+    "q27_count_distinct",
+    "SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_cust, "
+    "COUNT(*) AS c FROM orders GROUP BY o_orderpriority",
+    "exact COUNT(DISTINCT) per group (expand + two-phase agg in Spark)",
+)
+def q27(spark, sf_dir) -> DataFrame:
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_cust"),
+            F.count(F.lit(1)).alias("c"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped multi-join CTE queries
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q28_tpch_q3_shape",
+    "SELECT l_orderkey, "
+    f"{DSUM('l_extendedprice * (1 - l_discount)')} AS revenue, o_orderdate "
+    "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey "
+    "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+    "WHERE c.c_mktsegment = 'BUILDING' "
+    " AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00' "
+    " AND l.l_shipdate > TIMESTAMP '1997-01-01 00:00:00' "
+    "GROUP BY l_orderkey, o_orderdate "
+    "ORDER BY revenue DESC, l_orderkey LIMIT 10",
+    "TPC-H Q3 shape: 3-way join, filter, agg, deterministic top-10",
+)
+def q28(spark, sf_dir) -> DataFrame:
+    c = t(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")
+    )
+    l = t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum(rev, "revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q29_tpch_q5_shape",
+    "SELECT n_name, "
+    f"{DSUM('l_extendedprice * (1 - l_discount)')} AS revenue "
+    "FROM customer c "
+    "JOIN orders o ON c.c_custkey = o.o_custkey "
+    "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+    "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+    " AND c.c_nationkey = s.s_nationkey "
+    "JOIN nation n ON s.s_nationkey = n.n_nationkey "
+    "JOIN region r ON n.n_regionkey = r.r_regionkey "
+    "WHERE r.r_name = 'ASIA' "
+    " AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' "
+    " AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00' "
+    "GROUP BY n_name",
+    "TPC-H Q5 shape: 6-way join (local-supplier volume), dims broadcast",
+)
+def q29(spark, sf_dir) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    l = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey)
+            & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(rev, "revenue"))
+    )
+
+
+@register(
+    "q30_tpch_q10_shape",
+    "SELECT c.c_custkey, c.c_name, "
+    f"{DSUM('l_extendedprice * (1 - l_discount)')} AS revenue "
+    "FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey "
+    "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+    "WHERE l.l_returnflag = 'R' "
+    "GROUP BY c.c_custkey, c.c_name "
+    "ORDER BY revenue DESC, c_custkey LIMIT 20",
+    "TPC-H Q10 shape: returned-item revenue, deterministic top-20",
+)
+def q30(spark, sf_dir) -> DataFrame:
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    l = t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(dsum(rev, "revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# scalar-function surface: string / date / math / JSON
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q31_string_funcs",
+    "SELECT p_partkey, upper(p_brand) AS brand_u, "
+    "substr(p_name, 1, 10) AS name10, "
+    "concat(p_type, '#', p_brand) AS type_brand, "
+    "length(p_name) AS name_len, "
+    "replace(p_type, ' ', '_') AS type_snake "
+    "FROM part WHERE p_name LIKE '%a%'",
+    "string functions: upper/substr/concat/length/replace + LIKE filter",
+)
+def q31(spark, sf_dir) -> DataFrame:
+    p = t(spark, sf_dir, "part")
+    return p.where(F.col("p_name").like("%a%")).select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.substring("p_name", 1, 10).alias("name10"),
+        F.concat_ws("#", "p_type", "p_brand").alias("type_brand"),
+        F.length("p_name").alias("name_len"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias(
+            "type_snake"
+        ),
+    )
+
+
+@register(
+    "q32_date_funcs",
+    "SELECT o_orderkey, "
+    "CAST(year(o_orderdate) AS INT) AS yr, "
+    "CAST(month(o_orderdate) AS INT) AS mon, "
+    "CAST(dayofmonth(o_orderdate) AS INT) AS dom, "
+    "CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start, "
+    "CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) "
+    " AS INT) AS days_since "
+    "FROM orders",
+    "date functions: year/month/day extraction, truncation, day diff",
+)
+def q32(spark, sf_dir) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mon"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+        ).alias("days_since"),
+    )
+
+
+@register(
+    "q33_math_funcs",
+    "SELECT p_partkey, abs(p_retailprice - 1000.0) AS dev, "
+    "round(p_retailprice, 1) AS price_r1, "
+    "CAST(floor(p_retailprice) AS BIGINT) AS price_floor, "
+    "CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil, "
+    "round(sqrt(p_retailprice), 6) AS price_sqrt, "
+    "round(ln(p_retailprice), 6) AS price_ln, "
+    "CAST(p_size % 7 AS INT) AS size_mod "
+    "FROM part",
+    "math functions: abs/round/floor/ceil/sqrt/ln/modulo "
+    "(transcendentals rounded to 6dp for cross-engine libm parity)",
+)
+def q33(spark, sf_dir) -> DataFrame:
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.abs(F.col("p_retailprice") - 1000.0).alias("dev"),
+        F.round("p_retailprice", 1).alias("price_r1"),
+        F.floor("p_retailprice").alias("price_floor"),
+        F.ceil("p_retailprice").alias("price_ceil"),
+        F.round(F.sqrt("p_retailprice"), 6).alias("price_sqrt"),
+        F.round(F.log("p_retailprice"), 6).alias("price_ln"),
+        (F.col("p_size") % 7).alias("size_mod"),
+    )
+
+
+@register(
+    "q34_json_extract",
+    "SELECT event_id, "
+    "CAST(json_extract_string(props, '$.k') AS BIGINT) AS k "
+    "FROM events",
+    "JSON extraction from a string column (SURVEY 1.3: JSON via "
+    "StringType + get_json_object)",
+)
+def q34(spark, sf_dir) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+
+
+@register(
+    "q35_conditional_pivot",
+    "SELECT CAST(year(o_orderdate) AS INT) AS yr, "
+    "SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n_urgent, "
+    "SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS n_high, "
+    "SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) "
+    " AS n_other, COUNT(*) AS c "
+    "FROM orders GROUP BY 1",
+    "pivot via conditional aggregation (orders per year x priority)",
+)
+def q35(spark, sf_dir) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    pri = F.col("o_orderpriority")
+    return (
+        o.groupBy(F.year("o_orderdate").alias("yr"))
+        .agg(
+            F.sum(F.when(pri == "1-URGENT", 1).otherwise(0)).alias(
+                "n_urgent"
+            ),
+            F.sum(F.when(pri == "2-HIGH", 1).otherwise(0)).alias("n_high"),
+            F.sum(
+                F.when(pri.isin("1-URGENT", "2-HIGH"), 0).otherwise(1)
+            ).alias("n_other"),
+            F.count(F.lit(1)).alias("c"),
+        )
+    )
+
+
+@register(
+    "q36_window_agg_frames",
+    "SELECT o_orderkey, o_custkey, "
+    "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER "
+    " (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+    "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) "
+    " AS running_spend, "
+    "CAST(lag(o_totalprice) OVER "
+    " (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE) "
+    " AS prev_price, "
+    "CAST(rank() OVER (PARTITION BY o_custkey "
+    " ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS spend_rank "
+    "FROM orders",
+    "window frames: running sum (ROWS), lag, rank -- one shuffle, "
+    "three functions over a shared partitioning",
+)
+def q36(spark, sf_dir) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    w_time = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    w_run = w_time.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_rank = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .over(w_run)
+        .cast("double")
+        .alias("running_spend"),
+        F.lag("o_totalprice").over(w_time).cast("double").alias("prev_price"),
+        F.rank().over(w_rank).cast("long").alias("spend_rank"),
+    )

@@ -100,7 +100,7 @@ class TestDedup:
 
     def test_ml_lsh_agrees_with_exact(self, planted):
         exact = minhash_lsh_pairs(planted, threshold=0.5, k=5)
-        ml = minhash_lsh_ml(planted, threshold=0.5, k=5)
+        ml = minhash_lsh_ml(planted, threshold=0.5)
         e = {(r.doc_a, r.doc_b) for r in exact.collect()}
         m = {(r.doc_a, r.doc_b) for r in ml.collect()}
         # ml path should recover most of what the exact path verified

@@ -1,0 +1,120 @@
+"""Physical-plan assertions: the scale properties the engine promises
+(pushdown, pruning, broadcast, partial aggregation, top-k) must be visible
+in ``explain()`` output -- a correctness suite for the *plans*, not the rows.
+
+These are the properties that decide whether a query that passes at sf0.01
+still works at 100 TB (SURVEY 7.5): a scan that reads all columns, a join
+that shuffles a fact table against a 25-row dim, or a global sort for a
+top-10 would all pass row-level tests and then fall over at scale.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from conecta_spark.queries import REGISTRY, _load_extensions
+
+_load_extensions()
+
+
+def plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def node_count(p: str, name: str) -> int:
+    """Count physical nodes in a formatted plan by their detail headers
+    (``(4) Exchange``), not the tree rendering, to avoid double counting."""
+    import re
+
+    return len(re.findall(rf"^\(\d+\) {name}\b", p, flags=re.M))
+
+
+@pytest.fixture(scope="module")
+def sf(oracle_dir):
+    return oracle_dir
+
+
+def test_projection_prunes_scan(spark, sf):
+    """q02: the parquet scan must read only the 3 projected columns."""
+    p = plan(REGISTRY["q02_projection"].fn(spark, sf))
+    assert "ReadSchema" in p
+    read_schema = [ln for ln in p.splitlines() if "ReadSchema" in ln][0]
+    assert "l_orderkey" in read_schema
+    assert "l_comment" not in read_schema
+    # A full-width lineitem scan would include l_tax; the projection must not.
+    assert "l_tax" not in read_schema
+
+
+def test_range_filter_pushed_to_scan(spark, sf):
+    """q03: partition bounds must reach the parquet reader as PushedFilters."""
+    p = plan(REGISTRY["q03_bounded_interior"].fn(spark, sf))
+    pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln]
+    assert pushed, p
+    assert "GreaterThanOrEqual(l_orderkey,100)" in pushed[0]
+    assert "LessThan(l_orderkey,200)" in pushed[0]
+
+
+def test_dim_joins_broadcast(spark, sf):
+    """q13/q14: dims are broadcast -- the fact table is never shuffled for
+    the join (no SortMergeJoin / ShuffledHashJoin)."""
+    for name in ("q13_join_agg", "q14_three_way_join"):
+        p = plan(REGISTRY[name].fn(spark, sf))
+        assert "BroadcastHashJoin" in p, name
+        assert "SortMergeJoin" not in p, name
+        assert "ShuffledHashJoin" not in p, name
+
+
+def test_groupby_has_partial_aggregation(spark, sf):
+    """q12: map-side partial aggregation before the exchange (two
+    HashAggregate nodes around one Exchange)."""
+    p = plan(REGISTRY["q12_groupby_agg"].fn(spark, sf))
+    assert p.count("HashAggregate") >= 2
+    assert "Exchange" in p
+
+
+def test_topk_is_take_ordered_not_global_sort(spark, sf):
+    """q17: ORDER BY + LIMIT compiles to TakeOrderedAndProject (per-partition
+    partial top-k), never a full global sort."""
+    p = plan(REGISTRY["q17_orderby_topk"].fn(spark, sf))
+    assert "TakeOrderedAndProject" in p
+
+
+def test_exact_dedup_is_single_shuffle_partial_agg(spark, sf):
+    """x05: content-hash dedup = one exchange with partial aggregation."""
+    p = plan(REGISTRY["x05_dedup_exact"].fn(spark, sf))
+    assert node_count(p, "Exchange") == 1
+    assert node_count(p, "HashAggregate") == 2
+
+
+def test_knn_broadcasts_query_vector(spark, sf):
+    """x10: the 1-row query vector is broadcast; the embeddings relation is
+    scanned once with no shuffle before scoring."""
+    p = plan(REGISTRY["x10_knn_cosine_topk"].fn(spark, sf))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_lsh_candidate_join_is_equi_join(spark, sf):
+    """x07: the LSH band join must be a hash equi-join on (band_idx,
+    band_key) -- a nested-loop/cartesian here would be quadratic at scale."""
+    p = plan(REGISTRY["x07_dedup_minhash_lsh"].fn(spark, sf))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_scan_partition_count_scales(spark, sf):
+    """Partitioned read honors the requested split count end-to-end."""
+    from conecta_spark.io import read_sql
+
+    df = read_sql(
+        sf,
+        "select * from lineitem",
+        partition_on="l_orderkey",
+        partition_num=8,
+        spark=spark,
+    )
+    # One scan + a range filter; row-level invariant checked in test_read_sql.
+    p = plan(df)
+    assert "PushedFilters" in p
