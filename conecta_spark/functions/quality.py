@@ -1,0 +1,172 @@
+"""Corpus-quality operators in the style of published LLM-data pipelines
+(Gopher/C4/Dolma rule families): per-document heuristic filters, corpus
+rollups, and vocabulary statistics, all JVM-side expressions with exact
+DuckDB oracle twins.
+
+Scale notes (100 TB):
+
+* per-doc signals (x19) are embarrassingly parallel maps inside codegen --
+  no shuffle, no Python; cost O(len(text)) per row.
+* the corpus rollup (x20) is one partial-aggregated shuffle on ``lang``
+  (~tens of groups; AQE coalesces).
+* word frequencies (x21) explode to one row per token -- at 100 TB that is
+  the classic heavy-shuffle wordcount; partial aggregation collapses each
+  map task's local counts first, so shuffle volume is bounded by distinct
+  words per task, not token count.  Top-k is TakeOrderedAndProject.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..queries import DSUM, dsum, register, t
+
+_WORDS = r"split(trim(lower({col})), '\\s+')"
+_DUCK_WORDS = r"regexp_split_to_array(trim(lower({col})), '\s+')"
+
+
+def _w(col: str = "text") -> str:
+    return _WORDS.format(col=col)
+
+
+def _dw(col: str = "text") -> str:
+    return _DUCK_WORDS.format(col=col)
+
+
+def gopher_signals(col: str = "text") -> list[Column]:
+    """Per-document quality signals: word count, mean word length,
+    symbol-to-word ratio, unique-word fraction, max single-word frequency
+    fraction.  All double-typed, deterministic, codegen-friendly."""
+    words = _w(col)
+    n_words = f"size({words})"
+    mean_wl = (
+        f"aggregate({words}, 0L, (a, x) -> a + length(x)) / "
+        f"CAST(greatest({n_words}, 1) AS DOUBLE)"
+    )
+    n_sym = rf"size(regexp_extract_all({col}, '[^A-Za-z0-9\\s]', 0))"
+    uniq_frac = (
+        f"size(array_distinct({words})) / CAST(greatest({n_words}, 1) AS DOUBLE)"
+    )
+    top_word_frac = (
+        f"array_max(transform(array_distinct({words}), "
+        f"w -> size(filter({words}, x -> x = w)))) / "
+        f"CAST(greatest({n_words}, 1) AS DOUBLE)"
+    )
+    return [
+        F.expr(n_words).cast("long").alias("n_words"),
+        F.expr(mean_wl).alias("mean_word_len"),
+        F.expr(f"{n_sym} / CAST(greatest({n_words}, 1) AS DOUBLE)").alias(
+            "symbol_word_ratio"
+        ),
+        F.expr(uniq_frac).alias("unique_word_frac"),
+        F.expr(top_word_frac).alias("top_word_frac"),
+    ]
+
+
+def gopher_pass(col: str = "text") -> Column:
+    """Gopher-style keep/drop decision from the signals: sane word count,
+    word lengths in a human range, low symbol noise, not dominated by one
+    repeated token."""
+    n_words, mean_wl, sym, uniq, top = gopher_signals(col)
+    return (
+        (n_words >= 5)
+        & (n_words <= 100_000)
+        & (mean_wl >= 2.0)
+        & (mean_wl <= 12.0)
+        & (sym <= 0.3)
+        & (top <= 0.2)
+    ).alias("gopher_pass")
+
+
+_DUCK_NW = "len({dw})"
+
+
+def _duck_signals(col: str = "text") -> dict[str, str]:
+    dw = _dw(col)
+    n_words = f"len({dw})"
+    gn = f"greatest({n_words}, 1)::DOUBLE"
+    mean_wl = (
+        f"list_reduce(list_prepend(0::BIGINT, "
+        f"list_transform({dw}, x -> length(x)::BIGINT)), (a, x) -> a + x) / {gn}"
+    )
+    n_sym = rf"len(regexp_extract_all({col}, '[^A-Za-z0-9\s]'))"
+    uniq_frac = f"len(list_distinct({dw})) / {gn}"
+    top_word_frac = (
+        f"list_max(list_transform(list_distinct({dw}), "
+        f"w -> len(list_filter({dw}, x -> x = w)))) / {gn}"
+    )
+    return {
+        "n_words": f"{n_words}::BIGINT",
+        "mean_word_len": mean_wl,
+        "symbol_word_ratio": f"{n_sym} / {gn}",
+        "unique_word_frac": uniq_frac,
+        "top_word_frac": top_word_frac,
+    }
+
+
+@register(
+    "x19_gopher_quality",
+    "SELECT doc_id, "
+    + ", ".join(f"{e} AS {n}" for n, e in _duck_signals().items())
+    + ", ("
+    + " AND ".join(
+        [
+            f"{_duck_signals()['n_words']} >= 5",
+            f"{_duck_signals()['n_words']} <= 100000",
+            f"{_duck_signals()['mean_word_len']} >= 2.0",
+            f"{_duck_signals()['mean_word_len']} <= 12.0",
+            f"{_duck_signals()['symbol_word_ratio']} <= 0.3",
+            f"{_duck_signals()['top_word_frac']} <= 0.2",
+        ]
+    )
+    + ") AS gopher_pass FROM documents",
+    "Gopher-style per-doc quality signals + keep/drop rule",
+)
+def x19_gopher(spark, sf_dir) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", *gopher_signals(), gopher_pass())
+
+
+@register(
+    "x20_corpus_stats",
+    "SELECT lang, COUNT(*) AS n_docs, "
+    "SUM(n_chars) AS total_chars, "
+    "COUNT(DISTINCT source) AS n_sources, "
+    + DSUM("length(trim(text)) - length(replace(trim(text), ' ', '')) + 1")
+    + " AS total_tokens_approx "
+    "FROM documents GROUP BY lang",
+    "per-language corpus rollup: docs, chars, sources, token mass",
+)
+def x20_corpus_stats(spark, sf_dir) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    tok = (
+        F.length(F.trim("text"))
+        - F.length(F.replace(F.trim(F.col("text")), F.lit(" "), F.lit("")))
+        + 1
+    )
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("source").alias("n_sources"),
+        dsum(tok.cast("double"), "total_tokens_approx"),
+    )
+
+
+@register(
+    "x21_word_freq_topk",
+    "SELECT w, COUNT(*) AS c FROM ("
+    f" SELECT unnest({_dw()}) AS w FROM documents) "
+    "WHERE w <> '' GROUP BY w ORDER BY c DESC, w LIMIT 50",
+    "corpus vocabulary: top-50 word frequencies (partial-agg wordcount)",
+)
+def x21_word_freq(spark, sf_dir) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.expr(_w())).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "w")
+        .limit(50)
+    )

@@ -49,6 +49,26 @@ def duck_shingles(col: str = "text", k: int = 5) -> str:
     )
 
 
+def shingle_hashes_expr(col: str = "text", k: int = 5) -> str:
+    """Distinct polyhashes of the ``k``-char shingles, fused.
+
+    Value-identical to ``transform(shingles_expr(...), s -> polyhash(s))``
+    but ~3x cheaper: the text is split to char codes ONCE and each shingle
+    hash folds over a k-slice of that array, instead of materializing every
+    shingle substring and re-splitting it character by character.  (The
+    distinct moves after hashing; intersect/union treat arrays as sets, so
+    even a hash collision yields identical results on both engines.)"""
+    codes = (
+        f"transform(split(lower({col}), ''), c -> CAST(ascii(c) AS BIGINT))"
+    )
+    return (
+        f"array_distinct(transform(array({codes}), cs -> "
+        f"transform(sequence(1, greatest(size(cs) - {k - 1}, 1)), "
+        f"i -> aggregate(slice(cs, i, {k}), 0L, "
+        f"(acc, c) -> (acc * 31 + c) % {MOD})))[0])"
+    )
+
+
 #: Per-permutation multiplier: Knuth's multiplicative constant mixed with the
 #: permutation index, reduced mod M.  A weak multiplier like ``2p+1`` barely
 #: wraps the modulus, leaving the "permutation" order-preserving in segments
@@ -79,19 +99,26 @@ SIMHASH_BITS = 32
 
 
 def simhash_expr(col: str = "text") -> str:
-    """32-bit SimHash over whitespace tokens of the lowercased text."""
+    """32-bit SimHash over whitespace tokens of the lowercased text.
+
+    The per-token polyhash is hoisted into a lambda variable so it is
+    computed ONCE per document, not once per bit: the naive nesting
+    re-hashed every token inside each of the 32 bit-votes (32x the string
+    work; measured 11.4s -> ~1s for 5k docs).  Semantics identical."""
     tok_hashes = (
         rf"transform(split(trim(lower({col})), '\\s+'), "
         rf"tk -> {polyhash('tk')})"
     )
     bit_vote = (
-        f"aggregate({tok_hashes}, 0L, (a2, h) -> "
-        f"a2 + (2 * ((h div shiftleft(1L, b)) % 2) - 1))"
+        "aggregate(th, 0L, (a2, h) -> "
+        "a2 + (2 * ((h div shiftleft(1L, b)) % 2) - 1))"
     )
-    return (
+    folded = (
         f"aggregate(transform(sequence(0, {SIMHASH_BITS - 1}), b -> "
         f"IF({bit_vote} > 0, shiftleft(1L, b), 0L)), 0L, (acc, x) -> acc + x)"
     )
+    # transform over a 1-element array binds `th` once (SQL has no LET).
+    return f"transform(array({tok_hashes}), th -> {folded})[0]"
 
 
 def duck_simhash(col: str = "text") -> str:
@@ -186,9 +213,7 @@ def ngram_jaccard_pairs(
     # ever merges two shingles.
     sh = df.select(
         F.col(id_col),
-        F.expr(
-            f"transform({shingles_expr(text_col, k)}, s -> {polyhash('s')})"
-        ).alias("sh"),
+        F.expr(shingle_hashes_expr(text_col, k)).alias("sh"),
     )
     jac = (
         F.size(F.array_intersect("sa.sh", "sb.sh")).cast("double")
@@ -238,12 +263,16 @@ def minhash_lsh_pairs(
     """
     rows = bands and num_perms // bands
     n_docs = df.count()  # planner-style metadata probe (cf. reference O9)
+    # The hashed-shingle relation feeds three consumers (DF stats, filtered
+    # signatures, exact verification); persist it so the shingle hashing
+    # runs once, not once per consumer.  MEMORY_AND_DISK: spills instead of
+    # recomputing at scale.
+    from pyspark import StorageLevel
+
     hashed = df.select(
         F.col(id_col),
-        F.expr(
-            f"transform({shingles_expr(text_col, k)}, s -> {polyhash('s')})"
-        ).alias("sh"),
-    )
+        F.expr(shingle_hashes_expr(text_col, k)).alias("sh"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     tok = hashed.select(F.col(id_col), F.explode("sh").alias("h"))
     common = (
         tok.groupBy("h")

@@ -351,6 +351,7 @@ def _load_extensions() -> None:
         "conecta_spark.operators.dedup",
         "conecta_spark.operators.simsearch",
         "conecta_spark.functions.text",
+        "conecta_spark.functions.quality",
         "conecta_spark.streaming.events",
         "conecta_spark.multimodal.ops",
     ):
