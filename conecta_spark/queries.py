@@ -350,6 +350,7 @@ def _load_extensions() -> None:
         "conecta_spark.sql_surface",
         "conecta_spark.operators.dedup",
         "conecta_spark.operators.simsearch",
+        "conecta_spark.operators.asof",
         "conecta_spark.functions.text",
         "conecta_spark.functions.quality",
         "conecta_spark.streaming.events",

@@ -188,3 +188,55 @@ class TestMultimodal:
         )
         for r in joined.collect():
             assert r.n_frames == (r.nb + 99) // 100
+
+
+class TestTemporalJoins:
+    def _mk(self, spark, rows, cols):
+        return spark.createDataFrame(rows, cols)
+
+    def test_asof_picks_most_recent_prior(self, spark):
+        from conecta_spark.operators.asof import asof_join
+
+        left = self._mk(
+            spark, [(1, 100, "e1"), (1, 250, "e2"), (2, 50, "e3")],
+            "user_id long, tsu long, name string",
+        )
+        right = self._mk(
+            spark, [(1, 90, 901), (1, 200, 902), (2, 60, 903)],
+            "user_id long, tsu long, rid long",
+        )
+        out = {
+            (r.user_id, r.tsu): (r.rid, r.tsu_matched)
+            for r in asof_join(left, right, by="user_id",
+                               right_cols=("rid",)).collect()
+        }
+        assert out[(1, 100)] == (901, 90)     # skips the later 200
+        assert out[(1, 250)] == (902, 200)    # most recent prior
+        assert out[(2, 50)] == (None, None)   # no prior right row kept as null
+
+    def test_asof_inclusive_at_equal_ts(self, spark):
+        from conecta_spark.operators.asof import asof_join
+
+        left = self._mk(spark, [(1, 100, "e")], "user_id long, tsu long, name string")
+        right = self._mk(spark, [(1, 100, 7)], "user_id long, tsu long, rid long")
+        row = asof_join(left, right, by="user_id", right_cols=("rid",)).first()
+        assert row.rid == 7 and row.tsu_matched == 100
+
+    def test_interval_join_radius_boundary(self, spark):
+        from conecta_spark.operators.asof import interval_join
+
+        pts = self._mk(spark, [(1, 1000), (1, 5000)], "user_id long, tsu long")
+        anchors = self._mk(
+            spark, [(1, 1100), (1, 1101), (1, 2000), (2, 1000)],
+            "user_id long, tsu long",
+        )
+        out = {
+            (r.user_id, r.p_ts, r.a_ts)
+            for r in interval_join(pts, anchors, by="user_id",
+                                   radius_us=100).collect()
+        }
+        # exactly-at-radius is included; beyond is not; other users excluded
+        assert (1, 1000, 1100) in out
+        assert (1, 1000, 1101) not in out
+        assert (1, 5000, 2000) not in out
+        assert all(u == 1 for u, _, _ in out)
