@@ -353,6 +353,7 @@ def _load_extensions() -> None:
         "conecta_spark.operators.asof",
         "conecta_spark.functions.text",
         "conecta_spark.functions.quality",
+        "conecta_spark.functions.stats",
         "conecta_spark.streaming.events",
         "conecta_spark.multimodal.ops",
     ):

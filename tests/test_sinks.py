@@ -1,0 +1,82 @@
+"""Write-side behavior: partitioned layout prunes, bucketed layout joins
+without an exchange, round trips preserve data."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from conecta_spark.sources.sinks import (
+    read_back,
+    write_bucketed_table,
+    write_parquet,
+)
+
+
+@pytest.fixture(scope="module")
+def orders(spark, sf_dir):
+    from conecta_spark.sources.parquet import load_parquet
+
+    return load_parquet(spark, f"{sf_dir}/orders.parquet").cache()
+
+
+def test_roundtrip_preserves_rows(spark, orders, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("sink") / "orders_plain")
+    write_parquet(orders, path, target_files=4)
+    back = read_back(spark, path)
+    assert back.count() == orders.count()
+    assert sorted(back.columns) == sorted(orders.columns)
+    # target_files controls the physical layout
+    files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(files) == 4
+
+
+def test_partitioned_write_prunes_directories(spark, orders, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("sink") / "orders_by_priority")
+    write_parquet(orders, path, partition_by=("o_orderpriority",))
+    # hive layout on disk
+    subdirs = [d for d in os.listdir(path) if d.startswith("o_orderpriority=")]
+    assert len(subdirs) == 5
+    back = read_back(spark, path)
+    q = back.where(F.col("o_orderpriority") == "1-URGENT")
+    # partition filter must prune at the source, not post-scan
+    plan = q._sc._jvm.PythonSQLUtils.explainString(
+        q._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan
+    assert q.count() == orders.where("o_orderpriority = '1-URGENT'").count()
+
+
+def test_bucketed_join_skips_shuffle(spark, orders, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("sink"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed_table(
+            orders.select("o_orderkey", "o_totalprice"),
+            "orders_b1",
+            bucket_by=("o_orderkey",),
+            n_buckets=8,
+            path=f"{base}/b1",
+        )
+        write_bucketed_table(
+            orders.select("o_orderkey", "o_orderpriority"),
+            "orders_b2",
+            bucket_by=("o_orderkey",),
+            n_buckets=8,
+            path=f"{base}/b2",
+        )
+        j = spark.table("orders_b1").join(spark.table("orders_b2"), "o_orderkey")
+        plan = j._sc._jvm.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "formatted"
+        )
+        # co-bucketed join: no Exchange on either side
+        import re
+
+        assert not re.findall(r"^\(\d+\) Exchange", plan, flags=re.M), plan
+        assert j.count() == orders.count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS orders_b1")
+        spark.sql("DROP TABLE IF EXISTS orders_b2")
