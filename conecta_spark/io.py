@@ -32,6 +32,10 @@ def get_source(conn: str | Source, spark: SparkSession | None = None) -> Source:
     spec = parse_uri(conn)
     if spec.kind == "parquet":
         return ParquetDirSource(spark, spec.location)
+    if spec.kind in ("csv", "json", "orc"):
+        from .sources.files import FilesDirSource
+
+        return FilesDirSource(spark, spec.location, fmt=spec.kind)
     return JDBCSource(spark, spec.location, user=spec.user, password=spec.password)
 
 

@@ -79,28 +79,36 @@ def _nanos_timestamp_columns(path: str) -> list[str]:
 
 class ParquetDirSource(Source):
     """Register every ``*.parquet`` under ``root`` as a temp view named after
-    the file stem, then answer SQL over those views."""
+    the file stem, then answer SQL over those views.
+
+    ``EXT``/``_load`` are the format hooks; :class:`conecta_spark.sources
+    .files.FilesDirSource` reuses everything else for csv/json/orc."""
+
+    EXT = ".parquet"
 
     def __init__(self, spark: SparkSession, root: str):
         super().__init__(spark)
         self.root = root.removeprefix("file://")
         if not os.path.isdir(self.root):
-            raise ValueError(f"not a directory of parquet tables: {root!r}")
+            raise ValueError(f"not a directory of {self.EXT} tables: {root!r}")
         self.tables: dict[str, str] = {}
         for name in sorted(os.listdir(self.root)):
-            if name.endswith(".parquet"):
-                stem = name[: -len(".parquet")]
+            if name.endswith(self.EXT):
+                stem = name[: -len(self.EXT)]
                 if _IDENT.match(stem):
                     self.tables[stem] = os.path.join(self.root, name)
         if not self.tables:
-            raise ValueError(f"no *.parquet tables found under {root!r}")
+            raise ValueError(f"no *{self.EXT} tables found under {root!r}")
         self._registered = False
+
+    def _load(self, path: str) -> DataFrame:
+        return load_parquet(self.spark, path)
 
     def register_views(self) -> None:
         if self._registered:
             return
         for stem, path in self.tables.items():
-            load_parquet(self.spark, path).createOrReplaceTempView(stem)
+            self._load(path).createOrReplaceTempView(stem)
         self._registered = True
 
     def query(self, sql: str) -> DataFrame:

@@ -212,6 +212,25 @@ def streaming_sessionize(
     )
 
 
+def streaming_dedup(
+    stream: DataFrame,
+    keys: list[str],
+    watermark_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact-dedup: emit the first occurrence of each key, drop
+    replays arriving within the watermark horizon.
+
+    State is bounded by the watermark: a key's dedup entry is dropped once
+    event time passes ``watermark`` beyond it, so state size is
+    O(keys per watermark window), not O(stream history) -- the property
+    that makes exact dedup feasible on an unbounded 100 TB/day stream.
+    (Batch twin: ``dropDuplicates``/x05 content-hash dedup.)"""
+    return stream.withWatermark(watermark_col, watermark).dropDuplicates(
+        keys + [watermark_col]
+    )
+
+
 # -- registered queries ------------------------------------------------------
 
 

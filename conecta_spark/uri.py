@@ -16,9 +16,12 @@ from urllib.parse import unquote, urlparse
 _PG_SCHEMES = {"postgres", "postgresql", "postgres+psycopg2", "postgresql+psycopg2"}
 
 
+_FILE_SCHEMES = {"csv", "json", "orc", "parquet"}
+
+
 @dataclass(frozen=True)
 class SourceSpec:
-    kind: str                     # "parquet" | "postgres"
+    kind: str                     # "parquet" | "csv" | "json" | "orc" | "postgres"
     location: str                 # directory path or JDBC URL
     user: str | None = None
     password: str | None = None
@@ -40,6 +43,9 @@ def parse_uri(conn: str) -> SourceSpec:
     scheme = conn.split("://", 1)[0].lower()
     if scheme in _PG_SCHEMES:
         return _postgres_spec(conn)
+    if scheme in _FILE_SCHEMES:
+        # csv:///data/dir, json://relative/dir, orc:///..., parquet:///...
+        return SourceSpec(kind=scheme, location=conn.split("://", 1)[1])
     raise ValueError(f"unsupported connection scheme {scheme!r} in {conn!r}")
 
 

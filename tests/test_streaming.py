@@ -97,3 +97,33 @@ def test_streaming_sessionize_matches_batch(spark, sf_dir, events):
     }
     bogus = got_set - all_batch
     assert not bogus, f"stream emitted {len(bogus)} sessions not in batch"
+
+
+def test_streaming_dedup_drops_replays(spark, sf_dir, events):
+    """The same file delivered twice (replay) must come out once."""
+    import hashlib
+    import os
+
+    from conecta_spark.streaming.events import streaming_dedup
+
+    src_file = os.path.join(sf_dir, "events.parquet")
+    stage = os.path.join(
+        "/tmp/conecta_spark_stream",
+        "dup-" + hashlib.md5(src_file.encode()).hexdigest()[:12],
+    )
+    os.makedirs(stage, exist_ok=True)
+    for name in ("events-000.parquet", "events-001.parquet"):
+        link = os.path.join(stage, name)
+        if not os.path.exists(link):
+            os.symlink(src_file, link)
+    disk_schema = spark.read.parquet(src_file).schema
+    sdf = (
+        spark.readStream.schema(disk_schema)
+        .format("parquet")
+        .load(stage)
+        .withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+    )
+    deduped = streaming_dedup(sdf, keys=["event_id"])
+    out = _run_stream(spark, deduped.select("event_id"), "dedup_replay")
+    n = events.count()
+    assert spark.table("dedup_replay").count() == n
