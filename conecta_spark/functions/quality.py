@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..plans.skew import spread
 from ..queries import DSUM, dsum, register, t
 
 _WORDS = r"split(trim(lower({col})), '\\s+')"
@@ -124,7 +125,7 @@ def _duck_signals(col: str = "text") -> dict[str, str]:
     "Gopher-style per-doc quality signals + keep/drop rule",
 )
 def x19_gopher(spark, sf_dir) -> DataFrame:
-    d = t(spark, sf_dir, "documents")
+    d = spread(t(spark, sf_dir, "documents"))
     return d.select("doc_id", *gopher_signals(), gopher_pass())
 
 
@@ -139,7 +140,7 @@ def x19_gopher(spark, sf_dir) -> DataFrame:
     "per-language corpus rollup: docs, chars, sources, token mass",
 )
 def x20_corpus_stats(spark, sf_dir) -> DataFrame:
-    d = t(spark, sf_dir, "documents")
+    d = spread(t(spark, sf_dir, "documents"))
     tok = (
         F.length(F.trim("text"))
         - F.length(F.replace(F.trim(F.col("text")), F.lit(" "), F.lit("")))
@@ -161,7 +162,7 @@ def x20_corpus_stats(spark, sf_dir) -> DataFrame:
     "corpus vocabulary: top-50 word frequencies (partial-agg wordcount)",
 )
 def x21_word_freq(spark, sf_dir) -> DataFrame:
-    d = t(spark, sf_dir, "documents")
+    d = spread(t(spark, sf_dir, "documents"))
     return (
         d.select(F.explode(F.expr(_w())).alias("w"))
         .where(F.col("w") != "")

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..plans.skew import spread
 from ..queries import register, t
 
 MOD = 1_000_000_007
@@ -121,6 +122,55 @@ def shingle_fingerprint(col: str = "text", k: int = 5) -> Column:
     )
 
 
+def fingerprints_pandas(
+    df: DataFrame, k: int = 5, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """``(id, fp, rolling_hash)`` fingerprints over Arrow batches.
+
+    Value-identical to ``shingle_fingerprint`` + ``polyhash`` (same shingle
+    set, byte-equal md5 input, same integer fold) but Python-side: the SQL
+    forms are nested higher-order lambdas whose one-time Janino compile
+    costs seconds per fresh session, while hashlib/ord do the same work at
+    C speed and parallelize across however many partitions ``spread``
+    provides.  ASCII-ordering note: Python ``sorted`` compares code points,
+    Spark's ``array_sort`` UTF-8 bytes -- identical for ASCII corpora (and
+    the oracle gate would catch a divergence).
+    """
+    import hashlib
+
+    import pandas as pd
+
+    from ..plans.skew import spread
+
+    def batches(it):
+        for pdf in it:
+            fps, rhs = [], []
+            for s in pdf[text_col]:
+                if s is None:
+                    fps.append(None)
+                    rhs.append(None)
+                    continue
+                low = s.lower()
+                n = len(low)
+                sh = (
+                    sorted({low[i : i + k] for i in range(n - k + 1)})
+                    if n >= k
+                    else [low]  # substr(s, 1, k) of a short text
+                )
+                fps.append(hashlib.md5("|".join(sh).encode("utf-8")).hexdigest())
+                acc = 0
+                for c in s:  # rolling hash folds the RAW text
+                    acc = (acc * 31 + ord(c)) % MOD
+                rhs.append(acc)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "fp": fps, "rolling_hash": rhs}
+            )
+
+    return spread(df.select(id_col, text_col)).mapInPandas(
+        batches, f"{id_col} long, fp string, rolling_hash long"
+    )
+
+
 def polyhash(expr: str) -> str:
     """Spark SQL snippet: polynomial rolling hash of a string expression."""
     return (
@@ -188,7 +238,7 @@ def _duck_lang_case() -> str:
     "token counting (whitespace + BPE-ish regex) and punctuation stats",
 )
 def x01_text_stats(spark, sf_dir) -> DataFrame:
-    d = t(spark, sf_dir, "documents")
+    d = spread(t(spark, sf_dir, "documents"))
     return d.select(
         "doc_id",
         ws_token_count(),
@@ -204,7 +254,7 @@ def x01_text_stats(spark, sf_dir) -> DataFrame:
     "heuristic quality scoring (length/punct/stopword components)",
 )
 def x02_quality(spark, sf_dir) -> DataFrame:
-    d = t(spark, sf_dir, "documents")
+    d = spread(t(spark, sf_dir, "documents"))
     return d.select("doc_id", quality_score().alias("quality"))
 
 
@@ -214,7 +264,7 @@ def x02_quality(spark, sf_dir) -> DataFrame:
     "language ID via stopword-marker argmax (deterministic tie-break)",
 )
 def x03_lang_id(spark, sf_dir) -> DataFrame:
-    d = t(spark, sf_dir, "documents")
+    d = spread(t(spark, sf_dir, "documents"))
     return d.select("doc_id", lang_id().alias("lang_pred"))
 
 
@@ -228,9 +278,4 @@ def x03_lang_id(spark, sf_dir) -> DataFrame:
     "document fingerprinting: shingle-set md5 + polynomial rolling hash",
 )
 def x04_fingerprint(spark, sf_dir) -> DataFrame:
-    d = t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        shingle_fingerprint().alias("fp"),
-        F.expr(polyhash("text")).alias("rolling_hash"),
-    )
+    return fingerprints_pandas(t(spark, sf_dir, "documents"))

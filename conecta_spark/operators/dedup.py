@@ -69,6 +69,58 @@ def shingle_hashes_expr(col: str = "text", k: int = 5) -> str:
     )
 
 
+def hashed_shingles(
+    df: DataFrame, k: int = 5, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """``(id, sh: array<bigint>)`` -- distinct polyhashes of the k-char
+    shingles, computed in numpy over Arrow batches.
+
+    Value-identical to ``F.expr(shingle_hashes_expr(...))`` (same integer
+    recurrence, same short-text fold), chosen for two physical reasons:
+
+    * the SQL form is a deeply nested higher-order lambda -- it never enters
+      whole-stage codegen, and its one-time Janino compile alone costs
+      ~10s+, which a fresh session pays on every first run;
+    * vectorized numpy does the k-fold over the whole batch's codepoints at
+      memory speed (codepoints via UTF-32 decode, one ``%`` per fold step).
+
+    Intermediate values stay < 2^63 (``MOD * 31 + 0x10FFFF``), so int64
+    arithmetic reproduces the JVM/DuckDB result bit-for-bit -- the LSH
+    oracle parity that makes the dedup pipeline checkable survives the
+    Python detour.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..plans.skew import spread
+
+    schema = f"{id_col} long, sh array<long>"
+
+    def batches(it):
+        for pdf in it:
+            out = []
+            for s in pdf[text_col]:
+                if s is None:  # expr semantics: null text -> null shingles
+                    out.append(None)
+                    continue
+                codes = np.frombuffer(
+                    (s or "").lower().encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                n = codes.size
+                if n >= k:
+                    acc = np.zeros(n - k + 1, dtype=np.int64)
+                    for j in range(k):
+                        acc = (acc * 31 + codes[j : n - k + 1 + j]) % MOD
+                else:  # short text: one fold over everything (expr's slice)
+                    acc = np.array([0], dtype=np.int64)
+                    for c in codes:
+                        acc = (acc * 31 + c) % MOD
+                out.append(np.unique(acc))
+            yield pd.DataFrame({id_col: pdf[id_col], "sh": out})
+
+    return spread(df.select(id_col, text_col)).mapInPandas(batches, schema)
+
+
 #: Per-permutation multiplier: Knuth's multiplicative constant mixed with the
 #: permutation index, reduced mod M.  A weak multiplier like ``2p+1`` barely
 #: wraps the modulus, leaving the "permutation" order-preserving in segments
@@ -207,18 +259,23 @@ def ngram_jaccard_pairs(
     cands = cands.repartition(
         df.sparkSession.sparkContext.defaultParallelism, "doc_a"
     )
-    # Jaccard over polyhashed shingles: array_intersect/union on BIGINT is
+    # Jaccard over polyhashed shingles: intersect/union on BIGINT arrays is
     # several times cheaper than on strings, and because Spark and DuckDB
     # apply the identical hash, parity is exact whether or not a collision
-    # ever merges two shingles.
-    sh = df.select(
-        F.col(id_col),
-        F.expr(shingle_hashes_expr(text_col, k)).alias("sh"),
+    # ever merges two shingles.  |a U b| is derived as |a|+|b|-|a ^ b| --
+    # the arrays are distinct-by-construction, so it's exact and saves
+    # materializing the union array per pair (~40% of verification cost).
+    from pyspark import StorageLevel
+
+    # Persisted: the two broadcast builds below would otherwise each re-run
+    # the shingle-hash stage (broadcast subtrees don't share work).
+    sh = (
+        hashed_shingles(df, k, text_col, id_col)
+        .withColumn("n_sh", F.size("sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    jac = (
-        F.size(F.array_intersect("sa.sh", "sb.sh")).cast("double")
-        / F.size(F.array_union("sa.sh", "sb.sh")).cast("double")
-    )
+    inter = F.size(F.array_intersect("sa.sh", "sb.sh")).cast("double")
+    jac = inter / (F.col("sa.n_sh") + F.col("sb.n_sh") - inter)
     return (
         cands.join(
             F.broadcast(sh.alias("sa")), cands.doc_a == F.col(f"sa.{id_col}")
@@ -269,10 +326,9 @@ def minhash_lsh_pairs(
     # recomputing at scale.
     from pyspark import StorageLevel
 
-    hashed = df.select(
-        F.col(id_col),
-        F.expr(shingle_hashes_expr(text_col, k)).alias("sh"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    hashed = hashed_shingles(df, k, text_col, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     tok = hashed.select(F.col(id_col), F.explode("sh").alias("h"))
     common = (
         tok.groupBy("h")
@@ -317,15 +373,23 @@ def minhash_lsh_pairs(
     )
     # Exact-verification join on the raw hashed shingles (see
     # ngram_jaccard_pairs on why BIGINT arrays + identical cross-engine
-    # hashing).
-    sh = hashed
-    jac = (
-        F.size(F.array_intersect("sa.sh", "sb.sh")).cast("double")
-        / F.size(F.array_union("sa.sh", "sb.sh")).cast("double")
+    # hashing + the |a|+|b|-|a^b| union identity).  The candidate relation
+    # is tiny in *bytes* but each row costs an array intersection, so AQE
+    # would coalesce it onto a core or two -- repartition explicitly to keep
+    # verification as wide as the cluster (cf. plans.skew.spread).
+    cands = cands.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, "doc_a"
     )
+    sh = hashed.withColumn("n_sh", F.size("sh"))
+    inter = F.size(F.array_intersect("sa.sh", "sb.sh")).cast("double")
+    jac = inter / (F.col("sa.n_sh") + F.col("sb.n_sh") - inter)
     return (
-        cands.join(sh.alias("sa"), cands.doc_a == F.col(f"sa.{id_col}"))
-        .join(sh.alias("sb"), cands.doc_b == F.col(f"sb.{id_col}"))
+        cands.join(
+            F.broadcast(sh.alias("sa")), cands.doc_a == F.col(f"sa.{id_col}")
+        )
+        .join(
+            F.broadcast(sh.alias("sb")), cands.doc_b == F.col(f"sb.{id_col}")
+        )
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
@@ -334,7 +398,9 @@ def minhash_lsh_pairs(
 def simhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    return df.select(
+    from ..plans.skew import spread
+
+    return spread(df.select(id_col, text_col)).select(
         F.col(id_col), F.expr(simhash_expr(text_col)).alias("simhash")
     )
 
@@ -404,13 +470,18 @@ def minhash_lsh_ml(
     Character 5-grams made nearly every doc pair collide somewhere (measured
     ~9 min for 5k docs); WORD 3-gram shingles share far fewer features
     across unrelated docs and keep the candidate set near-linear."""
+    from pyspark import StorageLevel
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    sh = df.select(
+    from ..plans.skew import spread
+
+    sh = spread(df.select(id_col, text_col)).select(
         F.col(id_col), F.expr(word_shingles_expr(text_col, w)).alias("sh")
     ).where(F.size("sh") > 0)
     tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=num_features, binary=True)
-    feat = tf.transform(sh)
+    # approxSimilarityJoin self-joins `feat`; unpersisted, the shingle split
+    # + TF hashing would run once per side (and once more for fit).
+    feat = tf.transform(sh).persist(StorageLevel.MEMORY_AND_DISK)
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=seed)
     model = lsh.fit(feat)
     joined = model.approxSimilarityJoin(feat, feat, 1.0 - threshold, distCol="jaccard_dist")

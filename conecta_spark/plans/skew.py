@@ -25,6 +25,25 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def spread(df: DataFrame, parts: int | None = None) -> DataFrame:
+    """Widen a CPU-dense relation to at least ``parts`` partitions.
+
+    Partitioning decisions everywhere else in Spark are *byte*-driven: a
+    parquet scan splits by row group / ``maxPartitionBytes``, and AQE
+    coalesces shuffle partitions toward a byte target.  Both are blind to
+    per-row compute cost, so a small-bytes relation about to run heavy
+    per-row work (signature hashing, candidate-pair verification, Arrow
+    batch UDFs) can land on one core while 31 idle.  At real scale inputs
+    are wide enough that this returns ``df`` unchanged -- the repartition
+    only fires on the narrow-input case, and costs one shuffle of the
+    skinny relation it widens.
+    """
+    target = parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def with_salt(df: DataFrame, n_salts: int, cols: tuple | None = None) -> DataFrame:
     """Deterministic per-row salt in [0, n_salts) from row-content hash."""
     cols = cols or tuple(df.columns)
