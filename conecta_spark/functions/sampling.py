@@ -1,0 +1,90 @@
+"""Reproducible corpus sampling + distribution diagnostics (extension
+surface, SURVEY 2.4): the bread-and-butter ops of assembling a training
+mix -- take a deterministic fraction of a corpus, and inspect its length
+distribution.
+
+Why hash-based instead of ``df.sample()``: Bernoulli sampling is seeded
+per-partition, so the sampled *set* changes with partitioning, retries,
+and engine -- unacceptable for a training run that must be reproducible
+and auditable (and impossible to oracle-check).  A multiplicative hash of
+the stable document id gives a sample that is a pure function of the data:
+same rows on Spark, DuckDB, or any future engine, any cluster size.  The
+hash is the engine's polyhash-family integer arithmetic, kept below 2^63
+by pre-reducing the id mod M.
+
+Scale notes (100 TB): both ops are single-pass, shuffle-free row filters /
+partial aggregations; the sample predicate is a pushdown-friendly integer
+expression on one column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..queries import register, t
+
+MOD = 1_000_000_007
+_MIX = 2654435761  # Knuth multiplicative constant (same family as dedup)
+
+
+def hash_bucket(id_col: str = "doc_id", buckets: int = 100) -> F.Column:
+    """Deterministic bucket in [0, buckets) from the id: engine-portable
+    integer arithmetic (no xxhash/md5 dependence on either side)."""
+    return (F.col(id_col) % MOD) * _MIX % MOD % buckets
+
+
+def deterministic_sample(
+    df: DataFrame, pct: int = 10, id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep rows whose hash bucket < ``pct`` (of 100): a reproducible
+    ``pct``-percent sample, stable across engines and partitionings."""
+    return df.where(hash_bucket(id_col) < pct)
+
+
+def _duck_bucket(id_col: str = "doc_id", buckets: int = 100) -> str:
+    return f"(({id_col} % {MOD}) * {_MIX}) % {MOD} % {buckets}"
+
+
+def length_histogram(
+    df: DataFrame,
+    length_col: str = "n_chars",
+    bucket_width: int = 50,
+    max_bucket: int = 20,
+) -> DataFrame:
+    """Document-length histogram: fixed-width buckets with an overflow
+    bucket at ``max_bucket`` (training-mix length-distribution check)."""
+    bucket = F.least(
+        (F.col(length_col) / F.lit(bucket_width)).cast("long"),
+        F.lit(max_bucket),
+    )
+    return (
+        df.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(length_col).alias("min_len"),
+            F.max(length_col).alias("max_len"),
+        )
+    )
+
+
+@register(
+    "x27_deterministic_sample",
+    f"SELECT doc_id, lang, source FROM documents WHERE {_duck_bucket()} < 10",
+    "reproducible 10% corpus sample via engine-portable id hashing",
+)
+def x27_sample(spark, sf_dir) -> DataFrame:
+    return deterministic_sample(t(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "source"
+    )
+
+
+@register(
+    "x28_length_histogram",
+    "SELECT LEAST(n_chars // 50, 20) AS bucket, COUNT(*) AS n_docs, "
+    "MIN(n_chars) AS min_len, MAX(n_chars) AS max_len "
+    "FROM documents GROUP BY LEAST(n_chars // 50, 20)",
+    "corpus length distribution: fixed-width histogram with overflow bucket",
+)
+def x28_histogram(spark, sf_dir) -> DataFrame:
+    return length_histogram(t(spark, sf_dir, "documents"))

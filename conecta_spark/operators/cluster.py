@@ -1,0 +1,144 @@
+"""Near-duplicate cluster formation: connected components over a pair
+graph (extension surface, SURVEY 2.4 -- the step after pair mining that a
+training-data dedup pipeline actually ships: pairs -> clusters -> keep one
+canonical doc per cluster).
+
+Algorithm: iterative min-label propagation.  Every vertex starts labeled
+with its own id; each round every vertex takes the minimum label among
+itself and its neighbors; fixpoint <=> every vertex carries the minimum id
+of its connected component.  Rounds needed = graph diameter (near-dup
+graphs are shallow -- dup clusters are cliques or short chains), and each
+round is one shuffle-join of the (vertex, label) relation against the edge
+list.
+
+Scale notes (100 TB):
+
+* state per round is two skinny relations: edges (a, b) and labels
+  (vertex, label) -- payloads (text, shingles) never enter the loop.
+* each round re-persists the new labels and unpersists the old (lineage
+  would otherwise grow by one join per round and re-execute everything on
+  the final action).
+* convergence is checked with a cheap ``changed == 0`` aggregate per
+  round; large diameters (pathological chains) cap at ``max_iter``.
+* the alternative "big-star/small-star" formulation halves rounds for
+  deep graphs; for dup-cluster diameters (<= 4-5) plain propagation wins
+  on simplicity and per-round cost.
+
+The DuckDB oracle computes the same fixpoint declaratively via a recursive
+transitive closure -- exact on the small oracle corpus, which is the point:
+the iterative Spark path is checked against closed-form SQL semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..queries import register, t
+from .dedup import minhash_lsh_pairs
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """``(doc_id, cluster_id)`` for every vertex of ``edges``; cluster_id is
+    the minimum vertex id in the component.  Vertices are the ids appearing
+    in the edge list (singletons are trivially their own cluster -- callers
+    union them in if wanted)."""
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        sym.select(F.col("u").alias("vertex"))
+        .distinct()
+        .withColumn("label", F.col("vertex"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    for _ in range(max_iter):
+        # min label among self + neighbors (neighbor labels via one join)
+        neighbor = (
+            sym.join(labels, sym.v == labels.vertex)
+            .select(F.col("u").alias("vertex"), "label")
+        )
+        new_labels = (
+            labels.select("vertex", "label")
+            .union(neighbor)
+            .groupBy("vertex")
+            .agg(F.min("label").alias("label"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        # Full count (no limit): the action must touch every partition so
+        # new_labels is fully cached before the old generation is dropped.
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "vertex")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select(
+        F.col("vertex").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+def dedup_clusters(
+    df: DataFrame, threshold: float = 0.5, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Cluster rollup over the verified MinHash near-dup graph: one row per
+    cluster with member count and sorted member list; cluster_id is the
+    canonical (minimum) member doc_id.  SimHash edges were rejected here:
+    on a low-vocabulary corpus signature collisions chain nearly the whole
+    corpus into one component (measured: 489 of 500 docs at hamming<=3),
+    while Jaccard-verified pairs stay semantically tight."""
+    pairs = minhash_lsh_pairs(df, threshold=threshold, text_col=text_col, id_col=id_col)
+    cc = connected_components(pairs)
+    return (
+        cc.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sort_array(F.collect_list("doc_id")).alias("members"),
+        )
+    )
+
+
+def _duck_clusters_sql() -> str:
+    # Recursive closure: each src reaches every vertex of its component, so
+    # grouping reach by src and taking MIN(dst) is exactly min-label
+    # propagation's fixpoint.  One outer group-by per component dedups the
+    # per-src rows into per-cluster rows.  The edge list is the x07 pipeline
+    # verbatim (nested WITH in a derived table), so the oracle checks the
+    # whole pairs->clusters composition end to end.
+    from .dedup import _DUCK_MH_SIGS
+
+    return (
+        "WITH RECURSIVE pairs AS ("
+        f" SELECT doc_a, doc_b FROM ({_DUCK_MH_SIGS}) q),"
+        " edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs"
+        "  UNION SELECT doc_b, doc_a FROM pairs),"
+        " reach(src, dst) AS (SELECT u, u FROM edges"
+        "  UNION SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u),"
+        " labeled AS (SELECT src, MIN(dst) AS cluster_id FROM reach GROUP BY src)"
+        " SELECT cluster_id, COUNT(*) AS n_members,"
+        " list_sort(list(src)) AS members"
+        " FROM labeled GROUP BY cluster_id"
+    )
+
+
+@register(
+    "x26_dedup_clusters",
+    _duck_clusters_sql(),
+    "near-dup clusters: connected components over verified MinHash pairs",
+)
+def x26_dedup_clusters(spark, sf_dir) -> DataFrame:
+    return dedup_clusters(t(spark, sf_dir, "documents"))

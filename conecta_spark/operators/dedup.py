@@ -276,12 +276,20 @@ def ngram_jaccard_pairs(
     )
     inter = F.size(F.array_intersect("sa.sh", "sb.sh")).cast("double")
     jac = inter / (F.col("sa.n_sh") + F.col("sb.n_sh") - inter)
+    # Size-ratio prefilter (sound: J <= min/max since |a^b| <= min and
+    # |aUb| >= max): prunes disparate-size pairs on two ints before any
+    # array intersection runs.  Output set is unchanged -- the bound is a
+    # necessary condition for jaccard >= threshold.
+    ratio_ok = F.least("sa.n_sh", "sb.n_sh").cast("double") >= F.lit(
+        threshold
+    ) * F.greatest("sa.n_sh", "sb.n_sh")
     return (
         cands.join(
             F.broadcast(sh.alias("sa")), cands.doc_a == F.col(f"sa.{id_col}")
         )
         .join(
-            F.broadcast(sh.alias("sb")), cands.doc_b == F.col(f"sb.{id_col}")
+            F.broadcast(sh.alias("sb")),
+            (cands.doc_b == F.col(f"sb.{id_col}")) & ratio_ok,
         )
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
@@ -383,12 +391,16 @@ def minhash_lsh_pairs(
     sh = hashed.withColumn("n_sh", F.size("sh"))
     inter = F.size(F.array_intersect("sa.sh", "sb.sh")).cast("double")
     jac = inter / (F.col("sa.n_sh") + F.col("sb.n_sh") - inter)
+    ratio_ok = F.least("sa.n_sh", "sb.n_sh").cast("double") >= F.lit(
+        threshold
+    ) * F.greatest("sa.n_sh", "sb.n_sh")  # sound prefilter, see ngram path
     return (
         cands.join(
             F.broadcast(sh.alias("sa")), cands.doc_a == F.col(f"sa.{id_col}")
         )
         .join(
-            F.broadcast(sh.alias("sb")), cands.doc_b == F.col(f"sb.{id_col}")
+            F.broadcast(sh.alias("sb")),
+            (cands.doc_b == F.col(f"sb.{id_col}")) & ratio_ok,
         )
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)

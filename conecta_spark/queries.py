@@ -351,6 +351,8 @@ def _load_extensions() -> None:
         "conecta_spark.operators.dedup",
         "conecta_spark.operators.simsearch",
         "conecta_spark.operators.asof",
+        "conecta_spark.operators.cluster",
+        "conecta_spark.functions.sampling",
         "conecta_spark.functions.text",
         "conecta_spark.functions.quality",
         "conecta_spark.functions.stats",

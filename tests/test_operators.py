@@ -240,3 +240,47 @@ class TestTemporalJoins:
         assert (1, 1000, 1101) not in out
         assert (1, 5000, 2000) not in out
         assert all(u == 1 for u, _, _ in out)
+
+
+class TestClusterAndSampling:
+    def test_connected_components_toy_graph(self, spark):
+        from conecta_spark.operators.cluster import connected_components
+
+        # two components: {1,2,3,4} (chain) and {10,11}; 99 absent
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11)], ["doc_a", "doc_b"]
+        )
+        got = {
+            (r.doc_id, r.cluster_id)
+            for r in connected_components(edges).collect()
+        }
+        assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
+
+    def test_dedup_clusters_contain_planted_dups(self, spark, docs):
+        from conecta_spark.operators.cluster import dedup_clusters
+
+        clusters = dedup_clusters(docs).collect()
+        assert all(c.n_members >= 2 for c in clusters)
+        # members sorted, canonical id is the minimum member
+        for c in clusters:
+            assert c.members == sorted(c.members)
+            assert c.cluster_id == c.members[0]
+
+    def test_deterministic_sample_stable_and_sized(self, spark, docs):
+        from conecta_spark.functions.sampling import deterministic_sample
+
+        a = sorted(r.doc_id for r in deterministic_sample(docs).select("doc_id").collect())
+        b = sorted(
+            r.doc_id
+            for r in deterministic_sample(docs.repartition(7)).select("doc_id").collect()
+        )
+        assert a == b  # partitioning-independent
+        n = docs.count()
+        assert 0.02 * n <= len(a) <= 0.25 * n  # ~10% give-or-take hash noise
+
+    def test_length_histogram_covers_all_docs(self, spark, docs):
+        from conecta_spark.functions.sampling import length_histogram
+
+        hist = length_histogram(docs).collect()
+        assert sum(r.n_docs for r in hist) == docs.count()
+        assert all(0 <= r.bucket <= 20 for r in hist)
