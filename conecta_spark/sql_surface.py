@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .queries import DSUM, dsum, register, t
+from .queries import DSUM, catalog, dsum, register, t
 
 
 # ---------------------------------------------------------------------------
@@ -513,4 +513,62 @@ def q36(spark, sf_dir) -> DataFrame:
         .alias("running_spend"),
         F.lag("o_totalprice").over(w_time).cast("double").alias("prev_price"),
         F.rank().over(w_rank).cast("long").alias("spend_rank"),
+    )
+
+
+@register(
+    "q37_cube",
+    "SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS chars "
+    "FROM documents GROUP BY CUBE(lang, source)",
+    "CUBE grouping: all (lang, source) aggregation combinations in one "
+    "pass (Spark expands to a union of grouping sets map-side)",
+)
+def q37(spark, sf_dir) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.cube("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("chars"),
+    )
+
+
+@register(
+    "q38_correlated_exists",
+    "SELECT c_custkey, c_name FROM customer c WHERE EXISTS ("
+    " SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey"
+    " AND o.o_totalprice > 300000)",
+    "correlated EXISTS subquery: Catalyst rewrites to a left-semi join "
+    "(no per-row subquery execution)",
+)
+def q38(spark, sf_dir) -> DataFrame:
+    catalog(spark, sf_dir)
+    return spark.sql(
+        "SELECT c_custkey, c_name FROM customer c WHERE EXISTS ("
+        " SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey"
+        " AND o.o_totalprice > 300000)"
+    )
+
+
+@register(
+    "q39_unpivot",
+    "SELECT l_orderkey, l_linenumber, k AS measure, v AS val FROM ("
+    " SELECT l_orderkey, l_linenumber, 'qty' AS k, "
+    "  CAST(l_quantity AS DOUBLE) AS v FROM lineitem"
+    " UNION ALL SELECT l_orderkey, l_linenumber, 'price', "
+    "  CAST(l_extendedprice AS DOUBLE) FROM lineitem"
+    " UNION ALL SELECT l_orderkey, l_linenumber, 'disc', "
+    "  CAST(l_discount AS DOUBLE) FROM lineitem) u "
+    "WHERE l_orderkey <= 100",
+    "unpivot via stack(): wide measures to long (k, v) rows -- one scan, "
+    "no join (the oracle's UNION ALL form scans three times)",
+)
+def q39(spark, sf_dir) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") <= 100)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "stack(3, 'qty', CAST(l_quantity AS DOUBLE), "
+            "'price', CAST(l_extendedprice AS DOUBLE), "
+            "'disc', CAST(l_discount AS DOUBLE)) AS (measure, val)"
+        ),
     )
