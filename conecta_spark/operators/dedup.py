@@ -277,22 +277,43 @@ def ngram_jaccard_pairs(
     inter = F.size(F.array_intersect("sa.sh", "sb.sh")).cast("double")
     jac = inter / (F.col("sa.n_sh") + F.col("sb.n_sh") - inter)
     # Size-ratio prefilter (sound: J <= min/max since |a^b| <= min and
-    # |aUb| >= max): prunes disparate-size pairs on two ints before any
-    # array intersection runs.  Output set is unchanged -- the bound is a
-    # necessary condition for jaccard >= threshold.
-    ratio_ok = F.least("sa.n_sh", "sb.n_sh").cast("double") >= F.lit(
-        threshold
-    ) * F.greatest("sa.n_sh", "sb.n_sh")
+    # |aUb| >= max): prune disparate-size pairs on the SKINNY relation,
+    # before any shingle array is attached.  Appending the ratio to the fat
+    # join's condition instead is a trap: Catalyst keeps the pushed jaccard
+    # conjunct first, so the intersect still runs for every pair and the
+    # "prefilter" prunes nothing (measured; plan-confirmed).
+    cands = _prune_by_size_ratio(cands, sh, threshold, id_col)
     return (
         cands.join(
             F.broadcast(sh.alias("sa")), cands.doc_a == F.col(f"sa.{id_col}")
         )
         .join(
-            F.broadcast(sh.alias("sb")),
-            (cands.doc_b == F.col(f"sb.{id_col}")) & ratio_ok,
+            F.broadcast(sh.alias("sb")), cands.doc_b == F.col(f"sb.{id_col}")
         )
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
+    )
+
+
+def _prune_by_size_ratio(
+    cands: DataFrame, sh: DataFrame, threshold: float, id_col: str
+) -> DataFrame:
+    """Drop (doc_a, doc_b) pairs that cannot reach ``threshold`` Jaccard by
+    set size alone, joining only the broadcast (id, n_sh) map -- two int
+    comparisons per pair, no arrays touched."""
+    nsz = sh.select(F.col(id_col), F.col("n_sh"))
+    ratio_ok = F.least("na.n_sh", "nb.n_sh").cast("double") >= F.lit(
+        threshold
+    ) * F.greatest("na.n_sh", "nb.n_sh")
+    return (
+        cands.join(
+            F.broadcast(nsz.alias("na")), cands.doc_a == F.col(f"na.{id_col}")
+        )
+        .join(
+            F.broadcast(nsz.alias("nb")), cands.doc_b == F.col(f"nb.{id_col}")
+        )
+        .where(ratio_ok)
+        .select("doc_a", "doc_b")
     )
 
 
@@ -391,16 +412,13 @@ def minhash_lsh_pairs(
     sh = hashed.withColumn("n_sh", F.size("sh"))
     inter = F.size(F.array_intersect("sa.sh", "sb.sh")).cast("double")
     jac = inter / (F.col("sa.n_sh") + F.col("sb.n_sh") - inter)
-    ratio_ok = F.least("sa.n_sh", "sb.n_sh").cast("double") >= F.lit(
-        threshold
-    ) * F.greatest("sa.n_sh", "sb.n_sh")  # sound prefilter, see ngram path
+    cands = _prune_by_size_ratio(cands, sh, threshold, id_col)
     return (
         cands.join(
             F.broadcast(sh.alias("sa")), cands.doc_a == F.col(f"sa.{id_col}")
         )
         .join(
-            F.broadcast(sh.alias("sb")),
-            (cands.doc_b == F.col(f"sb.{id_col}")) & ratio_ok,
+            F.broadcast(sh.alias("sb")), cands.doc_b == F.col(f"sb.{id_col}")
         )
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
