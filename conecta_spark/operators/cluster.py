@@ -3,26 +3,23 @@ graph (extension surface, SURVEY 2.4 -- the step after pair mining that a
 training-data dedup pipeline actually ships: pairs -> clusters -> keep one
 canonical doc per cluster).
 
-Algorithm: iterative min-label propagation.  Every vertex starts labeled
-with its own id; each round every vertex takes the minimum label among
-itself and its neighbors; fixpoint <=> every vertex carries the minimum id
-of its connected component.  Rounds needed = graph diameter (near-dup
-graphs are shallow -- dup clusters are cliques or short chains), and each
-round is one shuffle-join of the (vertex, label) relation against the edge
-list.
+Algorithm: min-label propagation to fixpoint -- every vertex ends up
+labeled with the minimum id of its connected component.  Execution is
+scale-adaptive (see :func:`connected_components`): graphs under an edge
+threshold are solved by driver-side union-find (the pair graph is a tiny
+derived artifact even from a huge corpus; distributed rounds would be pure
+scheduler latency), larger ones by iterative label propagation with
+pointer jumping (rounds ~ log diameter).
 
 Scale notes (100 TB):
 
 * state per round is two skinny relations: edges (a, b) and labels
   (vertex, label) -- payloads (text, shingles) never enter the loop.
 * each round re-persists the new labels and unpersists the old (lineage
-  would otherwise grow by one join per round and re-execute everything on
-  the final action).
+  would otherwise grow per round and re-execute everything on the final
+  action).
 * convergence is checked with a cheap ``changed == 0`` aggregate per
-  round; large diameters (pathological chains) cap at ``max_iter``.
-* the alternative "big-star/small-star" formulation halves rounds for
-  deep graphs; for dup-cluster diameters (<= 4-5) plain propagation wins
-  on simplicity and per-round cost.
+  round; pathological diameters cap at ``max_iter``.
 
 The DuckDB oracle computes the same fixpoint declaratively via a recursive
 transitive closure -- exact on the small oracle corpus, which is the point:
@@ -44,17 +41,71 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 20,
+    small_graph_threshold: int = 1_000_000,
 ) -> DataFrame:
     """``(doc_id, cluster_id)`` for every vertex of ``edges``; cluster_id is
     the minimum vertex id in the component.  Vertices are the ids appearing
     in the edge list (singletons are trivially their own cluster -- callers
-    union them in if wanted)."""
+    union them in if wanted).
+
+    Two execution paths, picked by measured edge count:
+
+    * **small graph** (<= ``small_graph_threshold`` edges): collect the
+      skinny (u, v) pairs and union-find on the driver.  A near-dup graph
+      is a tiny derived artifact even when the corpus is 100 TB -- paying
+      5+ distributed rounds of scheduler+shuffle latency to propagate
+      labels through a few thousand edges is the wrong trade; 1M edges is
+      ~16 MB collected.  The cutoff is explicit and conservative.
+    * **large graph**: iterative min-label propagation with pointer
+      jumping.  Each round takes the min over neighbors' labels AND the
+      label's own label (path halving), so rounds ~ log(diameter) rather
+      than diameter; each round is two shuffle-joins of skinny relations,
+      re-persisted generation over generation.
+    """
+    # Symmetrize in ONE pass over the edge relation (explode of the forward
+    # + reversed struct).  A self-union would reference `edges` twice and
+    # re-run the expensive pair-mining pipeline feeding it once per branch
+    # -- persisting doesn't save the first job, whose two branches race the
+    # cold cache.
     sym = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+                    F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    n_edges = sym.count()
+    if n_edges <= small_graph_threshold:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for u, v in sym.collect():
+            parent.setdefault(u, u)
+            parent.setdefault(v, v)
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                # union by min so the root IS the canonical min id
+                lo, hi = (ru, rv) if ru < rv else (rv, ru)
+                parent[hi] = lo
+        rows = [(x, find(x)) for x in parent]
+        sym.unpersist()
+        return edges.sparkSession.createDataFrame(
+            rows, "doc_id long, cluster_id long"
+        )
+
     labels = (
         sym.select(F.col("u").alias("vertex"))
         .distinct()
@@ -62,14 +113,19 @@ def connected_components(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     for _ in range(max_iter):
-        # min label among self + neighbors (neighbor labels via one join)
-        neighbor = (
-            sym.join(labels, sym.v == labels.vertex)
-            .select(F.col("u").alias("vertex"), "label")
+        # min over self, neighbors' labels, and label's label (pointer jump)
+        neighbor = sym.join(labels, sym.v == labels.vertex).select(
+            F.col("u").alias("vertex"), "label"
+        )
+        jump = (
+            labels.alias("l1")
+            .join(labels.alias("l2"), F.col("l1.label") == F.col("l2.vertex"))
+            .select(F.col("l1.vertex").alias("vertex"), F.col("l2.label"))
         )
         new_labels = (
             labels.select("vertex", "label")
             .union(neighbor)
+            .union(jump)
             .groupBy("vertex")
             .agg(F.min("label").alias("label"))
             .persist(StorageLevel.MEMORY_AND_DISK)

@@ -250,11 +250,21 @@ class TestClusterAndSampling:
         edges = spark.createDataFrame(
             [(1, 2), (2, 3), (3, 4), (10, 11)], ["doc_a", "doc_b"]
         )
+        expect = {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
+        # small-graph (driver union-find) path
         got = {
             (r.doc_id, r.cluster_id)
             for r in connected_components(edges).collect()
         }
-        assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
+        assert got == expect
+        # distributed label-propagation path, forced
+        got_dist = {
+            (r.doc_id, r.cluster_id)
+            for r in connected_components(
+                edges, small_graph_threshold=0
+            ).collect()
+        }
+        assert got_dist == expect
 
     def test_dedup_clusters_contain_planted_dups(self, spark, docs):
         from conecta_spark.operators.cluster import dedup_clusters
