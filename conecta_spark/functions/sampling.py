@@ -88,3 +88,50 @@ def x27_sample(spark, sf_dir) -> DataFrame:
 )
 def x28_histogram(spark, sf_dir) -> DataFrame:
     return length_histogram(t(spark, sf_dir, "documents"))
+
+
+#: Default per-language keep rates (percent of 100) for the stratified
+#: sample: the usual training-mix move of downsampling dominant languages.
+STRATA_RATES: dict[str, int] = {"en": 20, "es": 10, "fr": 10, "de": 5}
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, int] | None = None,
+    strata_col: str = "lang",
+    default_rate: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-stratum deterministic sample: keep a row when its hash bucket
+    falls under its stratum's rate.  Same reproducibility story as
+    :func:`deterministic_sample` -- the kept set is a pure function of the
+    data, unlike ``df.sampleBy`` whose per-partition seeding ties results
+    to the physical plan."""
+    rates = rates if rates is not None else STRATA_RATES
+    rate = F.lit(default_rate)
+    for k, v in rates.items():
+        rate = F.when(F.col(strata_col) == k, F.lit(v)).otherwise(rate)
+    return df.where(hash_bucket(id_col) < rate)
+
+
+def _duck_rate_case(rates: dict[str, int], strata_col: str, default: int) -> str:
+    whens = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in rates.items()
+    )
+    return f"CASE {strata_col} {whens} ELSE {default} END"
+
+
+@register(
+    "x29_stratified_sample",
+    "SELECT lang, COUNT(*) AS n_kept, MIN(doc_id) AS first_id "
+    f"FROM documents WHERE {_duck_bucket()} < "
+    f"{_duck_rate_case(STRATA_RATES, 'lang', 10)} GROUP BY lang",
+    "stratified corpus sample: per-language keep rates, reproducible "
+    "hash-bucket membership (training-mix rebalancing)",
+)
+def x29_stratified(spark, sf_dir) -> DataFrame:
+    kept = stratified_sample(t(spark, sf_dir, "documents"))
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("doc_id").alias("first_id"),
+    )
