@@ -386,6 +386,16 @@ def minhash_lsh_pairs(
             f"x -> cast(x as string)), '-'))"
         ).alias("band_key"),
     )
+    # Repartition by the band key does double duty: the self-join's two
+    # children become byte-identical exchanges, so ReuseExchange computes
+    # the signature pipeline ONCE (otherwise each side re-runs the DF
+    # filter + collect + minhash stages), and the pair generation runs as
+    # wide as the cluster instead of on AQE's byte-coalesced partitioning.
+    banded = banded.repartition(
+        df.sparkSession.sparkContext.defaultParallelism,
+        "band_idx",
+        "band_key",
+    )
     a, b = banded.alias("a"), banded.alias("b")
     cands = (
         a.join(
