@@ -132,7 +132,7 @@ def x19_gopher(spark, sf_dir) -> DataFrame:
 @register(
     "x20_corpus_stats",
     "SELECT lang, COUNT(*) AS n_docs, "
-    "SUM(n_chars) AS total_chars, "
+    "CAST(SUM(n_chars) AS BIGINT) AS total_chars, "
     "COUNT(DISTINCT source) AS n_sources, "
     + DSUM("length(trim(text)) - length(replace(trim(text), ' ', '')) + 1")
     + " AS total_tokens_approx "
@@ -148,7 +148,7 @@ def x20_corpus_stats(spark, sf_dir) -> DataFrame:
     )
     return d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_chars").alias("total_chars"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
         F.countDistinct("source").alias("n_sources"),
         dsum(tok.cast("double"), "total_tokens_approx"),
     )

@@ -5,11 +5,12 @@ still oracle-checkable), and ml-based BRP-LSH / IVF variants.
 
 Scale notes (100 TB):
 
-* brute-force top-k is a single map + one 10-row windowed reduce; the
-  window is a TopK over the full relation -- at cluster scale Spark turns
-  ``ORDER BY score LIMIT k`` into per-partition partial top-k, so prefer
-  :func:`knn_topk`'s sort-limit form over a global row_number when k is
-  small.  Kept as row_number here for oracle determinism.
+* all top-k paths rank via sort-limit (``ORDER BY score LIMIT k`` ->
+  TakeOrderedAndProject: per-partition partial top-k, one k-row merge on
+  the driver side, no global shuffle-sort) and only then attach the
+  ``rank`` column with a row_number window over the k surviving rows.
+  Determinism survives because the sort key (rounded score desc, id) is a
+  total order, so sort-limit and a global row_number select the same rows.
 * near-dup pairs normalize once per row, then join; the pair join is the
   quadratic wall -- at scale replace with :func:`ann_lsh_topk` buckets or
   ml BucketedRandomProjectionLSH (:func:`brp_lsh_ml`).
@@ -85,6 +86,22 @@ def _vectors(df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id") 
     )
 
 
+def _topk_ranked(scored: DataFrame, k: int, id_col: str) -> DataFrame:
+    """Rank the top ``k`` of ``scored`` (columns: id_col, score) by
+    (score desc, id).
+
+    Sort-limit first: Catalyst plans it as TakeOrderedAndProject, which
+    keeps a k-row heap per partition and merges k rows -- no
+    single-partition global sort.  The row_number window then runs over
+    only the k surviving rows, so the "global" window is O(k)."""
+    from pyspark.sql.window import Window
+
+    order = [F.col("score").desc(), F.col(id_col)]
+    top = scored.orderBy(*order).limit(k)
+    w = Window.orderBy(*order)
+    return top.withColumn("rank", F.row_number().over(w))
+
+
 def knn_topk(
     df: DataFrame,
     query_id: int = 0,
@@ -96,8 +113,6 @@ def knn_topk(
 
     The single query row is broadcast; scores are computed map-side; ranking
     uses (rounded score, id) so ties are deterministic."""
-    from pyspark.sql.window import Window
-
     e = _vectors(df, vec_col, id_col)
     q = e.where(F.col(id_col) == query_id).select(F.col("v").alias("qv"))
     scored = (
@@ -108,11 +123,7 @@ def knn_topk(
             F.round(F.expr(cosine_expr("v", "qv", DIM)), 6).alias("score"),
         )
     )
-    w = Window.orderBy(F.col("score").desc(), F.col(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-    )
+    return _topk_ranked(scored, k, id_col)
 
 
 def embedding_near_dup_pairs(
@@ -220,8 +231,6 @@ def ann_lsh_topk(
     """ANN top-k: random-hyperplane LSH bucket prefilter, then exact cosine
     within the query's bucket.  ~2^planes fold reduction in candidates; at
     scale add multiprobe (flip one bit) for recall."""
-    from pyspark.sql.window import Window
-
     e = _vectors(df, vec_col, id_col).withColumn(
         "bucket", F.expr(hyperplane_bucket_expr("v", planes))
     )
@@ -236,11 +245,7 @@ def ann_lsh_topk(
             F.round(F.expr(cosine_expr("v", "qv", DIM)), 6).alias("score"),
         )
     )
-    w = Window.orderBy(F.col("score").desc(), F.col(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-    )
+    return _topk_ranked(scored, k, id_col)
 
 
 def brp_lsh_ml(
@@ -294,7 +299,6 @@ def ivf_topk(
     (KMeans is not SQL-expressible)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
-    from pyspark.sql.window import Window
 
     feat = df.select(
         F.col(id_col),
@@ -323,10 +327,7 @@ def ivf_topk(
             F.round(F.expr(cosine_expr("v", "qv", DIM)), 6).alias("score"),
         )
     )
-    w = Window.orderBy(F.col("score").desc(), F.col(id_col))
-    return scored.withColumn("rank", F.row_number().over(w)).where(
-        F.col("rank") <= k
-    )
+    return _topk_ranked(scored, k, id_col)
 
 
 # -- registered queries ------------------------------------------------------

@@ -166,7 +166,8 @@ def q23(spark, sf_dir) -> DataFrame:
 @register(
     "q24_case_having",
     "SELECT o_orderpriority, COUNT(*) AS c, "
-    "SUM(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS n_big "
+    "CAST(SUM(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_big "
     "FROM orders GROUP BY o_orderpriority HAVING COUNT(*) > 10",
     "CASE WHEN inside aggregate + HAVING post-filter",
 )
@@ -178,7 +179,9 @@ def q24(spark, sf_dir) -> DataFrame:
             F.count(F.lit(1)).alias("c"),
             F.sum(
                 F.when(F.col("o_totalprice") > 100000, 1).otherwise(0)
-            ).alias("n_big"),
+            )
+            .cast("long")
+            .alias("n_big"),
         )
         .where(F.col("c") > 10)
     )
@@ -452,10 +455,12 @@ def q34(spark, sf_dir) -> DataFrame:
 @register(
     "q35_conditional_pivot",
     "SELECT CAST(year(o_orderdate) AS INT) AS yr, "
-    "SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n_urgent, "
-    "SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS n_high, "
-    "SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) "
-    " AS n_other, COUNT(*) AS c "
+    "CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)"
+    " AS BIGINT) AS n_urgent, "
+    "CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END)"
+    " AS BIGINT) AS n_high, "
+    "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') "
+    "THEN 0 ELSE 1 END) AS BIGINT) AS n_other, COUNT(*) AS c "
     "FROM orders GROUP BY 1",
     "pivot via conditional aggregation (orders per year x priority)",
 )
@@ -465,13 +470,15 @@ def q35(spark, sf_dir) -> DataFrame:
     return (
         o.groupBy(F.year("o_orderdate").alias("yr"))
         .agg(
-            F.sum(F.when(pri == "1-URGENT", 1).otherwise(0)).alias(
-                "n_urgent"
-            ),
-            F.sum(F.when(pri == "2-HIGH", 1).otherwise(0)).alias("n_high"),
-            F.sum(
-                F.when(pri.isin("1-URGENT", "2-HIGH"), 0).otherwise(1)
-            ).alias("n_other"),
+            F.sum(F.when(pri == "1-URGENT", 1).otherwise(0))
+            .cast("long")
+            .alias("n_urgent"),
+            F.sum(F.when(pri == "2-HIGH", 1).otherwise(0))
+            .cast("long")
+            .alias("n_high"),
+            F.sum(F.when(pri.isin("1-URGENT", "2-HIGH"), 0).otherwise(1))
+            .cast("long")
+            .alias("n_other"),
             F.count(F.lit(1)).alias("c"),
         )
     )
@@ -518,7 +525,8 @@ def q36(spark, sf_dir) -> DataFrame:
 
 @register(
     "q37_cube",
-    "SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS chars "
+    "SELECT lang, source, COUNT(*) AS n_docs, "
+    "CAST(SUM(n_chars) AS BIGINT) AS chars "
     "FROM documents GROUP BY CUBE(lang, source)",
     "CUBE grouping: all (lang, source) aggregation combinations in one "
     "pass (Spark expands to a union of grouping sets map-side)",
@@ -527,7 +535,7 @@ def q37(spark, sf_dir) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     return d.cube("lang", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_chars").alias("chars"),
+        F.sum("n_chars").cast("long").alias("chars"),
     )
 
 

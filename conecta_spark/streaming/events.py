@@ -219,16 +219,18 @@ def streaming_dedup(
     watermark: str = "1 hour",
 ) -> DataFrame:
     """Streaming exact-dedup: emit the first occurrence of each key, drop
-    replays arriving within the watermark horizon.
+    replays arriving within the watermark horizon -- including replays whose
+    event timestamp jittered, since dedup is on ``keys`` alone
+    (``dropDuplicatesWithinWatermark``), not on (keys, event-time).
 
     State is bounded by the watermark: a key's dedup entry is dropped once
     event time passes ``watermark`` beyond it, so state size is
     O(keys per watermark window), not O(stream history) -- the property
     that makes exact dedup feasible on an unbounded 100 TB/day stream.
     (Batch twin: ``dropDuplicates``/x05 content-hash dedup.)"""
-    return stream.withWatermark(watermark_col, watermark).dropDuplicates(
-        keys + [watermark_col]
-    )
+    return stream.withWatermark(
+        watermark_col, watermark
+    ).dropDuplicatesWithinWatermark(keys)
 
 
 # -- registered queries ------------------------------------------------------
@@ -253,10 +255,11 @@ def x15_hourly(spark, sf_dir) -> DataFrame:
     " lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS prev_tsu "
     " FROM e), "
     "seq AS (SELECT user_id, tsu, "
-    " SUM(CASE WHEN prev_tsu IS NULL OR tsu - prev_tsu > 1800000000 "
+    " CAST(SUM(CASE WHEN prev_tsu IS NULL OR tsu - prev_tsu > 1800000000 "
     "  THEN 1 ELSE 0 END) OVER ("
     "  PARTITION BY user_id ORDER BY tsu, event_id "
-    "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq "
+    "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+    " AS session_seq "
     " FROM flagged) "
     "SELECT user_id, session_seq, COUNT(*) AS n_events, "
     " MIN(tsu) AS start_us, MAX(tsu) AS end_us, "

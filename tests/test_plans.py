@@ -88,6 +88,16 @@ def test_exact_dedup_is_single_shuffle_partial_agg(spark, sf):
     assert node_count(p, "HashAggregate") == 2
 
 
+def test_simsearch_topk_is_take_ordered_not_global_sort(spark, sf):
+    """x10/x12: the top-k rank must come from sort-limit
+    (TakeOrderedAndProject) over the scored relation, not a global
+    row_number window (single-partition sort at scale).  The only Window
+    allowed is the O(k) re-rank after the limit."""
+    for name in ("x10_knn_cosine_topk", "x12_ann_lsh_topk"):
+        p = plan(REGISTRY[name].fn(spark, sf))
+        assert "TakeOrderedAndProject" in p, name
+
+
 def test_knn_broadcasts_query_vector(spark, sf):
     """x10: the 1-row query vector is broadcast; the embeddings relation is
     scanned once with no shuffle before scoring."""
