@@ -111,10 +111,13 @@ def interval_join(
             )
         ).alias("bucket"),
     )
+    # Integer `div`, matching the point side: double division is inexact for
+    # int64-scale timestamps (> 2^53 us) and could land the anchor one bucket
+    # off, silently dropping a qualifying pair outside the point's +-1 span.
     a = anchors.select(
         F.col(by).alias("_aby"),
         F.col(anchor_ts).alias("a_ts"),
-        (F.col(anchor_ts) / F.lit(radius_us)).cast("long").alias("bucket"),
+        F.expr(f"{anchor_ts} div {radius_us}").alias("bucket"),
     )
     return (
         p.join(a, (p[by] == a._aby) & (p.bucket == a.bucket))

@@ -142,6 +142,20 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # max_iter rounds without convergence: labels may still split true
+        # components.  Pointer jumping converges in O(log diameter) rounds,
+        # so hitting this means a pathological graph -- surface it instead
+        # of returning silently-wrong clusters.
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "connected_components: not converged after %d rounds "
+            "(%d labels still changing); components may be split. "
+            "Raise max_iter for high-diameter graphs.",
+            max_iter,
+            changed,
+        )
     sym.unpersist()
     return labels.select(
         F.col("vertex").alias("doc_id"), F.col("label").alias("cluster_id")

@@ -88,6 +88,13 @@ def hashed_shingles(
     arithmetic reproduces the JVM/DuckDB result bit-for-bit -- the LSH
     oracle parity that makes the dedup pipeline checkable survives the
     Python detour.
+
+    Parity caveat (same as ``fingerprints_pandas``): the lowercase step is
+    Python ``str.lower()`` here vs SQL ``lower()`` in the expr/oracle path.
+    For ASCII text they agree codepoint-for-codepoint; for non-ASCII input
+    (e.g. 'İ' -> 'i̇', locale/Unicode-version casing differences across
+    Python, the JVM, and DuckDB) shingle sets -- and thus LSH signatures --
+    can diverge between paths, so the bit-for-bit claim is scoped to ASCII.
     """
     import numpy as np
     import pandas as pd
@@ -207,6 +214,60 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+#: "auto" verification joins broadcast the per-doc shingle relation only when
+#: its estimated footprint stays under this many bytes; beyond it (any real
+#: corpus -- at 100 TB the relation is TBs) they fall back to a shuffled hash
+#: join on doc_id, which scales with the cluster instead of OOMing the
+#: driver/executors on the broadcast build.
+VERIFY_BROADCAST_MAX_BYTES = 64 << 20
+
+
+def _estimate_shingle_bytes(n_docs: int, total_hashes: int) -> int:
+    """Rough in-memory size of the (id, sh, n_sh) relation: 8 bytes per
+    BIGINT hash + per-row object overhead."""
+    return total_hashes * 8 + n_docs * 48
+
+
+def _verify_exact_jaccard(
+    cands: DataFrame,
+    sh: DataFrame,
+    threshold: float,
+    id_col: str,
+    broadcast_verify: bool,
+) -> DataFrame:
+    """Re-attach the hashed-shingle arrays to the candidate id pairs and keep
+    pairs with exact Jaccard >= threshold.
+
+    Jaccard over polyhashed shingles: intersect/union on BIGINT arrays is
+    several times cheaper than on strings, and because Spark and DuckDB
+    apply the identical hash, parity is exact whether or not a collision
+    ever merges two shingles.  |a U b| is derived as |a|+|b|-|a ^ b| --
+    the arrays are distinct-by-construction, so it's exact and saves
+    materializing the union array per pair (~40% of verification cost).
+
+    ``broadcast_verify`` picks the physical join: broadcast hash join when
+    the shingle relation fits (small corpora -- zero shuffle of the
+    candidates), else a shuffled hash join on doc_id (high-cardinality key,
+    parallel, no driver-side build; ``shuffle_hash`` hint because sorting
+    array-carrying rows for a merge join is wasted work)."""
+    inter = F.size(F.array_intersect("sa.sh", "sb.sh")).cast("double")
+    jac = inter / (F.col("sa.n_sh") + F.col("sb.n_sh") - inter)
+    cands = _prune_by_size_ratio(
+        cands, sh, threshold, id_col, broadcast_verify
+    )
+    sa, sb = sh.alias("sa"), sh.alias("sb")
+    if broadcast_verify:
+        sa, sb = F.broadcast(sa), F.broadcast(sb)
+    else:
+        sa, sb = sa.hint("shuffle_hash"), sb.hint("shuffle_hash")
+    return (
+        cands.join(sa, cands.doc_a == F.col(f"sa.{id_col}"))
+        .join(sb, cands.doc_b == F.col(f"sb.{id_col}"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     threshold: float = 0.8,
@@ -215,6 +276,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     block_cols: tuple = ("lang",),
     length_band: int = 100,
+    broadcast_verify: bool | str = "auto",
 ) -> DataFrame:
     """Brute-force near-dup pairs by character-``k``-gram Jaccard, blocked on
     ``block_cols`` + a text-length band (adjacent bands included so boundary
@@ -227,15 +289,17 @@ def ngram_jaccard_pairs(
       Instead the pair join runs on *skinny* (id, lang, band) rows -- cheap
       even when skewed -- and the arrays are re-attached afterwards by id.
     * **Array shuffle**: candidate pairs never drag shingle arrays through
-      a shuffle; the shingle relation (one array per doc) is broadcast and
-      hash-joined to the id pairs, so the expensive Jaccard evaluation is
-      spread across the candidate partitions.
+      a shuffle; the shingle relation (one array per doc) is attached to the
+      id pairs by hash join afterwards, so the expensive Jaccard evaluation
+      is spread across the candidate partitions.
 
     The probe side is exploded to its 3 neighboring length bands, making the
     band part of the equi-key; each boundary pair is produced exactly once.
-    At real scale the broadcast re-attach flips to a shuffled hash join on
-    doc_id (high-cardinality, parallel), and beyond that this baseline is
-    superseded by :func:`minhash_lsh_pairs`."""
+    ``broadcast_verify="auto"`` broadcasts the shingle relation only while
+    it fits (:data:`VERIFY_BROADCAST_MAX_BYTES`); at real scale the
+    re-attach flips to a shuffled hash join on doc_id (high-cardinality,
+    parallel), and beyond that this baseline is superseded by
+    :func:`minhash_lsh_pairs`."""
     skinny = df.select(
         F.col(id_col),
         *[F.col(c) for c in block_cols],
@@ -259,59 +323,59 @@ def ngram_jaccard_pairs(
     cands = cands.repartition(
         df.sparkSession.sparkContext.defaultParallelism, "doc_a"
     )
-    # Jaccard over polyhashed shingles: intersect/union on BIGINT arrays is
-    # several times cheaper than on strings, and because Spark and DuckDB
-    # apply the identical hash, parity is exact whether or not a collision
-    # ever merges two shingles.  |a U b| is derived as |a|+|b|-|a ^ b| --
-    # the arrays are distinct-by-construction, so it's exact and saves
-    # materializing the union array per pair (~40% of verification cost).
     from pyspark import StorageLevel
 
-    # Persisted: the two broadcast builds below would otherwise each re-run
-    # the shingle-hash stage (broadcast subtrees don't share work).
+    # Persisted: the verification join's two attach sides would otherwise
+    # each re-run the shingle-hash stage (join subtrees don't share work).
     sh = (
         hashed_shingles(df, k, text_col, id_col)
         .withColumn("n_sh", F.size("sh"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    inter = F.size(F.array_intersect("sa.sh", "sb.sh")).cast("double")
-    jac = inter / (F.col("sa.n_sh") + F.col("sb.n_sh") - inter)
+    if broadcast_verify == "auto":
+        # One aggregate over the about-to-be-cached relation: materializes
+        # the persist (the hashing would run for the first consumer anyway)
+        # and yields the size estimate for the broadcast gate.
+        stats = sh.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("n_sh").alias("tot")
+        ).first()
+        broadcast_verify = (
+            _estimate_shingle_bytes(stats["n"], stats["tot"] or 0)
+            <= VERIFY_BROADCAST_MAX_BYTES
+        )
     # Size-ratio prefilter (sound: J <= min/max since |a^b| <= min and
     # |aUb| >= max): prune disparate-size pairs on the SKINNY relation,
     # before any shingle array is attached.  Appending the ratio to the fat
     # join's condition instead is a trap: Catalyst keeps the pushed jaccard
     # conjunct first, so the intersect still runs for every pair and the
     # "prefilter" prunes nothing (measured; plan-confirmed).
-    cands = _prune_by_size_ratio(cands, sh, threshold, id_col)
-    return (
-        cands.join(
-            F.broadcast(sh.alias("sa")), cands.doc_a == F.col(f"sa.{id_col}")
-        )
-        .join(
-            F.broadcast(sh.alias("sb")), cands.doc_b == F.col(f"sb.{id_col}")
-        )
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .where(F.col("jaccard") >= threshold)
-    )
+    return _verify_exact_jaccard(cands, sh, threshold, id_col, broadcast_verify)
 
 
 def _prune_by_size_ratio(
-    cands: DataFrame, sh: DataFrame, threshold: float, id_col: str
+    cands: DataFrame,
+    sh: DataFrame,
+    threshold: float,
+    id_col: str,
+    broadcast: bool = True,
 ) -> DataFrame:
     """Drop (doc_a, doc_b) pairs that cannot reach ``threshold`` Jaccard by
-    set size alone, joining only the broadcast (id, n_sh) map -- two int
-    comparisons per pair, no arrays touched."""
+    set size alone, joining only the skinny (id, n_sh) map -- two int
+    comparisons per pair, no arrays touched.  The map is ~16 bytes/doc but
+    still scales with corpus row count, so it follows the same
+    broadcast-vs-shuffle gate as the array attach."""
     nsz = sh.select(F.col(id_col), F.col("n_sh"))
     ratio_ok = F.least("na.n_sh", "nb.n_sh").cast("double") >= F.lit(
         threshold
     ) * F.greatest("na.n_sh", "nb.n_sh")
+    na, nb = nsz.alias("na"), nsz.alias("nb")
+    if broadcast:
+        na, nb = F.broadcast(na), F.broadcast(nb)
+    else:
+        na, nb = na.hint("shuffle_hash"), nb.hint("shuffle_hash")
     return (
-        cands.join(
-            F.broadcast(nsz.alias("na")), cands.doc_a == F.col(f"na.{id_col}")
-        )
-        .join(
-            F.broadcast(nsz.alias("nb")), cands.doc_b == F.col(f"nb.{id_col}")
-        )
+        cands.join(na, cands.doc_a == F.col(f"na.{id_col}"))
+        .join(nb, cands.doc_b == F.col(f"nb.{id_col}"))
         .where(ratio_ok)
         .select("doc_a", "doc_b")
     )
@@ -326,6 +390,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_df: float = 0.1,
+    broadcast_verify: bool | str = "auto",
 ) -> DataFrame:
     """MinHash + LSH banding near-dup pairs with exact Jaccard verification.
 
@@ -348,7 +413,6 @@ def minhash_lsh_pairs(
     vocabulary, not the corpus, and broadcasts to the anti-join.
     """
     rows = bands and num_perms // bands
-    n_docs = df.count()  # planner-style metadata probe (cf. reference O9)
     # The hashed-shingle relation feeds three consumers (DF stats, filtered
     # signatures, exact verification); persist it so the shingle hashing
     # runs once, not once per consumer.  MEMORY_AND_DISK: spills instead of
@@ -358,6 +422,20 @@ def minhash_lsh_pairs(
     hashed = hashed_shingles(df, k, text_col, id_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    # One aggregate over the about-to-be-cached relation doubles as (a) the
+    # corpus count the DF filter needs (the planner-style metadata probe, cf.
+    # reference O9 -- previously a separate full pass over ``df``) and (b)
+    # the size estimate gating the verification broadcast.
+    stats = hashed.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size("sh")).alias("tot"),
+    ).first()
+    n_docs = stats["n"]
+    if broadcast_verify == "auto":
+        broadcast_verify = (
+            _estimate_shingle_bytes(n_docs, stats["tot"] or 0)
+            <= VERIFY_BROADCAST_MAX_BYTES
+        )
     tok = hashed.select(F.col(id_col), F.explode("sh").alias("h"))
     common = (
         tok.groupBy("h")
@@ -411,7 +489,7 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # Exact-verification join on the raw hashed shingles (see
-    # ngram_jaccard_pairs on why BIGINT arrays + identical cross-engine
+    # _verify_exact_jaccard on why BIGINT arrays + identical cross-engine
     # hashing + the |a|+|b|-|a^b| union identity).  The candidate relation
     # is tiny in *bytes* but each row costs an array intersection, so AQE
     # would coalesce it onto a core or two -- repartition explicitly to keep
@@ -420,19 +498,7 @@ def minhash_lsh_pairs(
         df.sparkSession.sparkContext.defaultParallelism, "doc_a"
     )
     sh = hashed.withColumn("n_sh", F.size("sh"))
-    inter = F.size(F.array_intersect("sa.sh", "sb.sh")).cast("double")
-    jac = inter / (F.col("sa.n_sh") + F.col("sb.n_sh") - inter)
-    cands = _prune_by_size_ratio(cands, sh, threshold, id_col)
-    return (
-        cands.join(
-            F.broadcast(sh.alias("sa")), cands.doc_a == F.col(f"sa.{id_col}")
-        )
-        .join(
-            F.broadcast(sh.alias("sb")), cands.doc_b == F.col(f"sb.{id_col}")
-        )
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .where(F.col("jaccard") >= threshold)
-    )
+    return _verify_exact_jaccard(cands, sh, threshold, id_col, broadcast_verify)
 
 
 def simhash_signatures(

@@ -24,6 +24,11 @@ DEFAULT_CONFIGS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # MIN/MAX/COUNT metadata probes read parquet footers instead of data
+    # pages (mirrors the reference's indexed-metadata optimization,
+    # postgres.rs:556-592).  Only takes effect on DSv2 scans; the probe
+    # paths opt into V2 explicitly (sources/parquet.py).
+    "spark.sql.parquet.aggregatePushdown": "true",
     # Deterministic timestamp semantics vs the DuckDB oracle.
     "spark.sql.session.timeZone": "UTC",
     # ANSI off: we want permissive casts like the reference loader, which
@@ -70,6 +75,7 @@ def tune_session(spark: SparkSession) -> SparkSession:
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.ansi.enabled": "false",
+        "spark.sql.parquet.aggregatePushdown": "true",
     }.items():
         try:
             spark.conf.set(k, v)

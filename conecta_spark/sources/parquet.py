@@ -115,15 +115,54 @@ class ParquetDirSource(Source):
         self.register_views()
         return self.spark.sql(sql)
 
-    def min_max(self, sql: str, column: str) -> tuple[int | None, int | None]:
-        row = (
-            self.query(sql)
-            .agg(
-                F.min(column).cast("long").alias("mn"),
-                F.max(column).cast("long").alias("mx"),
-            )
-            .collect()[0]
+    def _load_v2(self, path: str) -> DataFrame:
+        """Read ``path`` through the DSv2 parquet source.
+
+        V1 (the default) ignores ``spark.sql.parquet.aggregatePushdown``;
+        only a V2 ``BatchScan`` can answer MIN/MAX/COUNT from row-group
+        footers.  The source list is flipped just for relation resolution
+        (the DataFrame keeps its V2 relation afterwards), so every other
+        read in the session stays on the default path."""
+        conf = self.spark.conf
+        prev = conf.get("spark.sql.sources.useV1SourceList")
+        conf.set("spark.sql.sources.useV1SourceList", "")
+        try:
+            return self.spark.read.parquet(path)
+        finally:
+            conf.set("spark.sql.sources.useV1SourceList", prev)
+
+    def min_max_df(self, table: str, column: str) -> DataFrame:
+        """MIN/MAX metadata probe as a footer-only scan (reference O8:
+        ``postgres.rs:556-592`` reads the DB's index metadata; the parquet
+        twin is ``PushedAggregation`` over row-group statistics -- the plan
+        never touches data pages)."""
+        df = self._load_v2(self.tables[table])
+        return df.agg(
+            F.min(column).cast("long").alias("mn"),
+            F.max(column).cast("long").alias("mx"),
         )
+
+    _FULL_SCAN = re.compile(
+        r"select\s+\*\s+from\s+([A-Za-z_][A-Za-z0-9_]*)\s*$", re.I
+    )
+
+    def min_max(self, sql: str, column: str) -> tuple[int | None, int | None]:
+        m = self._FULL_SCAN.match(sql.strip())
+        if (
+            m
+            and m.group(1).lower() in self.tables
+            and column not in _nanos_timestamp_columns(self.tables[m.group(1).lower()])
+        ):
+            row = self.min_max_df(m.group(1).lower(), column).collect()[0]
+        else:
+            row = (
+                self.query(sql)
+                .agg(
+                    F.min(column).cast("long").alias("mn"),
+                    F.max(column).cast("long").alias("mx"),
+                )
+                .collect()[0]
+            )
         return row["mn"], row["mx"]
 
     def read_partitioned(self, plan) -> DataFrame:

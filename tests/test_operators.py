@@ -98,6 +98,27 @@ class TestDedup:
         pairs = simhash_near_dup_pairs(doubled, max_hamming=0)
         assert pairs.where(F.col("doc_b") - F.col("doc_a") == 500).count() == 30
 
+    def test_shuffled_verify_path_matches_broadcast(self, planted):
+        """broadcast_verify=False (the 100 TB path: shuffled hash join on
+        doc_id) must produce byte-identical pairs to the broadcast path."""
+        bc = minhash_lsh_pairs(planted, threshold=0.5, broadcast_verify=True)
+        sh = minhash_lsh_pairs(planted, threshold=0.5, broadcast_verify=False)
+        rows_bc = {(r.doc_a, r.doc_b, r.jaccard) for r in bc.collect()}
+        rows_sh = {(r.doc_a, r.doc_b, r.jaccard) for r in sh.collect()}
+        assert rows_bc == rows_sh and rows_bc
+        # the shuffled plan must not broadcast the corpus-sized relation
+        from tests.test_plans import plan
+
+        p = plan(sh)
+        assert "ShuffledHashJoin" in p
+
+    def test_ngram_shuffled_verify_matches(self, planted):
+        bc = ngram_jaccard_pairs(planted, threshold=0.8, k=3, broadcast_verify=True)
+        sh = ngram_jaccard_pairs(planted, threshold=0.8, k=3, broadcast_verify=False)
+        assert {tuple(r) for r in bc.collect()} == {
+            tuple(r) for r in sh.collect()
+        }
+
     def test_ml_lsh_agrees_with_exact(self, planted):
         exact = minhash_lsh_pairs(planted, threshold=0.5, k=5)
         ml = minhash_lsh_ml(planted, threshold=0.5)

@@ -66,6 +66,14 @@ def test_dim_joins_broadcast(spark, sf):
         assert "ShuffledHashJoin" not in p, name
 
 
+def test_min_max_probe_pushes_aggregate_to_footers(spark, sf):
+    """q05: the MIN/MAX metadata probe must read parquet footers
+    (PushedAggregation on a V2 BatchScan), not data pages."""
+    p = plan(REGISTRY["q05_min_max_metadata"].fn(spark, sf))
+    assert "PushedAggregation" in p
+    assert "MIN(l_orderkey)" in p and "MAX(l_orderkey)" in p
+
+
 def test_groupby_has_partial_aggregation(spark, sf):
     """q12: map-side partial aggregation before the exchange (two
     HashAggregate nodes around one Exchange)."""
