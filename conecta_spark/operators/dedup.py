@@ -614,11 +614,21 @@ def x05_dedup_exact(spark, sf_dir) -> DataFrame:
     return dedup_exact(t(spark, sf_dir, "documents"))
 
 
+#: The two deliberately-non-production paths (x06 brute-force baseline, x09
+#: OR-amplified ml LSH) register over this bounded slice: their cost is
+#: quadratic-ish by construction, and unbounded they dominate the benchmark
+#: total, masking regressions in the operators that actually matter at scale
+#: (x07).  The bound is above every correctness-gate corpus (sf0.01 has 500
+#: docs), so oracle results are unchanged there.
+BASELINE_SLICE = 2000
+
+
 @register(
     "x06_dedup_ngram_jaccard",
     "WITH sh AS (SELECT doc_id, lang, "
     f" list_transform({duck_shingles('text', 3)}, s -> {duck_polyhash('s')}) AS sh, "
-    " (length(text) // 100)::BIGINT AS lb FROM documents) "
+    " (length(text) // 100)::BIGINT AS lb FROM documents "
+    f" WHERE doc_id < {BASELINE_SLICE}) "
     "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
     " len(list_intersect(a.sh, b.sh))::DOUBLE / "
     " len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE AS jaccard "
@@ -629,7 +639,8 @@ def x05_dedup_exact(spark, sf_dir) -> DataFrame:
     "brute-force 3-gram Jaccard near-dup pairs (length-blocked baseline)",
 )
 def x06_ngram_jaccard(spark, sf_dir) -> DataFrame:
-    return ngram_jaccard_pairs(t(spark, sf_dir, "documents"), threshold=0.8, k=3)
+    docs = t(spark, sf_dir, "documents").where(F.col("doc_id") < BASELINE_SLICE)
+    return ngram_jaccard_pairs(docs, threshold=0.8, k=3)
 
 
 _DUCK_SH_HASHES = (
@@ -686,4 +697,5 @@ def x08_simhash(spark, sf_dir) -> DataFrame:
     "scale-path MinHashLSH via ml.feature approxSimilarityJoin",
 )
 def x09_minhash_ml(spark, sf_dir) -> DataFrame:
-    return minhash_lsh_ml(t(spark, sf_dir, "documents"), threshold=0.5)
+    docs = t(spark, sf_dir, "documents").where(F.col("doc_id") < BASELINE_SLICE)
+    return minhash_lsh_ml(docs, threshold=0.5)

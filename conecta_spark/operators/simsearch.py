@@ -227,18 +227,30 @@ def ann_lsh_topk(
     planes: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    probe_hamming: int = 0,
 ) -> DataFrame:
     """ANN top-k: random-hyperplane LSH bucket prefilter, then exact cosine
-    within the query's bucket.  ~2^planes fold reduction in candidates; at
-    scale add multiprobe (flip one bit) for recall."""
+    within the probed buckets.  ~2^planes fold reduction in candidates.
+
+    ``probe_hamming`` is the multiprobe radius: 0 probes only the query's
+    own bucket (equi-join, oracle-checkable form); r > 0 also probes every
+    bucket whose sign pattern differs in at most r bits -- the standard
+    recall fix for near-boundary neighbors whose dot with one hyperplane
+    flipped sign.  Physically the probe is ``bit_count(bucket ^ qbucket)
+    <= r`` against the broadcast 1-row query (a per-partition filter, no
+    extra shuffle, no bucket-list explosion)."""
     e = _vectors(df, vec_col, id_col).withColumn(
         "bucket", F.expr(hyperplane_bucket_expr("v", planes))
     )
     q = e.where(F.col(id_col) == query_id).select(
         F.col("v").alias("qv"), F.col("bucket").alias("qbucket")
     )
+    if probe_hamming == 0:
+        cond = F.col("bucket") == F.col("qbucket")
+    else:
+        cond = F.expr(f"bit_count(bucket ^ qbucket) <= {probe_hamming}")
     scored = (
-        e.join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+        e.join(F.broadcast(q), cond)
         .where(F.col(id_col) != query_id)
         .select(
             id_col,

@@ -19,8 +19,10 @@ out-of-range rows and NULL keys (SURVEY 1.4).  We therefore always pass
 explicit ``predicates`` built by our planner instead of
 ``lowerBound``/``upperBound``.
 
-Untested in this container (no database available); exercised only via its
-pure-SQL helpers in unit tests.
+No live database is available in this container; the SQL helpers, the type
+bridge, and the partition-predicate contract are pinned by tests/test_jdbc.py
+with the network layer stubbed (the reference integration-tests the same
+promises against a testcontainers Postgres).
 """
 
 from __future__ import annotations
@@ -28,7 +30,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..plans.partition import QueryPartitioningMode, bound_predicate, bounds
+from ..types import apply_pg_casts
 from .base import Source
+
+#: ``pg_typeof()::text`` spells SQL-standard names; the type bridge keys on
+#: the internal ``typname`` forms the reference records (schema.rs:70-141).
+PG_TYPEOF_ALIASES: dict[str, str] = {
+    "time without time zone": "time",
+    "time with time zone": "timetz",
+    "timestamp without time zone": "timestamp",
+    "timestamp with time zone": "timestamptz",
+    "double precision": "float8",
+    "real": "float4",
+    "smallint": "int2",
+    "integer": "int4",
+    "bigint": "int8",
+    "boolean": "bool",
+    "character varying": "varchar",
+    "character": "bpchar",
+}
 
 
 def min_max_sql(query: str, column: str) -> str:
@@ -58,10 +78,12 @@ class JDBCSource(Source):
         password: str | None = None,
         fetchsize: int = 10_000,
         driver: str = "org.postgresql.Driver",
+        type_bridge: bool = True,
     ):
         super().__init__(spark)
         self.url = url
         self.fetchsize = fetchsize
+        self.type_bridge = type_bridge
         self.properties: dict[str, str] = {"driver": driver}
         if user:
             self.properties["user"] = user
@@ -79,21 +101,60 @@ class JDBCSource(Source):
             r = r.option(k, v)
         return r
 
-    def query(self, sql: str) -> DataFrame:
+    def _raw_query(self, sql: str) -> DataFrame:
+        """JDBC read without the type bridge (internal metadata probes --
+        aggregates over bigint/count never need normalization)."""
         return self._reader(f"({sql}) as query_inner").load()
 
+    def query(self, sql: str) -> DataFrame:
+        return self._bridge(self._raw_query(sql), sql)
+
+    def pg_column_types(self, sql: str) -> dict[str, str]:
+        """Original Postgres type per result column, via one
+        ``pg_typeof(...)::text`` row over the user query (the JDBC analog of
+        the reference's wire-protocol type OIDs, postgres.rs:595-646; pgJDBC
+        itself surfaces geo/uuid/time as untyped strings)."""
+        cols = self._raw_query(sql).columns  # limit-0 schema probe, no data
+        typed = ", ".join(
+            f'pg_typeof("{c}")::text as "{c}"' for c in cols
+        )
+        row = self._raw_query(
+            f"select {typed} from ({sql}) as typeof_inner limit 1"
+        ).collect()
+        if not row:  # empty result set: nothing to normalize
+            return {}
+        return {
+            c: PG_TYPEOF_ALIASES.get(row[0][c], row[0][c]) for c in cols
+        }
+
+    def _bridge(self, df: DataFrame, sql: str) -> DataFrame:
+        """Unconditional post-read normalization, matching the reference's
+        always-on type bridge (postgres.rs:595-646): geo text -> flattened
+        array<double>, TIME -> us-since-midnight bigint.  Best-effort -- a
+        backend without ``pg_typeof`` (or a failed probe) returns the raw
+        JDBC frame unchanged."""
+        if not self.type_bridge:
+            return df
+        try:
+            types = self.pg_column_types(sql)
+        except Exception:
+            return df
+        return apply_pg_casts(df, types)
+
     def min_max(self, sql: str, column: str) -> tuple[int | None, int | None]:
-        row = self.query(min_max_sql(sql, column)).collect()[0]
+        row = self._raw_query(min_max_sql(sql, column)).collect()[0]
         return row[0], row[1]
 
     def read_partitioned(self, plan) -> DataFrame:
         cfg = plan.config
         if cfg.mode is QueryPartitioningMode.PARTITIONED_QUERIES:
+            # All sub-queries share one schema: probe the bridge types once,
+            # normalize the union (not one probe per sub-query).
             out = None
             for q in cfg.query:
-                df = self.query(q)
+                df = self._raw_query(q)
                 out = df if out is None else out.unionAll(df)
-            return out
+            return self._bridge(out, cfg.query[0])
         if cfg.mode is QueryPartitioningMode.ONE_UNPARTITIONED_QUERY:
             return self.query(cfg.query[0])
         # One task per range predicate; the database sees N concurrent
@@ -102,7 +163,9 @@ class JDBCSource(Source):
             bound_predicate(cfg.partition_on, b, i == cfg.partition_num - 1)
             for i, b in enumerate(bounds(plan.min, plan.max, cfg.partition_num))
         ]
-        return self._jdbc_predicates(cfg.query[0], preds)
+        return self._bridge(
+            self._jdbc_predicates(cfg.query[0], preds), cfg.query[0]
+        )
 
     def _jdbc_predicates(self, sql: str, preds: list[str]) -> DataFrame:
         props = dict(self.properties)

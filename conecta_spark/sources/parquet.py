@@ -149,7 +149,8 @@ class ParquetDirSource(Source):
     def min_max(self, sql: str, column: str) -> tuple[int | None, int | None]:
         m = self._FULL_SCAN.match(sql.strip())
         if (
-            m
+            self.EXT == ".parquet"  # csv/json/orc subclasses have no footers
+            and m
             and m.group(1).lower() in self.tables
             and column not in _nanos_timestamp_columns(self.tables[m.group(1).lower()])
         ):

@@ -157,6 +157,48 @@ class TestSimsearch:
         for r in ann:
             assert abs(brute[r.vec_id] - r.score) < 1e-9
 
+    def test_multiprobe_recall_on_planted_neighbors(self, spark, embeddings):
+        """Multiprobe (probe_hamming=1) at planes=8 must recover >= 0.9 of
+        planted true neighbors (cosine ~0.99 to the query).
+
+        The fixture embeddings are centered noise -- the best 'neighbors'
+        sit at cosine ~0.33, where per-plane sign agreement is only ~0.6 and
+        no LSH setting reaches high recall without probing everything.
+        Recall is therefore measured on planted near-duplicates of the
+        query, the regime LSH exists for."""
+        import math
+
+        q = embeddings.where("vec_id = 0").collect()[0].embedding
+        n = len(q)
+        planted = []
+        for i in range(1, 11):
+            # deterministic small perturbation; keeps cosine ~0.99
+            v = [
+                q[j] + 0.02 * math.sin(i * 31 + j * 7) for j in range(n)
+            ]
+            planted.append((1_000_000 + i, v))
+        base = embeddings.select("vec_id", "embedding")
+        extra = spark.createDataFrame(
+            planted, "vec_id long, embedding array<double>"
+        )
+        corpus = base.unionByName(extra.select("vec_id", "embedding"))
+        got = {
+            r.vec_id
+            for r in ann_lsh_topk(
+                corpus, query_id=0, k=10, planes=8, probe_hamming=1
+            ).collect()
+        }
+        hits = len(got & {1_000_000 + i for i in range(1, 11)})
+        assert hits >= 9, f"multiprobe recall {hits}/10"
+        # single-bucket probing at planes=8 misses neighbors multiprobe gets
+        got0 = {
+            r.vec_id
+            for r in ann_lsh_topk(
+                corpus, query_id=0, k=10, planes=8, probe_hamming=0
+            ).collect()
+        }
+        assert len(got0) <= len(got)
+
     def test_brp_ml_topk(self, embeddings):
         out = brp_lsh_ml(embeddings, query_id=0, k=10).collect()
         assert len(out) == 10
