@@ -443,10 +443,24 @@ def minhash_lsh_pairs(
         .where(F.col("c") > F.lit(max_df) * F.lit(n_docs))
         .select("h")
     )
+    # Subtract the boilerplate set per row with array_except against the
+    # broadcast 1-row array of common shingles, instead of exploding to
+    # (doc, hash) rows, anti-joining, and re-grouping: that path shuffles
+    # the whole corpus's hashes twice; this one shuffles only the common
+    # set (vocabulary-scale: shingles in >max_df of docs).  MinHash takes a
+    # minimum over the array, so element order -- the only thing the two
+    # forms differ on -- cannot affect the signature.
+    common_arr = common.agg(F.collect_list("h").alias("common_hs"))
     filtered = (
-        tok.join(F.broadcast(common), "h", "left_anti")
-        .groupBy(id_col)
-        .agg(F.collect_list("h").alias("shf"))
+        hashed.crossJoin(F.broadcast(common_arr))
+        .select(
+            F.col(id_col),
+            F.array_except("sh", "common_hs").alias("shf"),
+        )
+        # exploded-path parity: docs whose shingles are all boilerplate (or
+        # null text) vanish there via the group-by; drop them here too, so
+        # they never band (size(null) = -1 also filters null-text rows).
+        .where(F.size("shf") > 0)
     )
     sigs = filtered.select(
         id_col,

@@ -116,10 +116,18 @@ def test_knn_broadcasts_query_vector(spark, sf):
 
 def test_lsh_candidate_join_is_equi_join(spark, sf):
     """x07: the LSH band join must be a hash equi-join on (band_idx,
-    band_key) -- a nested-loop/cartesian here would be quadratic at scale."""
+    band_key) -- a nested-loop/cartesian here would be quadratic at scale.
+    The only nested-loop join allowed is the deliberate cross join against
+    the broadcast ONE-ROW array of common shingles (per-row array_except,
+    not a pair join)."""
+    import re
+
     p = plan(REGISTRY["x07_dedup_minhash_lsh"].fn(spark, sf))
     assert "CartesianProduct" not in p
-    assert "BroadcastNestedLoopJoin" not in p
+    for m in re.finditer(
+        r"^\(\d+\) BroadcastNestedLoopJoin\n(?:.*\n){0,3}", p, flags=re.M
+    ):
+        assert "common_hs" in m.group(0), m.group(0)
 
 
 def test_scan_partition_count_scales(spark, sf):
