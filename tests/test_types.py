@@ -165,3 +165,72 @@ class TestTypeMatrix:
         # and the reference's panic set is supported, not panicking
         for pg in ["numeric", "timestamptz", "interval", "json", "jsonb"]:
             assert pg in REFERENCE_UNSUPPORTED
+
+
+class TestBinaryGeoDecoders:
+    """Postgres binary wire format -> array<double> (postgres.rs:29-290
+    encodings; path/polygon headers per the documented wire format)."""
+
+    @pytest.fixture(scope="class")
+    def bin_df(self, spark):
+        import struct
+
+        point = struct.pack(">2d", 1.5, -2.0)
+        circle = struct.pack(">3d", 0.0, 1.0, 5.0)
+        box = struct.pack(">4d", 1.0, 2.0, 3.0, 4.0)
+        path = b"\x01" + (2).to_bytes(4, "big") + struct.pack(">4d", 1.0, 2.0, 3.0, 4.0)
+        poly = (3).to_bytes(4, "big") + struct.pack(">6d", 0.0, 0.0, 1.0, 0.0, 0.0, 1.0)
+        return spark.createDataFrame(
+            [(point, circle, box, path, poly)],
+            "pt binary, ci binary, bx binary, pa binary, pg binary",
+        )
+
+    def test_fixed_width_forms(self, bin_df):
+        from conecta_spark.types import decode_geo_binary
+
+        row = bin_df.select(
+            decode_geo_binary("pt", "point").alias("pt"),
+            decode_geo_binary("ci", "circle").alias("ci"),
+            decode_geo_binary("bx", "box").alias("bx"),
+        ).collect()[0]
+        assert row["pt"] == [1.5, -2.0]
+        assert row["ci"] == [0.0, 1.0, 5.0]
+        assert row["bx"] == [1.0, 2.0, 3.0, 4.0]
+
+    def test_path_and_polygon_headers(self, bin_df):
+        from conecta_spark.types import decode_geo_binary
+
+        row = bin_df.select(
+            decode_geo_binary("pa", "path").alias("pa"),
+            decode_geo_binary("pg", "polygon").alias("pg"),
+        ).collect()[0]
+        # path: [is_open, n_points, coords...] -- same encoding as the
+        # text parser
+        assert row["pa"] == [1.0, 2.0, 1.0, 2.0, 3.0, 4.0]
+        assert row["pg"] == [0.0, 0.0, 1.0, 0.0, 0.0, 1.0]
+
+    def test_binary_and_text_forms_agree(self, spark):
+        """The two decode paths must produce identical encodings."""
+        import struct
+
+        from conecta_spark.types import decode_geo_binary, parse_point
+
+        df = spark.createDataFrame(
+            [(struct.pack(">2d", 3.25, -4.5), "(3.25,-4.5)")],
+            "b binary, t string",
+        )
+        row = df.select(
+            decode_geo_binary("b", "point").alias("frombin"),
+            parse_point("t").alias("fromtext"),
+        ).collect()[0]
+        assert row["frombin"] == row["fromtext"]
+
+    def test_null_and_bad_type(self, spark):
+        from conecta_spark.types import decode_geo_binary
+
+        df = spark.createDataFrame([(None,)], "b binary")
+        assert df.select(
+            decode_geo_binary("b", "point").alias("v")
+        ).collect()[0]["v"] is None
+        with pytest.raises(ValueError):
+            decode_geo_binary("b", "text")
