@@ -353,6 +353,7 @@ def _load_extensions() -> None:
         "conecta_spark.operators.asof",
         "conecta_spark.operators.cluster",
         "conecta_spark.functions.sampling",
+        "conecta_spark.functions.scrub",
         "conecta_spark.functions.text",
         "conecta_spark.functions.quality",
         "conecta_spark.functions.stats",
@@ -372,10 +373,14 @@ def _load_extensions() -> None:
 # extension operator (x01-x29), then the SQL-surface queries whose oracle SQL
 # changed this round (re-proof needed), then the remaining SQL-surface
 # variants that were already hash-green in round 1.
+_ROWS_ONLY = ("x09", "x13", "x14", "x18")  # no oracle -> weak driver rows
 _PRIORITY_TIERS: tuple[tuple[str, ...], ...] = (
     tuple(f"q{i:02d}" for i in range(1, 17)),  # core q01-q16
-    tuple(f"x{i:02d}" for i in range(1, 30)),  # extensions x01-x29
+    tuple(  # oracle-checked extensions x01-x32
+        f"x{i:02d}" for i in range(1, 33) if f"x{i:02d}" not in _ROWS_ONLY
+    ),
     ("q24", "q35", "q37"),  # oracle changed -> needs fresh driver row
+    _ROWS_ONLY,
     ("q17", "q28", "q29", "q30"),  # top-k + TPC-H shapes
 )
 
