@@ -130,6 +130,23 @@ def test_lsh_candidate_join_is_equi_join(spark, sf):
         assert "common_hs" in m.group(0), m.group(0)
 
 
+def test_pii_redaction_is_pure_map(spark, sf):
+    """x30: regex redaction is a single projection -- no shuffle, no UDF."""
+    p = plan(REGISTRY["x30_pii_redaction"].fn(spark, sf))
+    assert node_count(p, "Exchange") == 0
+    assert "Python" not in p  # JVM regexp, not a Python UDF
+
+
+def test_contamination_never_shuffles_corpus(spark, sf):
+    """x31: the only exchange aggregates the benchmark shingle set; the
+    corpus relation joins it via a one-row broadcast, never a sort-merge
+    or shuffled hash join."""
+    p = plan(REGISTRY["x31_contamination"].fn(spark, sf))
+    assert "SortMergeJoin" not in p
+    assert "ShuffledHashJoin" not in p
+    assert "BroadcastNestedLoopJoin" in p  # 1-row bench_hs cross join
+
+
 def test_scan_partition_count_scales(spark, sf):
     """Partitioned read honors the requested split count end-to-end."""
     from conecta_spark.io import read_sql
