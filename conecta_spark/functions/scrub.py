@@ -120,27 +120,50 @@ def top_bigram_fraction(
     """Per document: total word-bigram count and the fraction taken by the
     most frequent bigram -- high values flag boilerplate/repetitive text
     (Gopher repetition signal family; complements unique_word_frac in
-    functions/quality.py)."""
-    toks = rf"split(trim(lower({text_col})), '\\s+')"
-    # Guard < 2 tokens: Spark's sequence(1, 0) is DESCENDING ([1, 0]), not
-    # empty, which would fabricate junk bigrams for one-word docs.
-    bigrams = (
-        f"CASE WHEN size({toks}) >= 2 THEN "
-        f"transform(sequence(1, size({toks}) - 1), "
-        f"i -> concat({toks}[i - 1], ' ', {toks}[i])) "
-        f"ELSE array() END"
-    )
-    per_bg = (
-        df.select(F.col(id_col), F.explode(F.expr(bigrams)).alias("bg"))
-        .groupBy(id_col, "bg")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    return per_bg.groupBy(id_col).agg(
-        F.sum("c").cast("long").alias("n_bigrams"),
-        (F.max("c").cast("double") / F.sum("c").cast("double")).alias(
-            "top_bigram_frac"
-        ),
-    )
+    functions/quality.py).
+
+    The statistic is strictly per-document, so the physical plan is a
+    zero-shuffle Arrow-batched map: exploding to (doc, bigram) rows and
+    double-aggregating instead shuffles ~text-size x corpus through the
+    cluster (measured 5.9s vs 0.7s at sf0.1 -- and the shuffle, not the
+    counting, is what breaks at 100 TB).  ASCII parity caveat as in
+    ``fingerprints_pandas``: Python ``str.lower``/``\\s`` vs SQL
+    ``lower``/Java ``\\s`` agree on ASCII text.
+
+    Per-doc counting: equal (w1, w2) token pairs iff equal "w1 w2" strings
+    (tokens cannot contain whitespace), so Counter-over-pairs reproduces
+    the oracle's string-bigram grouping; max/total uses exact integer
+    operands, giving bit-identical doubles."""
+    import re
+
+    schema = f"{id_col} long, n_bigrams long, top_bigram_frac double"
+
+    def batches(it):
+        from collections import Counter
+
+        import pandas as pd
+
+        ws = re.compile(r"\s+")
+        for pdf in it:
+            ids, tot, frac = [], [], []
+            for did, s in zip(pdf[id_col], pdf[text_col]):
+                if s is None:
+                    continue
+                w = ws.split(s.strip().lower())
+                if len(w) < 2:
+                    continue
+                counts = Counter(zip(w, w[1:]))
+                n = len(w) - 1
+                ids.append(did)
+                tot.append(n)
+                frac.append(max(counts.values()) / n)
+            yield pd.DataFrame(
+                {id_col: ids, "n_bigrams": tot, "top_bigram_frac": frac}
+            )
+
+    from ..plans.skew import spread
+
+    return spread(df.select(id_col, text_col)).mapInPandas(batches, schema)
 
 
 # -- registered queries ------------------------------------------------------
