@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.dedup import _DUCK_SH_HASHES, shingle_hashes_expr
+from ..operators.dedup import _DUCK_SH_HASHES, hashed_shingles
 from ..queries import register, t
 
 # -- PII redaction -----------------------------------------------------------
@@ -88,16 +88,15 @@ def contamination(
     array (eval sets are bounded; the corpus is not) and every document
     intersects it in place -- the corpus is never shuffled.  Benchmark
     documents present in ``df`` report their own full overlap -- callers
-    exclude them or treat those rows as the join key back to the eval set."""
-    sh = df.select(
-        F.col(id_col), F.expr(shingle_hashes_expr(text_col, k)).alias("sh")
-    )
+    exclude them or treat those rows as the join key back to the eval set.
+
+    Shingle hashing goes through :func:`~conecta_spark.operators.dedup.
+    hashed_shingles` (vectorized numpy, bit-identical to the SQL expr and
+    the DuckDB oracle), the same front end as the MinHash pipeline."""
+    sh = hashed_shingles(df, k, text_col, id_col)
     bench_hs = (
-        benchmark.select(
-            F.explode(
-                F.expr(shingle_hashes_expr(text_col, k))
-            ).alias("h")
-        )
+        hashed_shingles(benchmark, k, text_col, id_col)
+        .select(F.explode("sh").alias("h"))
         .distinct()
         .agg(F.sort_array(F.collect_list("h")).alias("bench_hs"))
     )
