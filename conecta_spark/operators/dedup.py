@@ -146,6 +146,41 @@ def minhash_expr(shingle_hashes: str, num_perms: int = 16) -> str:
     )
 
 
+def minhash_signatures(
+    filtered: DataFrame, num_perms: int = 16, id_col: str = "doc_id"
+) -> DataFrame:
+    """``(id, mh: array<bigint>)`` -- MinHash signatures over the ``shf``
+    column, vectorized in numpy over Arrow batches.
+
+    Value-identical to ``F.expr(minhash_expr("shf", n))``: same
+    ``(a_p*h + p*p+7) % MOD`` recurrence (products stay < (MOD)^2 < 2^63,
+    so int64 is exact), same per-permutation minimum.  Chosen for the same
+    physical reasons as :func:`hashed_shingles`: the nested
+    higher-order-lambda SQL never enters whole-stage codegen and pays a
+    multi-second Janino compile per fresh session; numpy evaluates all
+    permutations of a document in one (perms x hashes) broadcasted matrix
+    op."""
+    import numpy as np
+    import pandas as pd
+
+    a = np.array(
+        [(2654435761 * (p + 1)) % MOD for p in range(num_perms)],
+        dtype=np.int64,
+    )
+    b = np.array([p * p + 7 for p in range(num_perms)], dtype=np.int64)
+    schema = f"{id_col} long, mh array<long>"
+
+    def batches(it):
+        for pdf in it:
+            sigs = [
+                ((a[:, None] * np.asarray(arr, dtype=np.int64)[None, :] + b[:, None]) % MOD).min(axis=1)
+                for arr in pdf["shf"]
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col], "mh": sigs})
+
+    return filtered.mapInPandas(batches, schema)
+
+
 def duck_minhash(shingle_hashes: str, num_perms: int = 16) -> str:
     return (
         f"list_transform(range(0, {num_perms}), p -> "
@@ -462,10 +497,7 @@ def minhash_lsh_pairs(
         # they never band (size(null) = -1 also filters null-text rows).
         .where(F.size("shf") > 0)
     )
-    sigs = filtered.select(
-        id_col,
-        F.expr(minhash_expr("shf", num_perms)).alias("mh"),
-    )
+    sigs = minhash_signatures(filtered, num_perms, id_col)
     banded = sigs.select(
         id_col,
         F.explode(F.expr(f"sequence(0, {bands - 1})")).alias("band_idx"),
