@@ -317,8 +317,45 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF-style ANN: KMeans coarse quantizer, search the ``n_probe``
     centroids nearest to the query, exact cosine within those cells.
-    Training is one pass over a sample; assignment is a map.  Rows-only
-    (KMeans is not SQL-expressible)."""
+    Rows-only (KMeans is not SQL-expressible).
+
+    Convenience form that builds the index and searches once; a serving
+    pipeline builds with :func:`build_ivf_index` once (one KMeans fit +
+    one assignment pass over the corpus, persisted) and calls
+    :func:`ivf_search` per query -- the per-query cost is then a cell
+    prefilter + exact cosine over ~corpus/n_clusters*n_probe rows."""
+    index = build_ivf_index(
+        df, n_clusters=n_clusters, vec_col=vec_col, id_col=id_col, seed=seed
+    )
+    return ivf_search(index, query_id, k=k, n_probe=n_probe)
+
+
+class IVFIndex:
+    """Built IVF index: the cell-assigned corpus (persisted) + centroids.
+
+    ``assigned`` columns: (id, v: array<double>, cell: int).  Centroids are
+    a driver-side list (n_clusters x dim -- KBs); cell routing happens on
+    the driver per query, exactly how IVF serving works."""
+
+    def __init__(self, assigned: DataFrame, centers, id_col: str):
+        self.assigned = assigned
+        self.centers = centers
+        self.id_col = id_col
+
+    def unpersist(self) -> None:
+        self.assigned.unpersist()
+
+
+def build_ivf_index(
+    df: DataFrame,
+    n_clusters: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> IVFIndex:
+    """One KMeans fit + one assignment pass; the assigned corpus persists
+    so every subsequent :func:`ivf_search` is a filter, not a rebuild."""
+    from pyspark import StorageLevel
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -327,21 +364,39 @@ def ivf_topk(
         F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("v"),
         array_to_vector(F.col(vec_col)).alias("features"),
     )
-    km = KMeans(k=n_clusters, seed=seed, featuresCol="features", predictionCol="cell")
+    km = KMeans(
+        k=n_clusters, seed=seed, featuresCol="features", predictionCol="cell"
+    )
     model = km.fit(feat)
-    assigned = model.transform(feat)
-    qrow = assigned.where(F.col(id_col) == query_id).head()
-    if qrow is None:
-        raise ValueError(f"query_id {query_id} not found")
+    assigned = (
+        model.transform(feat)
+        .select(id_col, "v", "cell")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    return IVFIndex(assigned, model.clusterCenters(), id_col)
+
+
+def ivf_search(
+    index: IVFIndex, query_id: int, k: int = 10, n_probe: int = 2
+) -> DataFrame:
+    """Top-k by exact cosine within the ``n_probe`` cells nearest the
+    query vector; the rest of the corpus is never touched."""
     import numpy as np
 
-    centers = model.clusterCenters()
+    id_col = index.id_col
+    qrow = index.assigned.where(F.col(id_col) == query_id).head()
+    if qrow is None:
+        raise ValueError(f"query_id {query_id} not found")
     qv = np.array(qrow.v)
-    dists = [float(np.linalg.norm(qv - c)) for c in centers]
-    probe_cells = sorted(range(len(centers)), key=lambda i: dists[i])[:n_probe]
-    q = assigned.where(F.col(id_col) == query_id).select(F.col("v").alias("qv"))
+    dists = [float(np.linalg.norm(qv - c)) for c in index.centers]
+    probe_cells = sorted(range(len(index.centers)), key=lambda i: dists[i])[
+        :n_probe
+    ]
+    q = index.assigned.where(F.col(id_col) == query_id).select(
+        F.col("v").alias("qv")
+    )
     scored = (
-        assigned.where(F.col("cell").isin(probe_cells))
+        index.assigned.where(F.col("cell").isin(probe_cells))
         .where(F.col(id_col) != query_id)
         .crossJoin(F.broadcast(q))
         .select(

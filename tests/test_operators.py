@@ -210,6 +210,25 @@ class TestSimsearch:
         assert len(out) == 10
         assert [r.rank for r in out] == list(range(1, 11))
 
+    def test_ivf_index_reuse_matches_oneshot(self, embeddings):
+        """build-once/search-many must return exactly what the one-shot
+        form returns, for several queries, without refitting."""
+        from conecta_spark.operators.simsearch import (
+            build_ivf_index,
+            ivf_search,
+        )
+
+        index = build_ivf_index(embeddings)
+        try:
+            for qid in (0, 7):
+                reused = [tuple(r) for r in ivf_search(index, qid).collect()]
+                oneshot = [
+                    tuple(r) for r in ivf_topk(embeddings, query_id=qid).collect()
+                ]
+                assert reused == oneshot
+        finally:
+            index.unpersist()
+
 
 class TestMultimodal:
     def test_payload_roundtrip(self, spark, docs):
