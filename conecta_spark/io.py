@@ -24,19 +24,38 @@ from .uri import parse_uri
 _BACKENDS = ("spark", "pyarrow", "pandas", "arro3", "nanoarrow", "polars")
 
 
+#: Source pool keyed by (session, connection string) -- the analog of the
+#: reference's connection pool reuse (O2, lib.rs:78-86).  For file-backed
+#: sources this also caches the (expensive) per-table view registration:
+#: rebuilding a 10-table catalog costs ~1s of schema/footer reads per call.
+_SOURCE_POOL: dict[tuple[int, str], Source] = {}
+
+
 def get_source(conn: str | Source, spark: SparkSession | None = None) -> Source:
-    """URI-scheme dispatch (reference O1, source/mod.rs:33-70)."""
+    """URI-scheme dispatch (reference O1, source/mod.rs:33-70); resolved
+    sources are pooled per (session, URI) like the reference's connection
+    pool (O2).  Pass a fresh ``Source`` instance directly to bypass the
+    pool (e.g. when the directory's table set changed mid-session)."""
     if isinstance(conn, Source):
         return conn
     spark = spark or get_session()
+    key = (id(spark), conn)
+    src = _SOURCE_POOL.get(key)
+    if src is not None:
+        return src
     spec = parse_uri(conn)
     if spec.kind == "parquet":
-        return ParquetDirSource(spark, spec.location)
-    if spec.kind in ("csv", "json", "orc"):
+        src = ParquetDirSource(spark, spec.location)
+    elif spec.kind in ("csv", "json", "orc"):
         from .sources.files import FilesDirSource
 
-        return FilesDirSource(spark, spec.location, fmt=spec.kind)
-    return JDBCSource(spark, spec.location, user=spec.user, password=spec.password)
+        src = FilesDirSource(spark, spec.location, fmt=spec.kind)
+    else:
+        src = JDBCSource(
+            spark, spec.location, user=spec.user, password=spec.password
+        )
+    _SOURCE_POOL[key] = src
+    return src
 
 
 def create_partition_plan(
