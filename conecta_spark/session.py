@@ -24,6 +24,12 @@ DEFAULT_CONFIGS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Static conf (applies at JVM start): the generated-class cache defaults
+    # to 100 entries, which a session running the full 71-query registry
+    # overflows -- once it thrashes, every re-run pays full Janino
+    # recompilation (measured: late-registry LSH queries swinging 1.3s ->
+    # 9.4s between bench sessions).  Classes are KBs; 5000 is cheap.
+    "spark.sql.codegen.cache.maxEntries": "5000",
     # Wider vectorized-reader batches cut per-batch dispatch overhead on
     # full-width scans ~30% (measured 0.45s -> 0.31s on a 600k x 16-col
     # scan); 16384 rows x 8B x ~100 cols stays ~13MB per in-flight batch.
