@@ -99,17 +99,25 @@ class ParquetDirSource(Source):
                     self.tables[stem] = os.path.join(self.root, name)
         if not self.tables:
             raise ValueError(f"no *{self.EXT} tables found under {root!r}")
-        self._registered = False
 
     def _load(self, path: str) -> DataFrame:
         return load_parquet(self.spark, path)
 
+    #: Temp views are SESSION-GLOBAL by name: two sources over different
+    #: directories both register a view called ``lineitem``, and whichever
+    #: registered last wins for every source.  Track the owning root per
+    #: session so a pooled/cached source re-registers its own views when
+    #: another directory has clobbered them (cheap: re-registration only
+    #: happens on an actual directory switch).
+    _VIEW_OWNER: dict[int, str] = {}
+
     def register_views(self) -> None:
-        if self._registered:
+        key = id(self.spark)
+        if ParquetDirSource._VIEW_OWNER.get(key) == self.root:
             return
         for stem, path in self.tables.items():
             self._load(path).createOrReplaceTempView(stem)
-        self._registered = True
+        ParquetDirSource._VIEW_OWNER[key] = self.root
 
     def query(self, sql: str) -> DataFrame:
         self.register_views()

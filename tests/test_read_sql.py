@@ -119,3 +119,19 @@ def test_partition_union_equals_full(spark, sf_dir):
     src = get_source(sf_dir, spark)
     total = sum(src.query(q).count() for q in plan.data_queries)
     assert total == 6000
+
+
+def test_interleaved_directories_keep_their_views(spark):
+    """Pooled sources over different directories must not inherit each
+    other's temp views (views are session-global by name; regression test
+    for the pool returning a source whose views another directory
+    clobbered)."""
+    from conecta_spark.io import read_sql
+
+    a = "/root/testdata/sf0.001"
+    b = "/root/testdata/sf0.01"
+    q = "select * from lineitem"
+    assert read_sql(a, q, spark=spark).count() == 6000
+    assert read_sql(b, q, spark=spark).count() == 60000
+    assert read_sql(a, q, spark=spark).count() == 6000
+    assert read_sql(b, q, spark=spark).count() == 60000
