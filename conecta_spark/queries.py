@@ -60,8 +60,11 @@ def catalog(spark: SparkSession, sf_dir: str) -> ParquetDirSource:
     if src is None:
         tune_session(spark)
         src = ParquetDirSource(spark, sf_dir)
-        src.register_views()
         _SOURCES[key] = src
+    # Every call, not just creation: view names are session-global, so a
+    # query against another directory in between re-points them; this is a
+    # no-op unless the owning directory actually changed.
+    src.register_views()
     return src
 
 
