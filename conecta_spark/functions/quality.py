@@ -171,3 +171,60 @@ def x21_word_freq(spark, sf_dir) -> DataFrame:
         .orderBy(F.col("c").desc(), "w")
         .limit(50)
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame, k: int = 50, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-level TF-IDF term ranking: total term frequency, document
+    frequency, and ``tf * ln(N / df)`` score for the top ``k`` terms.
+
+    One explode + one partial-aggregated shuffle keyed by term (shuffle
+    volume bounded by distinct words per task, like x21's wordcount); the
+    1-row corpus count broadcasts.  Scores round to 6dp so the two
+    engines' last-ulp ``ln`` differences cannot flip the hash (same
+    treatment as the cosine operators)."""
+    words = _w(text_col)
+    n_docs = df.agg(F.count(F.lit(1)).alias("n"))
+    stats = (
+        spread(df.select(F.col(id_col), F.explode(F.expr(words)).alias("w")))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct(id_col).alias("df"),
+        )
+    )
+    score = F.round(
+        F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")), 6
+    )
+    return (
+        stats.crossJoin(F.broadcast(n_docs))
+        .select("w", "tf", "df", score.alias("tfidf"))
+        .orderBy(F.col("tfidf").desc(), "w")
+        .limit(k)
+    )
+
+
+@register(
+    "x33_tfidf_top_terms",
+    "WITH tok AS (SELECT doc_id, unnest("
+    + _dw()
+    + ") AS w FROM documents), "
+    "stats AS (SELECT w, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df "
+    " FROM tok WHERE w <> '' GROUP BY w), "
+    "n AS (SELECT COUNT(*)::DOUBLE AS n FROM documents) "
+    "SELECT w, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, "
+    " round(tf * ln(n / df), 6) AS tfidf "
+    "FROM stats CROSS JOIN n ORDER BY tfidf DESC, w LIMIT 50",
+    "corpus TF-IDF term ranking: tf * ln(N/df), top-50 (rare-but-frequent "
+    "terms; boilerplate scores ~0)",
+)
+def x33_tfidf(spark, sf_dir) -> DataFrame:
+    out = tfidf_top_terms(t(spark, sf_dir, "documents"), k=50)
+    return out.select(
+        "w",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("df").cast("long").alias("df"),
+        "tfidf",
+    )

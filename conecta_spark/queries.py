@@ -379,8 +379,8 @@ def _load_extensions() -> None:
 _ROWS_ONLY = ("x09", "x13", "x14", "x18")  # no oracle -> weak driver rows
 _PRIORITY_TIERS: tuple[tuple[str, ...], ...] = (
     tuple(f"q{i:02d}" for i in range(1, 17)),  # core q01-q16
-    tuple(  # oracle-checked extensions x01-x32
-        f"x{i:02d}" for i in range(1, 33) if f"x{i:02d}" not in _ROWS_ONLY
+    tuple(  # oracle-checked extensions x01-x33
+        f"x{i:02d}" for i in range(1, 34) if f"x{i:02d}" not in _ROWS_ONLY
     ),
     ("q24", "q35", "q37"),  # oracle changed -> needs fresh driver row
     _ROWS_ONLY,
