@@ -234,3 +234,65 @@ class TestBinaryGeoDecoders:
         ).collect()[0]["v"] is None
         with pytest.raises(ValueError):
             decode_geo_binary("b", "text")
+
+
+class TestGeoDecoderProperties:
+    """Property-based agreement between the binary and text decode paths
+    (hypothesis; driver-side only -- no Spark jobs, so thousands of cases
+    are cheap)."""
+
+    def test_fixed_forms_roundtrip(self):
+        import struct
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from conecta_spark.types import _GEO_FIXED_WIDTH, _decode_geo_bytes
+
+        coords = st.floats(
+            min_value=-1e12, max_value=1e12, allow_nan=False, width=64
+        )
+
+        @settings(max_examples=200, deadline=None)
+        @given(data=st.data())
+        def check(data):
+            for pg_type, n in _GEO_FIXED_WIDTH.items():
+                vals = [data.draw(coords) for _ in range(n)]
+                raw = struct.pack(f">{n}d", *vals)
+                assert _decode_geo_bytes(pg_type, raw) == vals
+
+        check()
+
+    def test_path_polygon_headers_roundtrip(self):
+        import struct
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from conecta_spark.types import _decode_geo_bytes
+
+        pts = st.lists(
+            st.tuples(
+                st.floats(min_value=-1e9, max_value=1e9, allow_nan=False),
+                st.floats(min_value=-1e9, max_value=1e9, allow_nan=False),
+            ),
+            min_size=1,
+            max_size=16,
+        )
+
+        @settings(max_examples=100, deadline=None)
+        @given(points=pts, is_open=st.booleans())
+        def check(points, is_open):
+            flat = [c for p in points for c in p]
+            body = struct.pack(f">{len(flat)}d", *flat)
+            path = (
+                (b"\x01" if is_open else b"\x00")
+                + len(points).to_bytes(4, "big")
+                + body
+            )
+            got = _decode_geo_bytes("path", path)
+            assert got == [1.0 if is_open else 0.0, float(len(points)), *flat]
+            poly = len(points).to_bytes(4, "big") + body
+            assert _decode_geo_bytes("polygon", poly) == flat
+
+        check()
