@@ -105,19 +105,20 @@ class ParquetDirSource(Source):
 
     #: Temp views are SESSION-GLOBAL by name: two sources over different
     #: directories both register a view called ``lineitem``, and whichever
-    #: registered last wins for every source.  Track the owning root per
-    #: session so a pooled/cached source re-registers its own views when
-    #: another directory has clobbered them (cheap: re-registration only
-    #: happens on an actual directory switch).
-    _VIEW_OWNER: dict[int, str] = {}
+    #: registered last wins for every source.  Track the owning (root,
+    #: format) per session so a pooled/cached source re-registers its own
+    #: views when another catalog has clobbered them (cheap:
+    #: re-registration only happens on an actual catalog switch).
+    _VIEW_OWNER: dict[int, tuple[str, str]] = {}
 
     def register_views(self) -> None:
         key = id(self.spark)
-        if ParquetDirSource._VIEW_OWNER.get(key) == self.root:
+        mine = (self.root, self.EXT)
+        if ParquetDirSource._VIEW_OWNER.get(key) == mine:
             return
         for stem, path in self.tables.items():
             self._load(path).createOrReplaceTempView(stem)
-        ParquetDirSource._VIEW_OWNER[key] = self.root
+        ParquetDirSource._VIEW_OWNER[key] = mine
 
     def query(self, sql: str) -> DataFrame:
         self.register_views()
