@@ -200,7 +200,7 @@ def _duck_clusters_sql() -> str:
         "  UNION SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u),"
         " labeled AS (SELECT src, MIN(dst) AS cluster_id FROM reach GROUP BY src)"
         " SELECT cluster_id, COUNT(*) AS n_members,"
-        " list_sort(list(src)) AS members"
+        " array_to_string(list_sort(list(src)), ',') AS members"
         " FROM labeled GROUP BY cluster_id"
     )
 
@@ -211,4 +211,16 @@ def _duck_clusters_sql() -> str:
     "near-dup clusters: connected components over verified MinHash pairs",
 )
 def x26_dedup_clusters(spark, sf_dir) -> DataFrame:
-    return dedup_clusters(t(spark, sf_dir, "documents"))
+    # The member list is serialized to a comma-joined string at the query
+    # boundary: the driver's canonicalizer sorts result columns with pandas,
+    # which cannot hash/sort array cells (r02 showed the crash) -- registered
+    # outputs must stay scalar.  `dedup_clusters` itself keeps the typed
+    # array column for programmatic use.
+    cl = dedup_clusters(t(spark, sf_dir, "documents"))
+    return cl.select(
+        "cluster_id",
+        "n_members",
+        F.array_join(
+            F.transform("members", lambda x: x.cast("string")), ","
+        ).alias("members"),
+    )
