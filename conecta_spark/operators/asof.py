@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..queries import register, t
+from ..queries import epoch_micros, register, t
 
 
 def asof_join(
@@ -144,11 +144,12 @@ def interval_join(
     "prior purchase (union+window form; DuckDB native ASOF JOIN oracle)",
 )
 def x22_asof(spark, sf_dir) -> DataFrame:
-    ev = t(spark, sf_dir, "events").select(
+    events = t(spark, sf_dir, "events")
+    ev = events.select(
         "event_id",
         "user_id",
         "event_type",
-        F.unix_micros(F.col("ts")).alias("tsu"),
+        epoch_micros(events).alias("tsu"),
     )
     errors = ev.where(F.col("event_type") == "error").select(
         "user_id", "tsu", "event_id"
@@ -175,9 +176,10 @@ def x22_asof(spark, sf_dir) -> DataFrame:
     "(bucketized equi-join; plain theta-join oracle)",
 )
 def x23_interval(spark, sf_dir) -> DataFrame:
-    ev = t(spark, sf_dir, "events").select(
+    events = t(spark, sf_dir, "events")
+    ev = events.select(
         "user_id",
-        F.unix_micros(F.col("ts")).alias("tsu"),
+        epoch_micros(events).alias("tsu"),
         "event_type",
     )
     purchases = ev.where(F.col("event_type") == "purchase").select(

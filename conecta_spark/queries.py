@@ -73,6 +73,28 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.table(name)
 
 
+def epoch_micros(df: DataFrame, col: str = "ts") -> Column:
+    """Microseconds since the epoch for a timestamp column, robust to the
+    session reading parquet naive timestamps as TIMESTAMP or TIMESTAMP_NTZ.
+
+    The testdata's ``events.ts`` is parquet ``timestamp[us]`` with
+    isAdjustedToUTC=false; Spark 4 reads that as TIMESTAMP_NTZ whenever
+    ``spark.sql.parquet.inferTimestampNTZ.enabled`` is true (the driver's
+    session does), and ``unix_micros`` rejects NTZ outright.  For NTZ we
+    difference against the NTZ epoch instead -- pure field arithmetic,
+    independent of the session timezone, and exactly DuckDB's ``epoch_us``
+    on a naive timestamp.
+    """
+    from pyspark.sql import types as T
+
+    if isinstance(df.schema[col].dataType, T.TimestampNTZType):
+        return F.expr(
+            "timestampdiff(MICROSECOND, "
+            f"TIMESTAMP_NTZ '1970-01-01 00:00:00', `{col}`)"
+        )
+    return F.unix_micros(F.col(col))
+
+
 def dsum(col: Column | str, alias: str) -> Column:
     """Order-independent SUM of a double column (see module docstring)."""
     c = F.col(col) if isinstance(col, str) else col

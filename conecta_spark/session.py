@@ -41,6 +41,13 @@ DEFAULT_CONFIGS: dict[str, str] = {
     "spark.sql.parquet.aggregatePushdown": "true",
     # Deterministic timestamp semantics vs the DuckDB oracle.
     "spark.sql.session.timeZone": "UTC",
+    # Naive parquet timestamps (isAdjustedToUTC=false, e.g. events.ts) read
+    # as TIMESTAMP_NTZ, pinned explicitly so local sessions match the
+    # driver's regardless of the Spark default: NTZ arithmetic is
+    # timezone-independent and equals DuckDB's naive-timestamp semantics.
+    # Timestamp consumers go through queries.epoch_micros, which handles
+    # both TIMESTAMP and TIMESTAMP_NTZ.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "true",
     # ANSI off: we want permissive casts like the reference loader, which
     # never errors on overflow (it wraps in release builds).
     "spark.sql.ansi.enabled": "false",
@@ -87,6 +94,7 @@ def tune_session(spark: SparkSession) -> SparkSession:
         "spark.sql.ansi.enabled": "false",
         "spark.sql.parquet.aggregatePushdown": "true",
         "spark.sql.parquet.columnarReaderBatchSize": "16384",
+        "spark.sql.parquet.inferTimestampNTZ.enabled": "true",
     }.items():
         try:
             spark.conf.set(k, v)

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..queries import dsum, register, t, DSUM
+from ..queries import dsum, epoch_micros, register, t, DSUM
 
 SESSION_GAP_US = 1_800_000_000  # 30 min in microseconds
 
@@ -48,7 +48,7 @@ def sessionize_batch(events: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFra
 
     w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
     e = events.select(
-        "user_id", "event_id", F.unix_micros(F.col("ts")).alias("tsu")
+        "user_id", "event_id", epoch_micros(events).alias("tsu")
     )
     flagged = e.withColumn("prev_tsu", F.lag("tsu").over(w)).withColumn(
         "is_new",
@@ -78,6 +78,25 @@ def sessionize_batch(events: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFra
 # -- streaming forms ---------------------------------------------------------
 
 
+def normalize_event_ts(df: DataFrame, ts_type) -> DataFrame:
+    """Normalize the on-disk ``ts`` representation to a watermarkable
+    TIMESTAMP column.  Three generations of testdata: TIMESTAMP(NANOS)
+    (surfaced as raw long ns via nanosAsLong), timestamp[us] read as
+    TIMESTAMP_NTZ (watermarks reject NTZ:
+    EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE), and plain TIMESTAMP.  The session
+    timezone is pinned to UTC (session.py), so the NTZ cast preserves the
+    naive epoch micros exactly."""
+    from pyspark.sql import types as T
+
+    if isinstance(ts_type, T.LongType):
+        return df.withColumn(
+            "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))")
+        )
+    if isinstance(ts_type, T.TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def read_event_stream(spark, sf_dir: str, max_files_per_trigger: int | None = None) -> DataFrame:
     """readStream over the events parquet (nanos ts handled like the batch
     reader: nanosAsLong + truncate to micros).
@@ -102,15 +121,17 @@ def read_event_stream(spark, sf_dir: str, max_files_per_trigger: int | None = No
     link = os.path.join(stage, "events-000.parquet")
     if not os.path.exists(link):
         os.symlink(src_file, link)
-    # The streaming source must see the on-disk schema (ts as raw long ns).
+    # The streaming source must see the on-disk schema.  Historically the
+    # testdata stored ts as TIMESTAMP(NANOS) (surfaced as raw long ns via
+    # nanosAsLong); current testdata stores timestamp[us], which the session
+    # may read as TIMESTAMP or TIMESTAMP_NTZ.  Normalize all three to a
+    # watermarkable timestamp column.
     disk_schema = spark.read.parquet(src_file).schema
     reader = spark.readStream.schema(disk_schema).format("parquet")
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.load(stage)
-    return df.withColumn(
-        "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))")
-    )
+    return normalize_event_ts(df, disk_schema["ts"].dataType)
 
 
 def streaming_hourly_rollup(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
@@ -200,8 +221,9 @@ def streaming_sessionize(
                 }
             )
 
-    prepared = stream.withWatermark("ts", watermark).select(
-        "user_id", F.unix_micros(F.col("ts")).alias("tsu"), F.col("ts")
+    wm = stream.withWatermark("ts", watermark)
+    prepared = wm.select(
+        "user_id", epoch_micros(wm).alias("tsu"), F.col("ts")
     )
     return prepared.groupBy("user_id").applyInPandasWithState(
         fn,

@@ -6,6 +6,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 import pytest
 
+from conecta_spark.queries import epoch_micros
 from conecta_spark.streaming.events import (
     hourly_rollup,
     read_event_stream,
@@ -80,7 +81,7 @@ def test_streaming_sessionize_matches_batch(spark, sf_dir, events):
     # that END before (max_ts - gap - watermark) to be safe, keyed by
     # (user_id, start_us).
     batch = sessionize_batch(events)
-    max_ts = events.agg(F.max(F.unix_micros("ts"))).collect()[0][0]
+    max_ts = events.agg(F.max(epoch_micros(events))).collect()[0][0]
     horizon = max_ts - 1_800_000_000 - 3_600_000_000
     closed_batch = {
         (r.user_id, r.start_us, r.end_us, r.n_events)
@@ -116,12 +117,12 @@ def test_streaming_dedup_drops_replays(spark, sf_dir, events):
         link = os.path.join(stage, name)
         if not os.path.exists(link):
             os.symlink(src_file, link)
+    from conecta_spark.streaming.events import normalize_event_ts
+
     disk_schema = spark.read.parquet(src_file).schema
-    sdf = (
-        spark.readStream.schema(disk_schema)
-        .format("parquet")
-        .load(stage)
-        .withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+    sdf = normalize_event_ts(
+        spark.readStream.schema(disk_schema).format("parquet").load(stage),
+        disk_schema["ts"].dataType,
     )
     deduped = streaming_dedup(sdf, keys=["event_id"])
     out = _run_stream(spark, deduped.select("event_id"), "dedup_replay")
