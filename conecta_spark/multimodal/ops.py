@@ -192,4 +192,8 @@ def x17_payload_stats(spark, sf_dir) -> DataFrame:
 )
 def x18_decode(spark, sf_dir) -> DataFrame:
     d = attach_payloads(t(spark, sf_dir, "documents"))
-    return decode_images(d)
+    # Registry boundary: the driver canonicalizer only handles scalar
+    # columns, so hex the binary thumb (tests/test_registry_schema.py).
+    return decode_images(d).withColumn("thumb_hex", F.hex("thumb")).drop(
+        "thumb"
+    )

@@ -404,8 +404,11 @@ _PRIORITY_TIERS: tuple[tuple[str, ...], ...] = (
     tuple(  # oracle-checked extensions x01-x33
         f"x{i:02d}" for i in range(1, 34) if f"x{i:02d}" not in _ROWS_ONLY
     ),
-    ("q24", "q35", "q37"),  # oracle changed -> needs fresh driver row
+    # x14/x18 had never been driver-executed through round 3 (displaced by
+    # the 50-entry cap); promote all rows-only entries ahead of the
+    # SQL-surface queries that are already double-proven (green r02+r03).
     _ROWS_ONLY,
+    ("q24", "q35", "q37"),  # driver-green in r02 and r03
     ("q17", "q28", "q29", "q30"),  # top-k + TPC-H shapes
 )
 
