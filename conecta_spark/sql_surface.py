@@ -580,3 +580,148 @@ def q39(spark, sf_dir) -> DataFrame:
             "'disc', CAST(l_discount AS DOUBLE)) AS (measure, val)"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# round-4 additions: grouping sets, explode, ranking, frames, per-group
+# top-n, ordered string aggregation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q40_grouping_sets",
+    "SELECT l_returnflag AS rf, l_linestatus AS ls, "
+    " GROUPING(l_returnflag) AS g_rf, GROUPING(l_linestatus) AS g_ls, "
+    " COUNT(*) AS n, " + DSUM("l_quantity") + " AS sum_qty "
+    "FROM lineitem "
+    "GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())",
+    "explicit GROUPING SETS with GROUPING() disambiguation -- the general "
+    "form behind ROLLUP (q26) and CUBE (q37); one shuffle, Spark expands "
+    "the sets map-side",
+)
+def q40(spark, sf_dir) -> DataFrame:
+    catalog(spark, sf_dir)
+    return spark.sql(
+        "SELECT l_returnflag AS rf, l_linestatus AS ls, "
+        " GROUPING(l_returnflag) AS g_rf, GROUPING(l_linestatus) AS g_ls, "
+        " COUNT(*) AS n, " + DSUM("l_quantity") + " AS sum_qty "
+        "FROM lineitem "
+        "GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"
+    )
+
+
+@register(
+    "q41_explode_tokens",
+    "SELECT p_partkey, UNNEST(string_split(p_name, ' ')) AS tok FROM part",
+    "lateral explode of a split column: generator expands JVM-side inside "
+    "whole-stage codegen, zero shuffle (DuckDB oracle: UNNEST)",
+)
+def q41(spark, sf_dir) -> DataFrame:
+    return t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.explode(F.split(F.col("p_name"), " ")).alias("tok"),
+    )
+
+
+@register(
+    "q42_ranking_funcs",
+    "SELECT c_custkey, c_mktsegment, "
+    " NTILE(4) OVER w AS quartile, "
+    " PERCENT_RANK() OVER w AS pct_rank, "
+    " CUME_DIST() OVER w AS cume "
+    "FROM customer "
+    "WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)",
+    "distribution window functions (ntile/percent_rank/cume_dist): one "
+    "shuffle on the partition key; tie-broken ORDER BY for determinism",
+)
+def q42(spark, sf_dir) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@register(
+    "q43_frame_first_last",
+    "SELECT o_orderkey, o_custkey, "
+    " FIRST_VALUE(o_totalprice) OVER w AS first_price, "
+    " LAST_VALUE(o_totalprice) OVER w AS last_price, "
+    " NTH_VALUE(o_totalprice, 2) OVER w AS second_price "
+    "FROM orders "
+    "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)",
+    "navigation functions over an explicit unbounded ROWS frame -- "
+    "first/last/nth order per customer; frame pinned so last_value is not "
+    "the running default",
+)
+def q43(spark, sf_dir) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+    )
+
+
+@register(
+    "q44_top2_per_group",
+    "SELECT o_custkey, o_orderkey, o_totalprice FROM ("
+    " SELECT o_custkey, o_orderkey, o_totalprice, "
+    "  ROW_NUMBER() OVER (PARTITION BY o_custkey "
+    "   ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) "
+    "WHERE rn <= 2",
+    "greatest-n-per-group via row_number + filter: Spark pushes the rank "
+    "filter into the window sort (WindowGroupLimit -- per-partition top-n "
+    "heaps, not a full sort of every group)",
+)
+def q44(spark, sf_dir) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return (
+        t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= 2)
+        .drop("rn")
+    )
+
+
+@register(
+    "q45_string_agg",
+    "SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS names, "
+    " COUNT(*) AS n FROM nation GROUP BY n_regionkey",
+    "ordered string aggregation: deterministic via explicit element sort "
+    "(collect_list order is undefined in Spark -- array_sort pins it)",
+)
+def q45(spark, sf_dir) -> DataFrame:
+    return (
+        t(spark, sf_dir, "nation")
+        .groupBy("n_regionkey")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_list("n_name")), ","
+            ).alias("names"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
