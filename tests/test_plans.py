@@ -161,3 +161,26 @@ def test_scan_partition_count_scales(spark, sf):
     # One scan + a range filter; row-level invariant checked in test_read_sql.
     p = plan(df)
     assert "PushedFilters" in p
+
+
+def test_explode_is_zero_shuffle_generate(spark, sf):
+    """q41: generator expansion happens inside the scan stage -- no
+    exchange, no Python worker."""
+    p = plan(REGISTRY["q41_explode_tokens"].fn(spark, sf))
+    assert node_count(p, "Exchange") == 0
+    assert "Python" not in p
+
+
+def test_top2_per_group_uses_window_group_limit(spark, sf):
+    """q44: the rank filter must become per-partition top-n heaps
+    (WindowGroupLimit), not a full sort of every group."""
+    p = plan(REGISTRY["q44_top2_per_group"].fn(spark, sf))
+    assert node_count(p, "WindowGroupLimit") >= 1
+
+
+def test_grouping_sets_single_shuffle(spark, sf):
+    """q40: the three grouping sets expand map-side into one aggregate --
+    exactly one shuffle, with partial aggregation before it."""
+    p = plan(REGISTRY["q40_grouping_sets"].fn(spark, sf))
+    assert node_count(p, "Exchange") == 1
+    assert "Expand" in p
