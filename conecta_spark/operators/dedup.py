@@ -745,3 +745,41 @@ def x08_simhash(spark, sf_dir) -> DataFrame:
 def x09_minhash_ml(spark, sf_dir) -> DataFrame:
     docs = t(spark, sf_dir, "documents").where(F.col("doc_id") < BASELINE_SLICE)
     return minhash_lsh_ml(docs, threshold=0.5)
+
+
+@register(
+    "x34_dedup_rate_by_source",
+    "WITH g AS (SELECT source, "
+    " COUNT(*) OVER (PARTITION BY text) AS grp_n FROM documents) "
+    "SELECT source, COUNT(*) AS n_docs, "
+    " CAST(SUM(CASE WHEN grp_n > 1 THEN 1 ELSE 0 END) AS BIGINT) "
+    "  AS n_dup_docs, "
+    " round(SUM(CASE WHEN grp_n > 1 THEN 1 ELSE 0 END) "
+    "  / CAST(COUNT(*) AS DOUBLE), 6) AS dup_frac "
+    "FROM g GROUP BY source",
+    "per-source duplicate exposure: fraction of each source's docs whose "
+    "content appears more than once corpus-wide -- the diagnostic that "
+    "tells you WHICH feed to fix, not just the global dup rate",
+)
+def x34_dedup_rate_by_source(spark, sf_dir) -> DataFrame:
+    """Content-hash group sizes (one shuffle on the fixed-width sha256 key,
+    never on raw text), re-grouped by source.  At 100 TB both shuffles
+    carry skinny rows (hash, source); the text column never leaves the
+    scan.  Window-over-hash rather than groupBy+join back: one shuffle
+    fewer, and the partition key is uniform by construction."""
+    from pyspark.sql.window import Window
+
+    d = t(spark, sf_dir, "documents").select(
+        "source", F.sha2(F.col("text"), 256).alias("content_hash")
+    )
+    g = d.withColumn(
+        "grp_n", F.count(F.lit(1)).over(Window.partitionBy("content_hash"))
+    )
+    dup = F.when(F.col("grp_n") > 1, 1).otherwise(0)
+    return g.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(dup).cast("long").alias("n_dup_docs"),
+        F.round(
+            F.sum(dup) / F.count(F.lit(1)).cast("double"), 6
+        ).alias("dup_frac"),
+    )

@@ -487,3 +487,134 @@ def x13_brp_ml(spark, sf_dir) -> DataFrame:
 )
 def x14_ivf_ml(spark, sf_dir) -> DataFrame:
     return ivf_topk(t(spark, sf_dir, "embeddings"), query_id=0, k=10)
+
+
+# -- int8 quantization (scale path for 100 TB ANN) ---------------------------
+#
+# Symmetric per-vector int8: scale = max|x| / 127, q_i = floor(x_i/scale +
+# 0.5).  4x less memory bandwidth than float32 on the brute-force scan --
+# at 100 TB the kNN scan is bandwidth-bound, so this is the single biggest
+# lever before IVF cell pruning (x14).  Quantized dot products are exact
+# int64 arithmetic (|q| <= 127, dim 64 -> |dot| <= 127*127*64 < 2^20), so
+# unlike every float path the oracle parity here is bit-exact with NO
+# rounding step anywhere.
+
+
+def quantize_int8_expr(vec: str) -> str:
+    """Spark SQL: int8-quantized copy of double-array ``vec`` (array<long>
+    for arithmetic headroom; values all within [-127, 127])."""
+    amax = f"array_max(transform({vec}, x -> abs(x)))"
+    scale = f"(CASE WHEN {amax} = 0.0D THEN 1.0D ELSE {amax} / 127.0D END)"
+    return (
+        f"transform(array({scale}), s -> "
+        f"transform({vec}, x -> CAST(floor(x / s + 0.5D) AS BIGINT)))[0]"
+    )
+
+
+def duck_quantize_int8(vec: str) -> str:
+    amax = f"list_max(list_transform({vec}, x -> abs(x)))"
+    scale = f"(CASE WHEN {amax} = 0.0 THEN 1.0 ELSE {amax} / 127.0 END)"
+    return (
+        f"list_transform({vec}, x -> "
+        f"CAST(floor(x / {scale} + 0.5) AS BIGINT))"
+    )
+
+
+def quantize_stats(df: DataFrame, vec_col: str = "embedding",
+                   id_col: str = "vec_id") -> DataFrame:
+    """Per-vector quantization summary: scale plus exact integer stats of
+    the quantized values (the scalar projection of the quantized vector the
+    driver can hash; the array itself stays an internal representation)."""
+    e = _vectors(df, vec_col, id_col)
+    amax = "array_max(transform(v, x -> abs(x)))"
+    return (
+        e.withColumn(
+            "q_scale_raw",
+            F.expr(f"CASE WHEN {amax} = 0.0D THEN 1.0D "
+                   f"ELSE {amax} / 127.0D END"),
+        )
+        .withColumn("qv", F.expr(quantize_int8_expr("v")))
+        .select(
+            id_col,
+            F.round("q_scale_raw", 6).alias("q_scale"),
+            F.expr("aggregate(qv, 0L, (acc, x) -> acc + x)").alias("q_sum"),
+            F.expr("array_min(qv)").alias("q_min"),
+            F.expr("array_max(qv)").alias("q_max"),
+            F.expr("CAST(size(filter(qv, x -> abs(x) = 127)) AS BIGINT)")
+            .alias("n_sat"),
+        )
+    )
+
+
+def knn_int8_topk(
+    df: DataFrame,
+    query_id: int = 0,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Brute-force top-k by quantized integer dot product against
+    ``query_id``'s vector: same shape as :func:`knn_topk` (broadcast query
+    row, map-side scores, TakeOrdered ranking) but the scan reads int8-range
+    values and the score is exact int64 -- the memory-bandwidth-bound scale
+    path, and the only ANN variant with bit-exact oracle parity."""
+    e = _vectors(df, vec_col, id_col).select(
+        id_col, F.expr(quantize_int8_expr("v")).alias("qa")
+    )
+    q = e.where(F.col(id_col) == query_id).select(F.col("qa").alias("qb"))
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .where(F.col(id_col) != query_id)
+        .select(
+            id_col,
+            F.expr(
+                "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, "
+                "(acc, x) -> acc + x)"
+            ).alias("score"),
+        )
+    )
+    return _topk_ranked(scored, k, id_col)
+
+
+_DUCK_Q = (
+    "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+    "qe AS (SELECT vec_id, " + duck_quantize_int8("v") + " AS qa FROM e), "
+    "q AS (SELECT qa AS qb FROM qe WHERE vec_id = 0) "
+)
+
+
+@register(
+    "x35_embedding_quantize",
+    "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+    "s AS (SELECT vec_id, v, "
+    " CASE WHEN amax = 0.0 THEN 1.0 ELSE amax / 127.0 END AS sc FROM ("
+    "  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax "
+    "  FROM e)), "
+    "qq AS (SELECT vec_id, sc, list_transform(v, x -> "
+    " CAST(floor(x / sc + 0.5) AS BIGINT)) AS qv FROM s) "
+    "SELECT vec_id, round(sc, 6) AS q_scale, "
+    " CAST(list_sum(qv) AS BIGINT) AS q_sum, "
+    " list_min(qv) AS q_min, list_max(qv) AS q_max, "
+    " CAST(len(list_filter(qv, x -> abs(x) = 127)) AS BIGINT) AS n_sat "
+    "FROM qq",
+    "symmetric per-vector int8 quantization: scale + exact integer stats "
+    "of the quantized values",
+)
+def x35_quantize(spark, sf_dir) -> DataFrame:
+    return quantize_stats(t(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "x36_knn_int8_topk",
+    _DUCK_Q
+    + "SELECT vec_id, score, rank FROM ("
+    " SELECT vec_id, CAST(list_sum(list_transform(range(1, 65), "
+    "  i -> qa[i] * qb[i])) AS BIGINT) AS score, "
+    "  row_number() OVER (ORDER BY CAST(list_sum(list_transform("
+    "  range(1, 65), i -> qa[i] * qb[i])) AS BIGINT) DESC, vec_id) AS rank "
+    " FROM qe CROSS JOIN q WHERE vec_id <> 0) t WHERE rank <= 10",
+    "quantized brute-force top-10 by exact int64 dot product against "
+    "vec_id=0 (bit-exact oracle parity, no float rounding anywhere)",
+)
+def x36_knn_int8(spark, sf_dir) -> DataFrame:
+    return knn_int8_topk(t(spark, sf_dir, "embeddings"), query_id=0, k=10)

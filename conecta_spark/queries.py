@@ -408,6 +408,7 @@ _PRIORITY_TIERS: tuple[tuple[str, ...], ...] = (
     # the 50-entry cap); promote all rows-only entries ahead of the
     # SQL-surface queries that are already double-proven (green r02+r03).
     _ROWS_ONLY,
+    ("x34", "x35", "x36"),  # round-4 additions, newest-unproven first
     ("q24", "q35", "q37"),  # driver-green in r02 and r03
     ("q17", "q28", "q29", "q30"),  # top-k + TPC-H shapes
 )

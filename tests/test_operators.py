@@ -376,3 +376,31 @@ class TestClusterAndSampling:
         hist = length_histogram(docs).collect()
         assert sum(r.n_docs for r in hist) == docs.count()
         assert all(0 <= r.bucket <= 20 for r in hist)
+
+
+class TestQuantization:
+    def test_zero_vector_quantizes_to_zero(self, spark):
+        from conecta_spark.operators.simsearch import quantize_stats
+
+        df = spark.createDataFrame(
+            [(1, [0.0] * 64), (2, [1.0] + [0.0] * 63)],
+            "vec_id long, embedding array<double>",
+        )
+        rows = {r.vec_id: r for r in quantize_stats(df).collect()}
+        z = rows[1]
+        assert (z.q_scale, z.q_sum, z.q_min, z.q_max, z.n_sat) == (
+            1.0, 0, 0, 0, 0,
+        )
+        u = rows[2]  # unit spike: scale 1/127, q = [127, 0, ...]
+        assert (u.q_sum, u.q_min, u.q_max, u.n_sat) == (127, 0, 127, 1)
+
+    def test_int8_topk_close_to_float_topk(self, spark, docs_sf_dir=None):
+        """Quantization keeps ordering: the int8 top-10 must share most of
+        the float top-10 (64-dim, int8 -> tiny quantization noise)."""
+        from conecta_spark.operators.simsearch import knn_int8_topk, knn_topk
+        from conecta_spark.queries import t
+
+        emb = t(spark, "/root/testdata/sf0.01", "embeddings")
+        f = {r.vec_id for r in knn_topk(emb, query_id=0, k=10).collect()}
+        q = {r.vec_id for r in knn_int8_topk(emb, query_id=0, k=10).collect()}
+        assert len(f & q) >= 8
