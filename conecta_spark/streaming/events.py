@@ -255,6 +255,46 @@ def streaming_dedup(
     ).dropDuplicatesWithinWatermark(keys)
 
 
+def streaming_interval_pairs(
+    stream: DataFrame,
+    radius_us: int = 300_000_000,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream self-join: purchase/error event pairs within
+    ``radius_us`` per user (streaming twin of the batch interval join,
+    operators/asof.py x23, which is its correctness oracle).
+
+    The join condition ranges over the *event-time columns themselves*, so
+    Spark derives a state-retention bound from the watermark: a buffered
+    purchase row is dropped once the error-side watermark passes
+    ``p_t + radius`` -- state is O(events per watermark+radius window),
+    not O(stream history).  Rewriting the condition on derived epoch
+    columns would lose that bound and grow state forever; this is the
+    watermark-literate form."""
+    p = (
+        stream.where(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("p_t"))
+        .withWatermark("p_t", watermark)
+    )
+    a = (
+        stream.where(F.col("event_type") == "error")
+        .select(F.col("user_id").alias("a_user"), F.col("ts").alias("a_t"))
+        .withWatermark("a_t", watermark)
+    )
+    radius = F.expr(f"INTERVAL {radius_us} MICROSECOND")
+    joined = p.join(
+        a,
+        (F.col("user_id") == F.col("a_user"))
+        & (F.col("a_t") >= F.col("p_t") - radius)
+        & (F.col("a_t") <= F.col("p_t") + radius),
+    )
+    return joined.select(
+        "user_id",
+        F.unix_micros("p_t").alias("p_ts"),
+        F.unix_micros("a_t").alias("a_ts"),
+    )
+
+
 # -- registered queries ------------------------------------------------------
 
 

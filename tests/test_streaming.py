@@ -128,3 +128,20 @@ def test_streaming_dedup_drops_replays(spark, sf_dir, events):
     out = _run_stream(spark, deduped.select("event_id"), "dedup_replay")
     n = events.count()
     assert spark.table("dedup_replay").count() == n
+
+
+def test_streaming_interval_join_matches_batch(spark, sf_dir, events):
+    """Stream-stream self-join equals the batch interval join (x23) as a
+    pair set: availableNow delivers everything before the watermark can
+    drop rows, so parity is exact."""
+    from conecta_spark.queries import REGISTRY, _load_extensions
+    from conecta_spark.streaming.events import streaming_interval_pairs
+
+    _load_extensions()
+
+    sdf = streaming_interval_pairs(read_event_stream(spark, sf_dir))
+    got = _run_stream(spark, sdf, "interval_stream")
+    got_set = {(r.user_id, r.p_ts, r.a_ts) for r in got.collect()}
+    batch = REGISTRY["x23_interval_join"].fn(spark, sf_dir)
+    batch_set = {(r.user_id, r.p_ts, r.a_ts) for r in batch.collect()}
+    assert got_set == batch_set
