@@ -725,3 +725,48 @@ def q45(spark, sf_dir) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+@register(
+    "q46_rolling_range_window",
+    "WITH e AS (SELECT user_id, event_id, "
+    " epoch_us(CAST(ts AS TIMESTAMP)) AS tsu, value FROM events) "
+    "SELECT user_id, event_id, tsu, "
+    " CAST(COUNT(*) OVER w AS BIGINT) AS n_1h, "
+    " CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS v_1h "
+    "FROM e "
+    "WINDOW w AS (PARTITION BY user_id ORDER BY tsu "
+    " RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)",
+    "rolling 1-hour aggregates via a RANGE frame over event-time micros: "
+    "the standard form for rolling rates/sums on an event stream; RANGE "
+    "(not ROWS) so timestamp ties share one frame and the result is "
+    "order-independent; the DECIMAL trick keeps the windowed double SUM "
+    "independent of within-frame evaluation order",
+)
+def q46(spark, sf_dir) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from .queries import epoch_micros
+
+    events = t(spark, sf_dir, "events")
+    e = events.select(
+        "user_id",
+        "event_id",
+        epoch_micros(events).alias("tsu"),
+        "value",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tsu")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        "tsu",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .over(w)
+        .cast("double")
+        .alias("v_1h"),
+    )
