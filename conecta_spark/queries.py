@@ -382,6 +382,7 @@ def _load_extensions() -> None:
         "conecta_spark.functions.text",
         "conecta_spark.functions.quality",
         "conecta_spark.functions.stats",
+        "conecta_spark.functions.pipeline",
         "conecta_spark.streaming.events",
         "conecta_spark.multimodal.ops",
     ):
