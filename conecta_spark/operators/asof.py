@@ -33,14 +33,22 @@ def asof_join(
     left_ts: str = "tsu",
     right_ts: str = "tsu",
     right_cols: tuple = (),
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the most recent right row with
-    ``right.ts <= left.ts`` within the same ``by`` key (inclusive).
+    """For each left row, attach the nearest right row within the same
+    ``by`` key: ``direction="backward"`` takes the most recent right row
+    with ``right.ts <= left.ts`` (inclusive), ``"forward"`` the earliest
+    with ``right.ts >= left.ts``.
 
-    ``right`` must be unique per (by, ts) -- pre-aggregate it if not, or
-    ties become nondeterministic.  Right rows sort before left rows at
-    equal timestamps, so a right row at exactly the left timestamp matches.
+    Both directions are the same union+window plan -- one shuffle on the
+    key, state linear in rows -- differing only in the window's traversal
+    order.  ``right`` must be unique per (by, ts) -- pre-aggregate it if
+    not, or ties become nondeterministic.  Right rows sort before left
+    rows at equal timestamps, so a right row at exactly the left timestamp
+    matches in either direction.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     lcols = [c for c in left.columns if c not in (by, left_ts)]
     rcols = list(right_cols) or [
         c for c in right.columns if c not in (by, right_ts)
@@ -63,9 +71,14 @@ def asof_join(
     )
     from pyspark.sql.window import Window
 
+    order = (
+        [F.col("_ts").asc(), F.col("_tag").asc()]
+        if direction == "backward"
+        else [F.col("_ts").desc(), F.col("_tag").asc()]
+    )
     w = (
         Window.partitionBy(by)
-        .orderBy("_ts", "_tag")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = l_tagged.unionByName(r_tagged).select(
@@ -192,3 +205,42 @@ def x23_interval(spark, sf_dir) -> DataFrame:
         purchases, errors, by="user_id", radius_us=300_000_000
     )
     return out.select("user_id", "p_ts", "a_ts")
+
+
+@register(
+    "x38_asof_forward",
+    "WITH e AS (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu "
+    " FROM events WHERE event_type = 'error'), "
+    "p AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu, "
+    " MAX(event_id) AS next_purchase_event_id FROM events "
+    " WHERE event_type = 'purchase' GROUP BY 1, 2) "
+    "SELECT e.user_id, e.tsu, e.event_id, p.next_purchase_event_id, "
+    " p.tsu AS tsu_matched "
+    "FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND p.tsu >= e.tsu",
+    "forward as-of join: each error attributed to the user's NEXT purchase "
+    "at-or-after it (same union+window plan as x22, traversed descending; "
+    "DuckDB native forward ASOF oracle)",
+)
+def x38_asof_forward(spark, sf_dir) -> DataFrame:
+    events = t(spark, sf_dir, "events")
+    ev = events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        epoch_micros(events).alias("tsu"),
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id", "tsu", "event_id"
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "tsu")
+        .agg(F.max("event_id").alias("next_purchase_event_id"))
+    )
+    return asof_join(
+        errors,
+        purchases,
+        by="user_id",
+        right_cols=("next_purchase_event_id",),
+        direction="forward",
+    )
