@@ -184,3 +184,29 @@ def test_grouping_sets_single_shuffle(spark, sf):
     p = plan(REGISTRY["q40_grouping_sets"].fn(spark, sf))
     assert node_count(p, "Exchange") == 1
     assert "Expand" in p
+
+
+def test_quantized_knn_zero_shuffle_topk(spark, sf):
+    """x36: quantization + integer dot are map-side; the only wide op is
+    the TakeOrdered top-k merge, and the 1-row query vector broadcasts."""
+    p = plan(REGISTRY["x36_knn_int8_topk"].fn(spark, sf))
+    assert node_count(p, "Exchange") == 0
+    assert "TakeOrdered" in p
+    assert "Python" not in p
+
+
+def test_dup_rate_two_uniform_shuffles(spark, sf):
+    """x34: exactly the hash-window shuffle + the per-source aggregate;
+    no join, no Python, text never shuffled (only its sha256)."""
+    p = plan(REGISTRY["x34_dedup_rate_by_source"].fn(spark, sf))
+    assert node_count(p, "Exchange") == 2
+    assert "Join" not in p
+    assert "Python" not in p
+
+
+def test_corpus_pipeline_two_shuffles_no_python(spark, sf):
+    """x37: redaction + gating + sampling fuse into the scan stage; only
+    the dedup hash window and the per-lang aggregate shuffle."""
+    p = plan(REGISTRY["x37_corpus_pipeline"].fn(spark, sf))
+    assert node_count(p, "Exchange") == 2
+    assert "Python" not in p
