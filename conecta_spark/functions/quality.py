@@ -49,10 +49,23 @@ def gopher_signals(col: str = "text") -> list[Column]:
     uniq_frac = (
         f"size(array_distinct({words})) / CAST(greatest({n_words}, 1) AS DOUBLE)"
     )
+    # Max single-word frequency via sorted-run scan: O(w log w) instead of
+    # the O(w^2) distinct-x-filter form (per 200-word doc: ~200 lambda steps
+    # vs ~40k; higher-order functions never enter codegen, so this is pure
+    # interpreted-eval savings -- measured x19 1.35s -> ~0.4s at sf0.1).
+    # Value-identical: the longest run of equal words in the sorted array IS
+    # the max frequency count, so the DuckDB twin keeps its original form.
+    top_count = (
+        f"aggregate(array_sort({words}), "
+        "named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L), "
+        "(acc, x) -> named_struct("
+        " 'prev', x, "
+        " 'run', IF(x <=> acc.prev, acc.run + 1, 1L), "
+        " 'best', greatest(acc.best, IF(x <=> acc.prev, acc.run + 1, 1L))), "
+        "acc -> acc.best)"
+    )
     top_word_frac = (
-        f"array_max(transform(array_distinct({words}), "
-        f"w -> size(filter({words}, x -> x = w)))) / "
-        f"CAST(greatest({n_words}, 1) AS DOUBLE)"
+        f"{top_count} / CAST(greatest({n_words}, 1) AS DOUBLE)"
     )
     return [
         F.expr(n_words).cast("long").alias("n_words"),
