@@ -404,3 +404,56 @@ class TestQuantization:
         f = {r.vec_id for r in knn_topk(emb, query_id=0, k=10).collect()}
         q = {r.vec_id for r in knn_int8_topk(emb, query_id=0, k=10).collect()}
         assert len(f & q) >= 8
+
+
+class TestAsofDirection:
+    def test_invalid_direction_rejected(self, spark):
+        from conecta_spark.operators.asof import asof_join
+
+        df = spark.range(1).select(
+            F.col("id").alias("k"), F.col("id").alias("tsu")
+        )
+        with pytest.raises(ValueError, match="direction"):
+            asof_join(df, df, by="k", direction="sideways")
+
+    def test_forward_picks_next_not_prev(self, spark):
+        from conecta_spark.operators.asof import asof_join
+
+        left = spark.createDataFrame([(1, 100, "e1")], "k long, tsu long, ev string")
+        right = spark.createDataFrame(
+            [(1, 50, 7), (1, 150, 9)], "k long, tsu long, val long"
+        )
+        fwd = asof_join(left, right, by="k", right_cols=("val",),
+                        direction="forward").collect()[0]
+        back = asof_join(left, right, by="k", right_cols=("val",),
+                         direction="backward").collect()[0]
+        assert (fwd.val, fwd.tsu_matched) == (9, 150)
+        assert (back.val, back.tsu_matched) == (7, 50)
+
+
+class TestQuantizationProperty:
+    def test_reconstruction_error_bounded(self, spark):
+        """|x - q*scale| <= scale/2 element-wise, q in [-127, 127] -- the
+        defining properties of symmetric round-to-nearest int8, checked on
+        a seeded random batch in one Spark job."""
+        import numpy as np
+
+        rng = np.random.default_rng(42)
+        vecs = [(i, [float(x) for x in rng.normal(0, v, 64)])
+                for i, v in enumerate([1e-3, 1.0, 50.0, 1e4], start=1)]
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+        from conecta_spark.operators.simsearch import quantize_int8_expr
+
+        rows = (
+            df.selectExpr(
+                "vec_id",
+                "embedding",
+                f"{quantize_int8_expr('embedding')} AS qv",
+                "array_max(transform(embedding, x -> abs(x))) / 127.0D AS scale",
+            )
+            .collect()
+        )
+        for r in rows:
+            assert all(-127 <= q <= 127 for q in r.qv)
+            for x, q in zip(r.embedding, r.qv):
+                assert abs(x - q * r.scale) <= r.scale / 2 + 1e-12
