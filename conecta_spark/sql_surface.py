@@ -770,3 +770,54 @@ def q46(spark, sf_dir) -> DataFrame:
         .cast("double")
         .alias("v_1h"),
     )
+
+
+_Q47_SQL = (
+    "SELECT 'except' AS op, l_returnflag FROM ("
+    " SELECT l_returnflag FROM lineitem WHERE l_quantity <= 25"
+    " EXCEPT ALL"
+    " SELECT l_returnflag FROM lineitem WHERE l_quantity <= 10) "
+    "UNION ALL "
+    "SELECT 'intersect' AS op, l_returnflag FROM ("
+    " SELECT l_returnflag FROM lineitem WHERE l_quantity <= 25"
+    " INTERSECT ALL"
+    " SELECT l_returnflag FROM lineitem WHERE l_quantity <= 10)"
+)
+
+
+@register(
+    "q47_set_ops_all",
+    _Q47_SQL,
+    "multiplicity-preserving set operations (EXCEPT ALL / INTERSECT ALL): "
+    "bag semantics, a different operator from q19's distinct set ops -- "
+    "Spark plans both as a single aggregate over tagged counts, not a "
+    "distinct + join",
+)
+def q47(spark, sf_dir) -> DataFrame:
+    catalog(spark, sf_dir)
+    return spark.sql(_Q47_SQL)
+
+
+@register(
+    "q48_full_outer_join",
+    "SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey, "
+    " CAST(c.c_custkey IS NULL AS INT) AS only_orders, "
+    " CAST(o.o_custkey IS NULL AS INT) AS only_customer, "
+    " c.c_name, o.o_orderkey "
+    "FROM customer c FULL OUTER JOIN orders o "
+    " ON c.c_custkey = o.o_custkey",
+    "FULL OUTER JOIN with null-side flags: preserves unmatched rows from "
+    "BOTH relations (q23 covers left outer; full outer cannot broadcast "
+    "-- Spark must plan a shuffled join, which is the correct plan)",
+)
+def q48(spark, sf_dir) -> DataFrame:
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    j = c.join(o, c.c_custkey == o.o_custkey, "full_outer")
+    return j.select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        F.col("c_custkey").isNull().cast("int").alias("only_orders"),
+        F.col("o_custkey").isNull().cast("int").alias("only_customer"),
+        "c_name",
+        "o_orderkey",
+    )
