@@ -145,3 +145,29 @@ def test_streaming_interval_join_matches_batch(spark, sf_dir, events):
     batch = REGISTRY["x23_interval_join"].fn(spark, sf_dir)
     batch_set = {(r.user_id, r.p_ts, r.a_ts) for r in batch.collect()}
     assert got_set == batch_set
+
+
+def test_checkpointed_file_sink_is_exactly_once(spark, sf_dir, events, tmp_path_factory):
+    """Durable sink semantics: a parquet sink driven by a checkpoint must
+    not re-emit rows when the same stream is restarted over unchanged
+    input -- the recovery property a production pipeline relies on."""
+    base = tmp_path_factory.mktemp("stream_sink")
+    out, ckpt = str(base / "out"), str(base / "ckpt")
+
+    def run_once():
+        sdf = read_event_stream(spark, sf_dir).select("event_id", "user_id")
+        q = (
+            sdf.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    n_first = spark.read.parquet(out).count()
+    assert n_first == events.count()
+    run_once()  # restart over the same input: checkpoint says all consumed
+    assert spark.read.parquet(out).count() == n_first
