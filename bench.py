@@ -74,17 +74,39 @@ def main() -> None:
             print(f"bench: {name} failed: {e}", file=sys.stderr)
             timings[name] = -1.0
     total = round(sum(v for v in timings.values() if v >= 0), 4)
-    print(
-        json.dumps(
+    # The driver records only the LAST 2000 chars of stdout and tries to
+    # parse the JSON line out of it -- with 86 full-name queries the line is
+    # ~3 KB and has been truncated (BENCH_r01..r03 all show parsed: null).
+    # Key the queries dict by the unique registry prefix ("q01", "x07" --
+    # the contract's own example form) and emit compact separators so the
+    # whole line fits the capture window; the full-name map goes to stderr
+    # for humans.
+    short = {n.split("_", 1)[0]: v for n, v in timings.items()}
+    assert len(short) == len(timings), "registry prefixes must stay unique"
+    line = json.dumps(
+        {
+            "metric": "total_query_wall_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": short,
+            "sf": float(sf),
+        },
+        separators=(",", ":"),
+    )
+    if len(line) > 1900:  # stay inside the window even if the registry grows
+        short = {k: round(v, 2) for k, v in short.items()}
+        line = json.dumps(
             {
                 "metric": "total_query_wall_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": short,
                 "sf": float(sf),
-            }
+            },
+            separators=(",", ":"),
         )
-    )
+    print(json.dumps({"query_names": sorted(timings)}), file=sys.stderr)
+    print(line)
 
 
 if __name__ == "__main__":
