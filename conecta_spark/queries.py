@@ -400,16 +400,27 @@ def _load_extensions() -> None:
 # changed this round (re-proof needed), then the remaining SQL-surface
 # variants that were already hash-green in round 1.
 _ROWS_ONLY = ("x09", "x13", "x14", "x18")  # no oracle -> weak driver rows
+# Shape-redundant, driver-green-in-multiple-rounds entries demoted to the
+# tail so never-driver-executed round-4 operators fit the 50-slot window
+# (the round-2 verdict's own rotation advice): their r02/r03 green rows
+# stand as evidence and the local oracle still checks them every run.
+_STABLE_DEMOTED = ("x27", "x28", "x29", "x32")
 _PRIORITY_TIERS: tuple[tuple[str, ...], ...] = (
     tuple(f"q{i:02d}" for i in range(1, 17)),  # core q01-q16
     tuple(  # oracle-checked extensions x01-x33
-        f"x{i:02d}" for i in range(1, 34) if f"x{i:02d}" not in _ROWS_ONLY
+        f"x{i:02d}"
+        for i in range(1, 34)
+        if f"x{i:02d}" not in _ROWS_ONLY + _STABLE_DEMOTED
     ),
     # x14/x18 had never been driver-executed through round 3 (displaced by
     # the 50-entry cap); promote all rows-only entries ahead of the
     # SQL-surface queries that are already double-proven (green r02+r03).
     _ROWS_ONLY,
-    ("x34", "x35", "x36"),  # round-4 additions, newest-unproven first
+    # round-4 additions, flagship first: the oracled pipeline composition,
+    # the quantized ANN pair, the forward as-of.
+    ("x37", "x36", "x35", "x34", "x38"),
+    ("q46", "q47", "q48"),  # round-4 SQL shapes
+    _STABLE_DEMOTED,
     ("q24", "q35", "q37"),  # driver-green in r02 and r03
     ("q17", "q28", "q29", "q30"),  # top-k + TPC-H shapes
 )
