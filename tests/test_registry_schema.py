@@ -46,3 +46,15 @@ def test_output_columns_are_scalar(name, spark, sf_dir):
         f"{name} emits non-scalar columns the driver cannot canonicalize: "
         f"{bad}; stringify at the query boundary (array_join / to_json)"
     )
+
+
+def test_registry_prefixes_unique():
+    """bench.py keys its driver-facing JSON by the registry-name prefix
+    ("q01", "x37") to fit the driver's 2000-char capture window; a prefix
+    collision would silently drop a timing."""
+    names = list(REGISTRY)
+    prefixes = [n.split("_", 1)[0] for n in names]
+    assert len(set(prefixes)) == len(names), (
+        "duplicate registry prefixes: "
+        f"{[p for p in prefixes if prefixes.count(p) > 1]}"
+    )
