@@ -241,3 +241,55 @@ def x33_tfidf(spark, sf_dir) -> DataFrame:
         F.col("df").cast("long").alias("df"),
         "tfidf",
     )
+
+
+def token_commonness(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-doc mean corpus-frequency of its tokens -- the integer-exact
+    core of perplexity-proxy filtering (docs of rare/garbled tokens score
+    low, template/boilerplate docs score high).
+
+    Dataflow: explode tokens -> vocabulary counts (shuffle 1, partial-
+    aggregated) -> join counts back to tokens (shuffle 2; at 100 TB the
+    vocabulary is Zipf-bounded and usually broadcastable -- AQE picks) ->
+    per-doc aggregate (shuffle 3).  All arithmetic is exact BIGINT sums
+    with ONE double division per doc, so Spark and DuckDB agree
+    bit-for-bit; a log-prob variant was rejected because ln() may differ
+    in the last ulp between the JVM and libm, breaking hash parity.
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(F.expr(_w(text_col))).alias("w")
+    ).where(F.length("w") > 0)
+    vocab = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = (
+        tok.join(vocab, "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum("c").alias("c_sum"),
+        )
+    )
+    return per_doc.select(
+        id_col,
+        "n_tok",
+        (F.col("c_sum").cast("double") / F.col("n_tok")).alias(
+            "mean_token_df"
+        ),
+    )
+
+
+@register(
+    "x39_token_commonness",
+    "WITH tok AS (SELECT doc_id, unnest("
+    + _dw("text")
+    + ") AS w FROM documents), "
+    "tok2 AS (SELECT doc_id, w FROM tok WHERE length(w) > 0), "
+    "vocab AS (SELECT w, COUNT(*) AS c FROM tok2 GROUP BY w) "
+    "SELECT doc_id, COUNT(*) AS n_tok, "
+    " CAST(SUM(c) AS DOUBLE) / COUNT(*) AS mean_token_df "
+    "FROM tok2 JOIN vocab USING (w) GROUP BY doc_id",
+    "per-doc mean corpus token frequency (integer-exact perplexity-proxy "
+    "quality signal; rare-token docs score low)",
+)
+def x39_token_commonness(spark, sf_dir) -> DataFrame:
+    return token_commonness(t(spark, sf_dir, "documents"))
