@@ -135,3 +135,69 @@ def x29_stratified(spark, sf_dir) -> DataFrame:
         F.count(F.lit(1)).alias("n_kept"),
         F.min("doc_id").alias("first_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# balanced source mixing (training-mix construction)
+# ---------------------------------------------------------------------------
+
+_MIX_BUCKETS = 10_000
+
+
+def balanced_source_mix(
+    df: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    weight_col: str = "n_chars",
+) -> DataFrame:
+    """Downsample every source toward the smallest source's document count
+    (a balanced training mix), deterministically: a document survives iff
+    its hash bucket (of 10000) falls below ``10000 * min_count DIV
+    source_count`` -- pure BIGINT arithmetic, so the kept *set* is a
+    function of the data alone (same rows on any engine or partitioning),
+    and the achieved per-source counts concentrate within ~1% of target.
+    Returns the per-source audit: total docs, kept docs, kept chars.
+
+    Scale design: per-source counts are one tiny partial aggregation,
+    broadcast-joined back onto the corpus (the corpus itself never
+    shuffles -- compare a window over ``source``, which would shuffle
+    100 TB by a low-cardinality, skew-prone key); the survivor filter is a
+    map-side integer predicate, and the audit re-aggregates to one row per
+    source.  Rates adapt automatically as sources grow: re-running after
+    ingest keeps the mix balanced with no re-tuning.
+    """
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_total"))
+    tgt = counts.agg(F.min("n_total").alias("m"))
+    kept = (
+        df.join(F.broadcast(counts), source_col)
+        .crossJoin(F.broadcast(tgt))
+        .where(
+            hash_bucket(id_col, _MIX_BUCKETS)
+            < F.expr(f"{_MIX_BUCKETS} * m DIV n_total")
+        )
+    )
+    return kept.groupBy(source_col, "n_total").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum(weight_col).cast("long").alias("chars_kept"),
+    )
+
+
+@register(
+    "x41_balanced_source_mix",
+    "WITH counts AS (SELECT source, COUNT(*) AS n_total FROM documents "
+    " GROUP BY source), "
+    "tgt AS (SELECT MIN(n_total) AS m FROM counts), "
+    "kept AS ("
+    " SELECT d.source, d.n_chars, c.n_total"
+    " FROM documents d JOIN counts c ON d.source = c.source CROSS JOIN tgt"
+    f" WHERE {_duck_bucket('d.doc_id', _MIX_BUCKETS)}"
+    f"  < ({_MIX_BUCKETS} * tgt.m) // c.n_total) "
+    "SELECT source, n_total, COUNT(*) AS n_kept, "
+    " CAST(SUM(n_chars) AS BIGINT) AS chars_kept "
+    "FROM kept GROUP BY source, n_total",
+    "balanced training-mix sampler: every source deterministically "
+    "downsampled toward the smallest source's count (corpus never "
+    "shuffles; per-source audit row out)",
+)
+def x41_source_mix(spark, sf_dir) -> DataFrame:
+    return balanced_source_mix(t(spark, sf_dir, "documents"))

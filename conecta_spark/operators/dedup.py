@@ -783,3 +783,81 @@ def x34_dedup_rate_by_source(spark, sf_dir) -> DataFrame:
             F.sum(dup) / F.count(F.lit(1)).cast("double"), 6
         ).alias("dup_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# span-level (sub-document) exact dedup -- C4/RefinedWeb-style
+# ---------------------------------------------------------------------------
+
+
+def span_dedup_stats(
+    df: DataFrame,
+    span_words: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document duplicated-span accounting: segment each document into
+    consecutive ``span_words``-word spans, count every span's occurrences
+    across the whole corpus, and report per document how many of its spans
+    are globally duplicated (occur >= 2 times anywhere, including within
+    the same document).  This is the sub-document twin of x05: exact dedup
+    finds identical *documents*; span dedup finds boilerplate *inside*
+    otherwise-distinct documents (the C4 "repeated three-sentence span"
+    rule, re-expressed over fixed word windows since the corpus has no
+    sentence boundaries).
+
+    Scale design: the spans are keyed by a 16-hex-char prefix of the span's
+    sha256 (fixed 16-byte-ish key, uniform by construction -- no skew), so
+    the document text itself never shuffles: the exploded relation is
+    (doc_id, hash16) pairs only.  Three skinny shuffles: span-count partial
+    aggregation on the hash, hash-join of spans to counts on the same key,
+    and the final per-doc re-aggregation.  At 100 TB each is a
+    fixed-width-pair shuffle ~2 orders of magnitude smaller than the text.
+    64-bit truncation keeps collision odds negligible below ~10^9 distinct
+    spans per the birthday bound; widen the prefix for larger corpora.
+    """
+    w = F.split(F.col(text_col), " ")
+    spans = df.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(w), F.lit(span_words)),
+                lambda i: F.substring(
+                    F.sha2(
+                        F.array_join(F.slice(w, i, span_words), " "), 256
+                    ),
+                    1,
+                    16,
+                ),
+            )
+        ).alias("h"),
+    )
+    counts = spans.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    dup = F.when(F.col("c") >= 2, 1).otherwise(0)
+    return (
+        spans.join(counts, "h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(dup).cast("long").alias("n_dup_spans"),
+        )
+    )
+
+
+@register(
+    "x40_span_dedup",
+    "WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents), "
+    "spans AS ("
+    " SELECT doc_id, substr(sha256(array_to_string(ws[i:i+7], ' ')), 1, 16)"
+    "  AS h FROM w, UNNEST(range(1, len(ws)+1, 8)) AS t(i)), "
+    "counts AS (SELECT h, COUNT(*) AS c FROM spans GROUP BY h) "
+    "SELECT s.doc_id, COUNT(*) AS n_spans, "
+    " CAST(SUM(CASE WHEN c.c >= 2 THEN 1 ELSE 0 END) AS BIGINT)"
+    "  AS n_dup_spans "
+    "FROM spans s JOIN counts c ON s.h = c.h GROUP BY s.doc_id",
+    "sub-document exact dedup: per-doc count of 8-word spans that recur "
+    "anywhere in the corpus (C4-style boilerplate detection; text never "
+    "shuffles -- only fixed-width span hashes)",
+)
+def x40_span_dedup(spark, sf_dir) -> DataFrame:
+    return span_dedup_stats(t(spark, sf_dir, "documents"))

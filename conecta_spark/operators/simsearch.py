@@ -618,3 +618,81 @@ def x35_quantize(spark, sf_dir) -> DataFrame:
 )
 def x36_knn_int8(spark, sf_dir) -> DataFrame:
     return knn_int8_topk(t(spark, sf_dir, "embeddings"), query_id=0, k=10)
+
+
+# -- deterministic centroid assignment (IVF coarse step, exact) --------------
+
+
+def centroid_assign(
+    df: DataFrame,
+    k: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Assign every vector to its best of ``k`` fixed centroids (the
+    vectors with the ``k`` lowest ids -- deterministic seeds, the same
+    convention as IVF's build step) by maximum quantized-int8 dot product,
+    and return the per-centroid census: assigned count + exact integer
+    score total.  This is the coarse-assignment half of IVF clustering
+    exposed as an auditable standalone: the census tells you whether the
+    cell population is balanced before you commit to an index build.
+
+    Scoring is the x36 int8 path, so assignment is exact int64 arithmetic
+    with NO float comparisons anywhere -- the argmax is bit-reproducible on
+    any engine (ties break to the lowest centroid id via max on
+    (score, -cid)).
+
+    Scale design: the k quantized centroids collapse into ONE array-of-
+    structs row, broadcast to every task; per-vector argmax is then a
+    map-side array fold (no per-centroid row explosion, no shuffle of the
+    embedding relation at all) and only the k-row census aggregates.  At
+    100 TB this plans as scan -> project -> 8-row partial agg: the minimum
+    possible data movement for an assignment pass.
+    """
+    e = _vectors(df, vec_col, id_col).select(
+        id_col, F.expr(quantize_int8_expr("v")).alias("qa")
+    )
+    cents = (
+        e.where(F.col(id_col) < k)
+        .select(
+            F.expr(f"named_struct('cid', {id_col}, 'qc', qa)").alias("c")
+        )
+        .agg(F.expr("array_agg(c)").alias("cs"))
+    )
+    best = e.crossJoin(F.broadcast(cents)).select(
+        F.expr(
+            "array_max(transform(cs, c -> named_struct("
+            " 's', aggregate(zip_with(qa, c.qc, (x, y) -> x * y), 0L,"
+            "  (a, x) -> a + x),"
+            " 'negcid', -c.cid)))"
+        ).alias("b")
+    )
+    return best.groupBy(
+        (-F.col("b.negcid")).cast("long").alias("centroid_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n_assigned"),
+        F.sum("b.s").cast("long").alias("sum_score"),
+    )
+
+
+@register(
+    "x42_centroid_assign",
+    _DUCK_Q
+    + ", cents AS (SELECT vec_id AS cid, qa AS qc FROM qe WHERE vec_id < 8), "
+    "scored AS ("
+    " SELECT qe.vec_id, cents.cid,"
+    "  CAST(list_sum(list_transform(range(1, 65), i -> qa[i] * qc[i]))"
+    "   AS BIGINT) AS s,"
+    "  row_number() OVER (PARTITION BY qe.vec_id ORDER BY"
+    "   CAST(list_sum(list_transform(range(1, 65), i -> qa[i] * qc[i]))"
+    "    AS BIGINT) DESC, cents.cid) AS rn"
+    " FROM qe CROSS JOIN cents) "
+    "SELECT CAST(cid AS BIGINT) AS centroid_id, COUNT(*) AS n_assigned, "
+    " CAST(SUM(s) AS BIGINT) AS sum_score "
+    "FROM scored WHERE rn = 1 GROUP BY cid",
+    "IVF coarse assignment census: every vector assigned to its best of 8 "
+    "deterministic centroids by exact int8-quantized dot product "
+    "(broadcast centroid array, map-side argmax, zero data shuffle)",
+)
+def x42_assign(spark, sf_dir) -> DataFrame:
+    return centroid_assign(t(spark, sf_dir, "embeddings"), k=8)

@@ -399,28 +399,37 @@ def _load_extensions() -> None:
 # extension operator (x01-x29), then the SQL-surface queries whose oracle SQL
 # changed this round (re-proof needed), then the remaining SQL-surface
 # variants that were already hash-green in round 1.
-_ROWS_ONLY = ("x09", "x13", "x14", "x18")  # no oracle -> weak driver rows
-# Shape-redundant, driver-green-in-multiple-rounds entries demoted to the
-# tail so never-driver-executed round-4 operators fit the 50-slot window
-# (the round-2 verdict's own rotation advice): their r02/r03 green rows
-# stand as evidence and the local oracle still checks them every run.
-_STABLE_DEMOTED = ("x27", "x28", "x29", "x32")
+# Window composition for round 4 (50 slots): core operators, then the three
+# r03-errored queries whose TIMESTAMP_NTZ fix must be proven by a green
+# driver row, then every entry the driver has NEVER executed (displaced by
+# the cap in r01-r03 or added this round), then the flagship extension
+# operators.  Everything demoted below slot 50 is hash-green in r02/r03 and
+# still locally oracle-checked every test run; those rows stand.
+_REGRESSION_PROOFS = ("x16", "x22", "x23")  # errored in r03, fixed this round
+_NEVER_DRIVER_RUN = (
+    # flagship pipeline first, then the round-4 operator wave
+    "x37", "x36", "x35", "x34", "x38", "x39", "x40", "x41", "x42",
+    # rows-only entries displaced by the cap in every prior round
+    "x14", "x18",
+    # SQL-surface shapes added in round 4
+    "q40", "q41", "q42", "q43", "q44", "q45",
+    "q46", "q47", "q48", "q49", "q50",
+)
+_FLAGSHIP_PROVEN = (
+    "x05", "x07", "x08", "x26", "x10", "x11", "x12", "x15", "x17",
+)
 _PRIORITY_TIERS: tuple[tuple[str, ...], ...] = (
     tuple(f"q{i:02d}" for i in range(1, 17)),  # core q01-q16
-    tuple(  # oracle-checked extensions x01-x33
+    _REGRESSION_PROOFS,
+    _NEVER_DRIVER_RUN,
+    _FLAGSHIP_PROVEN,
+    # proven extension tail (green r03), most informative first
+    tuple(
         f"x{i:02d}"
         for i in range(1, 34)
-        if f"x{i:02d}" not in _ROWS_ONLY + _STABLE_DEMOTED
+        if f"x{i:02d}"
+        not in _REGRESSION_PROOFS + _NEVER_DRIVER_RUN + _FLAGSHIP_PROVEN
     ),
-    # x14/x18 had never been driver-executed through round 3 (displaced by
-    # the 50-entry cap); promote all rows-only entries ahead of the
-    # SQL-surface queries that are already double-proven (green r02+r03).
-    _ROWS_ONLY,
-    # round-4 additions, flagship first: the oracled pipeline composition,
-    # the quantized ANN pair, the forward as-of.
-    ("x37", "x36", "x35", "x34", "x38"),
-    ("q46", "q47", "q48"),  # round-4 SQL shapes
-    _STABLE_DEMOTED,
     ("q24", "q35", "q37"),  # driver-green in r02 and r03
     ("q17", "q28", "q29", "q30"),  # top-k + TPC-H shapes
 )

@@ -821,3 +821,68 @@ def q48(spark, sf_dir) -> DataFrame:
         "c_name",
         "o_orderkey",
     )
+
+
+# ---------------------------------------------------------------------------
+# recursive CTE + lateral subquery (Spark 4 surface)
+# ---------------------------------------------------------------------------
+
+
+_Q49_SPARK = (
+    "WITH RECURSIVE months(m) AS ("
+    " SELECT date_trunc('month', MIN(o_orderdate)) FROM orders"
+    " UNION ALL"
+    " SELECT m + INTERVAL '1' MONTH FROM months"
+    " WHERE m < (SELECT date_trunc('month', MAX(o_orderdate)) FROM orders)"
+    ") "
+    "SELECT CAST(months.m AS DATE) AS month_start, "
+    " COUNT(o.o_orderkey) AS n_orders, "
+    " CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))), 0.0)"
+    "  AS DOUBLE) AS total_price "
+    "FROM months LEFT JOIN orders o"
+    " ON date_trunc('month', o.o_orderdate) = months.m "
+    "GROUP BY months.m"
+)
+
+
+@register(
+    "q49_recursive_month_spine",
+    # DuckDB twin: identical but for the interval literal spelling.
+    _Q49_SPARK.replace("INTERVAL '1' MONTH", "INTERVAL 1 MONTH"),
+    "WITH RECURSIVE month spine from MIN to MAX order date, LEFT JOINed to "
+    "per-month order totals -- gap-preserving time series (months with no "
+    "orders appear with n_orders=0).  Recursion depth is the number of "
+    "months in the data (bounded, driver-side loop over a one-row frame), "
+    "NOT data-sized: each step is a one-row local plan, then the spine "
+    "joins orders once.  Spark 4's recursive-CTE operator (UnionLoop) "
+    "only materializes the spine; orders is scanned exactly once.",
+)
+def q49(spark, sf_dir) -> DataFrame:
+    catalog(spark, sf_dir)
+    return spark.sql(_Q49_SPARK)
+
+
+_Q50_SQL = (
+    "SELECT r.r_name, t.n_name, t.c FROM region r, "
+    "LATERAL ("
+    " SELECT n.n_name, COUNT(*) AS c FROM nation n JOIN customer c"
+    "  ON c.c_nationkey = n.n_nationkey"
+    " WHERE n.n_regionkey = r.r_regionkey"
+    " GROUP BY n.n_name ORDER BY c DESC, n.n_name LIMIT 2"
+    ") AS t"
+)
+
+
+@register(
+    "q50_lateral_topk_per_region",
+    _Q50_SQL,
+    "correlated LATERAL subquery: per-region top-2 nations by customer "
+    "count with ORDER BY ... LIMIT inside the lateral body.  Catalyst "
+    "decorrelates this into a join + per-key WindowGroupLimit rather than "
+    "re-executing the subquery per outer row, so the fact side is scanned "
+    "once regardless of outer cardinality (q44 pins the same physical "
+    "guarantee for the window-function spelling).",
+)
+def q50(spark, sf_dir) -> DataFrame:
+    catalog(spark, sf_dir)
+    return spark.sql(_Q50_SQL)
