@@ -1,0 +1,136 @@
+"""Adversarial band-bucket skew: the LSH defense the round-2 verdict asked
+to see proven (stretch item 7).
+
+The attack shape: a boilerplate-heavy corpus where a large fraction of
+documents share most of their text.  Without a document-frequency filter,
+the shared shingles dominate every document's minhash minima, one band
+bucket swallows the whole boilerplate cohort, and the band self-join goes
+quadratic in that cohort *inside a single task* -- the classic 100 TB
+LSH failure (one straggler task with n^2 work).
+
+The engine's defense is the max_df filter inside ``minhash_lsh_pairs``
+(operators/dedup.py): shingles present in > max_df of documents never
+enter the signatures.  These tests plant the pathological corpus and pin
+
+* the bucket histogram: filtered banding keeps every band bucket to a few
+  documents, while the unfiltered twin provably concentrates the cohort
+  into one bucket (the disaster the filter prevents);
+* the end-to-end contract: the pipeline completes without a quadratic
+  candidate set, and boilerplate-only similarity is deliberately not
+  recalled.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from conecta_spark.operators.dedup import (
+    hashed_shingles,
+    minhash_lsh_pairs,
+    minhash_signatures,
+)
+
+N_DOCS = 300
+N_BOILER = 150
+BANDS, PERMS = 4, 16
+ROWS = PERMS // BANDS
+
+_BOILER = (
+    "subscribe to our newsletter for updates terms of service apply "
+    "copyright all rights reserved privacy policy cookie settings "
+    "navigation home about contact careers press kit sitemap footer"
+)
+
+
+def _adversarial_corpus(spark):
+    """150 docs sharing a 180-char boilerplate block (plus a short unique
+    tail) + 150 fully distinct docs."""
+    rows = []
+    for i in range(N_BOILER):
+        # fixed-width tail tokens: no doc's tail shingles are a prefix of
+        # another's, so cohort similarity comes ONLY from the boilerplate
+        rows.append(
+            Row(doc_id=i, text=f"{_BOILER} q{i:03d}z k{(i * 7919) % 100000:05d}v")
+        )
+    for i in range(N_BOILER, N_DOCS):
+        rows.append(
+            Row(
+                doc_id=i,
+                text=" ".join(
+                    f"w{(i * 31 + j * 7) % 99991}n{j}" for j in range(20)
+                ),
+            )
+        )
+    return spark.createDataFrame(rows)
+
+
+def _band_bucket_sizes(spark, docs, with_df_filter: bool):
+    """Rebuild the banding stage of minhash_lsh_pairs from its public
+    pieces and return the bucket-size histogram's max."""
+    hashed = hashed_shingles(docs)
+    n_docs = docs.count()
+    if with_df_filter:
+        tok = hashed.select("doc_id", F.explode("sh").alias("h"))
+        common = (
+            tok.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .where(F.col("c") > 0.1 * n_docs)
+            .select("h")
+        )
+        common_arr = common.agg(F.collect_list("h").alias("common_hs"))
+        filtered = (
+            hashed.crossJoin(F.broadcast(common_arr))
+            .select("doc_id", F.array_except("sh", "common_hs").alias("shf"))
+            .where(F.size("shf") > 0)
+        )
+    else:
+        filtered = hashed.select("doc_id", F.col("sh").alias("shf"))
+    sigs = minhash_signatures(filtered, PERMS)
+    banded = sigs.select(
+        "doc_id",
+        F.explode(F.expr(f"sequence(0, {BANDS - 1})")).alias("band_idx"),
+        F.expr(
+            f"md5(array_join(transform(slice(mh, band_idx * {ROWS} + 1, "
+            f"{ROWS}), x -> cast(x as string)), '-'))"
+        ).alias("band_key"),
+    )
+    sizes = banded.groupBy("band_idx", "band_key").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return sizes.agg(F.max("n")).collect()[0][0]
+
+
+def test_unfiltered_banding_concentrates_the_cohort(spark):
+    """Sanity of the attack itself: without the DF filter, the boilerplate
+    cohort lands in one band bucket -- the quadratic task the filter must
+    prevent (if this stops failing, the fixture is no longer adversarial)."""
+    docs = _adversarial_corpus(spark)
+    assert _band_bucket_sizes(spark, docs, with_df_filter=False) >= 120
+
+
+def test_df_filter_bounds_band_buckets(spark):
+    """With the filter, no band bucket exceeds a handful of docs: max task
+    input is bounded and the self-join cannot go quadratic in the cohort."""
+    docs = _adversarial_corpus(spark)
+    assert _band_bucket_sizes(spark, docs, with_df_filter=True) <= 20
+
+
+def test_pipeline_survives_adversarial_corpus(spark):
+    """End to end on the planted corpus: completes with a bounded pair set.
+
+    The cohort docs are ~83% identical on raw shingles, so at threshold
+    0.5 a full-recall join would emit the entire quadratic cohort
+    (150*149/2 = 11175 pairs) -- and the only way to *generate* those
+    candidates is the unbounded band bucket the DF filter removes.  The
+    documented trade (dedup.py): pairs similar mostly through template
+    text are largely not recalled; the handful that survive (via the few
+    boilerplate/tail junction shingles left after filtering) still verify
+    against raw-shingle Jaccard, so every emitted pair is a true
+    near-duplicate."""
+    docs = _adversarial_corpus(spark)
+    pairs = minhash_lsh_pairs(docs, threshold=0.5).collect()
+    assert 0 < len(pairs) < 200  # cohort-quadratic would be ~11k
+    for p in pairs:
+        assert p.jaccard >= 0.5
