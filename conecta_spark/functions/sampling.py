@@ -201,3 +201,72 @@ def balanced_source_mix(
 )
 def x41_source_mix(spark, sf_dir) -> DataFrame:
     return balanced_source_mix(t(spark, sf_dir, "documents"))
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budget: int = 2000,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Ordered-prefix token budgeting: walk each source's documents in
+    stable ``id_col`` order and keep them while the running whitespace-token
+    total stays within ``budget`` -- "give me the first N tokens of every
+    feed", the mirror image of x41's count balancing when the mix is
+    specified in tokens (how training mixes are actually specified).
+    Returns the per-source audit: docs kept, tokens kept, budget used.
+
+    Scale notes: the cumulative sum is a window over ``source`` -- a
+    deliberate ordered-scan semantic, so the shuffle is by the
+    low-cardinality source key.  At 100 TB that key is skew-prone;
+    the cluster plan is range-partition by (source, id) so each source's
+    ordered scan spreads over many tasks and the running sum composes
+    from per-range subtotals (two-pass prefix sum).  Only (source, id,
+    n_tok) triples move -- the text dies in the scan-stage projection
+    either way.
+    """
+    from pyspark.sql.window import Window
+
+    from .text import ws_token_count
+
+    toks = df.select(
+        source_col, id_col, ws_token_count(text_col).cast("long").alias("n_tok")
+    )
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = toks.withColumn("c", F.sum("n_tok").over(w))
+    return (
+        cum.where(F.col("c") <= budget)
+        .groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).alias("docs_kept"),
+            F.sum("n_tok").cast("long").alias("tokens_kept"),
+            F.max("c").cast("long").alias("budget_used"),
+        )
+    )
+
+
+@register(
+    "x43_token_budget_sample",
+    r"WITH toks AS ("
+    r" SELECT source, doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0"
+    r"  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)"
+    r"  AS n_tok FROM documents), "
+    r"cum AS ("
+    r" SELECT source, doc_id, n_tok,"
+    r"  SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id"
+    r"   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c FROM toks) "
+    r"SELECT source, COUNT(*) AS docs_kept,"
+    r" CAST(SUM(n_tok) AS BIGINT) AS tokens_kept,"
+    r" CAST(MAX(c) AS BIGINT) AS budget_used "
+    r"FROM cum WHERE c <= 2000 GROUP BY source",
+    "per-source ordered token budgeting: keep each feed's prefix while the "
+    "running whitespace-token total fits the budget (token-denominated "
+    "training-mix assembly)",
+)
+def x43_token_budget(spark, sf_dir) -> DataFrame:
+    return token_budget_sample(t(spark, sf_dir, "documents"))

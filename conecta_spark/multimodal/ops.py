@@ -167,6 +167,111 @@ def sample_frames(
     return df.select(id_col, payload_col).mapInPandas(sample, schema=FRAME_SCHEMA)
 
 
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("out_width", IntegerType()),
+        StructField("out_height", IntegerType()),
+        StructField("scale_num", IntegerType()),
+        StructField("scale_den", IntegerType()),
+        StructField("resized", BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    max_side: int = 64,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Resize plumbing: bound the longer image side to ``max_side``,
+    preserving aspect ratio via exact integer scaling.  The fake codec
+    "resizes" by striding the payload bytes (output length tracks the area
+    ratio); Pillow's ``Image.resize`` replaces the stride when importable.
+    The Spark shape is the real thing either way: Arrow-batched 1:1 map,
+    binary in / binary out, no shuffle."""
+
+    def resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                data = bytes(payload) if payload is not None else b""
+                w, h, _fmt, _thumb = _fake_decode(data)
+                side = max(w, h)
+                num, den = (max_side, side) if side > max_side else (1, 1)
+                ow, oh = w * num // den, h * num // den
+                stride = max(1, (den * den) // (num * num))
+                rows.append(
+                    (int(doc_id), ow, oh, num, den, data[::stride])
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in RESIZE_SCHEMA.fields]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        resize, schema=RESIZE_SCHEMA
+    )
+
+
+FEATURE_DIM = 16
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("f_sum", LongType()),
+        StructField("f_norm2", LongType()),
+        StructField("feature_hex", StringType()),
+    ]
+)
+
+
+def extract_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Feature-extraction plumbing: a ``FEATURE_DIM``-byte embedding per
+    payload (deterministic fake: byte-bucket histogram folded mod 256 --
+    a real vision encoder batch-infers here), emitted hex plus exact
+    integer projections so downstream similarity ops (x10/x36) can consume
+    it.  Scale shape: Arrow-batched map, feature width fixed, payload
+    never leaves the task."""
+    import numpy as np
+
+    def feats(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                data = np.frombuffer(
+                    bytes(payload) if payload is not None else b"",
+                    dtype=np.uint8,
+                )
+                vec = np.zeros(FEATURE_DIM, dtype=np.int64)
+                if data.size:
+                    np.add.at(vec, data % FEATURE_DIM, data.astype(np.int64))
+                    vec %= 256
+                rows.append(
+                    (
+                        int(doc_id),
+                        int(vec.sum()),
+                        int((vec * vec).sum()),
+                        bytes(vec.astype(np.uint8)).hex(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FEATURE_SCHEMA.fields]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        feats, schema=FEATURE_SCHEMA
+    )
+
+
 # -- registered queries ------------------------------------------------------
 
 
@@ -197,3 +302,26 @@ def x18_decode(spark, sf_dir) -> DataFrame:
     return decode_images(d).withColumn("thumb_hex", F.hex("thumb")).drop(
         "thumb"
     )
+
+
+@register(
+    "x45_multimodal_features",
+    "WITH cp AS (SELECT doc_id, list_transform(range(1, length(text)+1), "
+    " i -> ascii(substr(text, i, 1))) AS bs FROM documents), "
+    "vecs AS (SELECT doc_id, list_transform(range(0, 16), k -> "
+    " CAST(coalesce(list_sum(list_filter(bs, b -> b % 16 = k)), 0) % 256"
+    "  AS BIGINT)) AS v FROM cp) "
+    "SELECT doc_id, CAST(list_sum(v) AS BIGINT) AS f_sum, "
+    " CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS f_norm2, "
+    " list_aggregate(list_transform(v, x -> lpad(lower(hex(x)), 2, '0')), "
+    "  'string_agg', '') AS feature_hex "
+    "FROM vecs",
+    "feature-extraction plumbing: 16-byte embedding per payload via "
+    "Arrow-batched mapInPandas (deterministic fake encoder -- byte-bucket "
+    "histogram mod 256, exact integer math, so unusually for a multimodal "
+    "op the full pipeline is oracle-checkable; the oracle mirrors the "
+    "UTF-8 byte fold via ASCII codepoints, exact for this corpus)",
+)
+def x45_features(spark, sf_dir) -> DataFrame:
+    d = attach_payloads(t(spark, sf_dir, "documents"))
+    return extract_features(d)

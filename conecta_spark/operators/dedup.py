@@ -790,6 +790,35 @@ def x34_dedup_rate_by_source(spark, sf_dir) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def span_hashes(
+    df: DataFrame,
+    span_words: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``(id, h)`` -- one row per consecutive ``span_words``-word span,
+    keyed by a 16-hex-char sha256 prefix of the span text.  The shared
+    front half of the span-level operators (x40 dedup accounting, x44
+    novelty): after this projection the document text is gone and every
+    downstream shuffle moves fixed-width (id, hash) pairs only."""
+    w = F.split(F.col(text_col), " ")
+    return df.select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(w), F.lit(span_words)),
+                lambda i: F.substring(
+                    F.sha2(
+                        F.array_join(F.slice(w, i, span_words), " "), 256
+                    ),
+                    1,
+                    16,
+                ),
+            )
+        ).alias("h"),
+    )
+
+
 def span_dedup_stats(
     df: DataFrame,
     span_words: int = 8,
@@ -816,22 +845,7 @@ def span_dedup_stats(
     64-bit truncation keeps collision odds negligible below ~10^9 distinct
     spans per the birthday bound; widen the prefix for larger corpora.
     """
-    w = F.split(F.col(text_col), " ")
-    spans = df.select(
-        id_col,
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size(w), F.lit(span_words)),
-                lambda i: F.substring(
-                    F.sha2(
-                        F.array_join(F.slice(w, i, span_words), " "), 256
-                    ),
-                    1,
-                    16,
-                ),
-            )
-        ).alias("h"),
-    )
+    spans = span_hashes(df, span_words, text_col, id_col)
     counts = spans.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
     dup = F.when(F.col("c") >= 2, 1).otherwise(0)
     return (
@@ -861,3 +875,52 @@ def span_dedup_stats(
 )
 def x40_span_dedup(spark, sf_dir) -> DataFrame:
     return span_dedup_stats(t(spark, sf_dir, "documents"))
+
+
+def span_novelty(
+    df: DataFrame,
+    span_words: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Marginal-novelty accounting: per document, how many of its word
+    spans appear for the FIRST time in ingestion order (min doc id owning
+    the span).  The curve of ``novel_spans / n_spans`` over ingestion
+    order is the "how much new content does each batch actually add"
+    diagnostic a growing corpus needs -- a feed whose novelty decays to
+    zero is re-crawling what you already have, which x40's symmetric dup
+    counts cannot distinguish from being duplicated *by* others.
+
+    Same scale shape as :func:`span_dedup_stats`: text never shuffles,
+    only (id, 16-hex hash) pairs; the first-owner table is one MIN
+    partial aggregation on the uniform hash key.
+    """
+    spans = span_hashes(df, span_words, text_col, id_col)
+    firsts = spans.groupBy("h").agg(F.min(id_col).alias("first_doc"))
+    novel = F.when(F.col("first_doc") == F.col(id_col), 1).otherwise(0)
+    return (
+        spans.join(firsts, "h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(novel).cast("long").alias("novel_spans"),
+        )
+    )
+
+
+@register(
+    "x44_span_novelty",
+    "WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents), "
+    "spans AS ("
+    " SELECT doc_id, substr(sha256(array_to_string(ws[i:i+7], ' ')), 1, 16)"
+    "  AS h FROM w, UNNEST(range(1, len(ws)+1, 8)) AS t(i)), "
+    "firsts AS (SELECT h, MIN(doc_id) AS first_doc FROM spans GROUP BY h) "
+    "SELECT s.doc_id, COUNT(*) AS n_spans, "
+    " CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)"
+    "  AS BIGINT) AS novel_spans "
+    "FROM spans s JOIN firsts f ON s.h = f.h GROUP BY s.doc_id",
+    "marginal content novelty: per doc, spans first seen at this point of "
+    "ingestion order (the is-this-feed-still-adding-anything diagnostic)",
+)
+def x44_span_novelty(spark, sf_dir) -> DataFrame:
+    return span_novelty(t(spark, sf_dir, "documents"))

@@ -409,6 +409,7 @@ _REGRESSION_PROOFS = ("x16", "x22", "x23")  # errored in r03, fixed this round
 _NEVER_DRIVER_RUN = (
     # flagship pipeline first, then the round-4 operator wave
     "x37", "x36", "x35", "x34", "x38", "x39", "x40", "x41", "x42",
+    "x43", "x44", "x45",
     # rows-only entries displaced by the cap in every prior round
     "x14", "x18",
     # SQL-surface shapes added in round 4
@@ -416,7 +417,7 @@ _NEVER_DRIVER_RUN = (
     "q46", "q47", "q48", "q49", "q50",
 )
 _FLAGSHIP_PROVEN = (
-    "x05", "x07", "x08", "x26", "x10", "x11", "x12", "x15", "x17",
+    "x05", "x07", "x08", "x26", "x10", "x11",
 )
 _PRIORITY_TIERS: tuple[tuple[str, ...], ...] = (
     tuple(f"q{i:02d}" for i in range(1, 17)),  # core q01-q16
