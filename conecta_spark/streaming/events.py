@@ -332,3 +332,33 @@ def x15_hourly(spark, sf_dir) -> DataFrame:
 )
 def x16_sessions(spark, sf_dir) -> DataFrame:
     return sessionize_batch(t(spark, sf_dir, "events"))
+
+
+def user_profile_dim(events: DataFrame) -> DataFrame:
+    """Static per-user profile snapshot from historical events (the
+    feature-store side of a stream enrichment): lifetime event count and
+    exact total value per user."""
+    return events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("lifetime_events"),
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("lifetime_value"),
+    )
+
+
+def streaming_enrich(
+    stream: DataFrame, dim: DataFrame, on: str = "user_id"
+) -> DataFrame:
+    """Stream-static enrichment: join each incoming event to a static
+    dimension snapshot (profile/feature-store row) by key.
+
+    The scale property that makes this the right pattern: a stream-static
+    join is STATELESS -- no watermark, no join state, nothing to retain;
+    each micro-batch plans a fresh broadcast hash join against the dim's
+    current contents (a dim refresh is picked up on the next batch without
+    restarting the query).  Compare a stream-stream join, which must
+    buffer both sides under watermarks.  Left join: an event with no
+    profile row must flow through (nulls), not silently drop -- dropped
+    events in an enrichment stage are data loss, not enrichment.
+    """
+    return stream.join(F.broadcast(dim), on, "left")

@@ -171,3 +171,39 @@ def test_checkpointed_file_sink_is_exactly_once(spark, sf_dir, events, tmp_path_
     assert n_first == events.count()
     run_once()  # restart over the same input: checkpoint says all consumed
     assert spark.read.parquet(out).count() == n_first
+
+
+def test_stream_static_enrichment_matches_batch_and_is_stateless(
+    spark, sf_dir, events
+):
+    """Stream-static join: every event enriched with the static profile
+    dim, exact batch parity, and NO streaming state (the property that
+    distinguishes it from a stream-stream join)."""
+    from conecta_spark.streaming.events import (
+        read_event_stream,
+        streaming_enrich,
+        user_profile_dim,
+    )
+
+    dim = user_profile_dim(events)
+    sdf = streaming_enrich(
+        read_event_stream(spark, sf_dir).select("event_id", "user_id"), dim
+    )
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # stateless: no state store operators registered for the query
+    assert all(
+        not p["stateOperators"] for p in q.recentProgress
+    ), q.recentProgress
+    out = spark.table("enriched")
+    batch = streaming_enrich(events.select("event_id", "user_id"), dim)
+    assert out.count() == events.count()  # left join: nothing dropped
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, batch.collect()))
+    assert a == b
