@@ -498,6 +498,16 @@ def minhash_lsh_pairs(
         .where(F.size("shf") > 0)
     )
     sigs = minhash_signatures(filtered, num_perms, id_col)
+    # Band key via element_at + concat_ws rather than the equivalent
+    # transform(slice(...)) lambda: higher-order functions are always
+    # interpreted (no whole-stage codegen), and this expression runs once
+    # per (doc, band).  The two forms produce byte-identical strings --
+    # concat_ws on BIGINTs casts exactly like the lambda did -- so band
+    # keys, candidates, and the oracle twin are unchanged.  Measured
+    # steady-state for the full operator: 3.7 s -> 2.7 s at sf0.1.
+    band_elems = ", ".join(
+        f"element_at(mh, band_idx * {rows} + {j + 1})" for j in range(rows)
+    )
     banded = sigs.select(
         id_col,
         F.explode(F.expr(f"sequence(0, {bands - 1})")).alias("band_idx"),
@@ -505,21 +515,22 @@ def minhash_lsh_pairs(
     ).select(
         id_col,
         "band_idx",
-        F.expr(
-            f"md5(array_join(transform(slice(mh, band_idx * {rows} + 1, {rows}), "
-            f"x -> cast(x as string)), '-'))"
-        ).alias("band_key"),
+        F.expr(f"md5(concat_ws('-', {band_elems}))").alias("band_key"),
     )
-    # Repartition by the band key does double duty: the self-join's two
-    # children become byte-identical exchanges, so ReuseExchange computes
-    # the signature pipeline ONCE (otherwise each side re-runs the DF
-    # filter + collect + minhash stages), and the pair generation runs as
-    # wide as the cluster instead of on AQE's byte-coalesced partitioning.
+    # Repartition by the band key so pair generation runs as wide as the
+    # cluster instead of on AQE's byte-coalesced partitioning, then persist:
+    # the banded relation is skinny (id, band_idx, 32-char key = KBs per
+    # million docs) and feeds BOTH sides of the self-join.  Without the
+    # persist each side re-runs the whole signature pipeline (DF-filter
+    # agg, boilerplate broadcast, minhash mapInPandas) -- ReuseExchange
+    # does NOT deduplicate them under AQE because each side plans its
+    # exchange independently before runtime reuse can kick in; measured
+    # 15 s vs 3 s at sf0.1 for the full operator.
     banded = banded.repartition(
         df.sparkSession.sparkContext.defaultParallelism,
         "band_idx",
         "band_key",
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a, b = banded.alias("a"), banded.alias("b")
     cands = (
         a.join(
@@ -539,10 +550,16 @@ def minhash_lsh_pairs(
     # hashing + the |a|+|b|-|a^b| union identity).  The candidate relation
     # is tiny in *bytes* but each row costs an array intersection, so AQE
     # would coalesce it onto a core or two -- repartition explicitly to keep
-    # verification as wide as the cluster (cf. plans.skew.spread).
+    # verification as wide as the cluster (cf. plans.skew.spread).  Persist
+    # + materialize the skinny (doc_a, doc_b) list so the verify join plans
+    # from its REAL cardinality and runs as its own small, compilable
+    # stage instead of being fused into one giant codegen unit with the
+    # band join -- the fused form intermittently fell out of codegen and
+    # burned ~250 s of interpreted CPU on a stage that takes ~7 s compiled.
     cands = cands.repartition(
         df.sparkSession.sparkContext.defaultParallelism, "doc_a"
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    cands.count()
     sh = hashed.withColumn("n_sh", F.size("sh"))
     return _verify_exact_jaccard(cands, sh, threshold, id_col, broadcast_verify)
 
