@@ -250,6 +250,133 @@ def token_budget_sample(
     )
 
 
+def sequence_pack(
+    df: DataFrame,
+    seq_len: int = 2048,
+    shards: int = 8,
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign each document to a fixed-width training sequence: documents
+    are walked in stable ``id_col`` order within a (lang, shard) stream and
+    placed at their running-token start offset; ``seq_id = start DIV
+    seq_len`` -- the greedy concat-and-chunk packing every LLM data loader
+    performs, precomputed as a column so downstream writers can bucket by
+    sequence.
+
+    Scale design: the only shuffle is the window by (lang, shard).  The
+    shard key (``id % shards``) exists purely to bound per-task state --
+    one language at 100 TB would otherwise serialize through a single
+    ordered partition; with shards the stream splits into ``shards``
+    independent ordered scans that pack in parallel (packing quality is
+    unaffected: sequences never straddle shards by construction).  Token
+    counts ride along as one BIGINT; the text dies in the scan projection.
+    All arithmetic is integer, so the assignment is bit-reproducible on
+    any engine.
+    """
+    from pyspark.sql.window import Window
+
+    from .text import ws_token_count
+
+    toks = df.select(
+        lang_col,
+        id_col,
+        (F.col(id_col) % shards).alias("shard"),
+        ws_token_count(text_col).cast("long").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy(lang_col, "shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        toks.withColumn("end_tok", F.sum("n_tok").over(w))
+        .withColumn(
+            "seq_id", F.expr(f"(end_tok - n_tok) DIV {seq_len}")
+        )
+        .select(id_col, lang_col, "shard", "n_tok", "seq_id")
+    )
+
+
+@register(
+    "x47_sequence_pack",
+    r"WITH toks AS ("
+    r" SELECT lang, doc_id, doc_id % 8 AS shard,"
+    r"  CAST(CASE WHEN length(trim(text)) = 0 THEN 0"
+    r"  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)"
+    r"  AS n_tok FROM documents), "
+    r"cum AS ("
+    r" SELECT lang, doc_id, shard, n_tok,"
+    r"  SUM(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id"
+    r"   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS end_tok"
+    r" FROM toks) "
+    r"SELECT doc_id, lang, shard, n_tok,"
+    r" CAST((end_tok - n_tok) // 2048 AS BIGINT) AS seq_id FROM cum",
+    "sequence packing: greedy concat-and-chunk assignment of documents to "
+    "fixed 2048-token training sequences per (lang, shard) stream",
+)
+def x47_sequence_pack(spark, sf_dir) -> DataFrame:
+    return sequence_pack(t(spark, sf_dir, "documents"))
+
+
+def quality_weighted_sample(
+    df: DataFrame,
+    buckets: int = 10_000,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    weight_col: str = "n_chars",
+) -> DataFrame:
+    """Keep each document with probability equal to its heuristic quality
+    score -- high-quality text oversampled, junk mostly dropped -- but
+    deterministically: survival is ``hash_bucket(id) < floor(quality *
+    buckets)``, a pure function of the row, so the kept set is identical
+    on any engine, partitioning, or retry (same audit story as x27/x41).
+    Returns the per-source audit of the kept mix.
+
+    Scale notes: zero shuffles before the final per-source aggregate; the
+    quality expression and the survival predicate are one codegen'd
+    scan-stage map.  Double-precision parity for the score is already
+    pinned by x02 (hash-green), and ``floor`` of bit-identical doubles is
+    bit-identical, so the threshold comparison is engine-portable despite
+    being float-derived.
+    """
+    from .text import quality_score
+
+    keep = hash_bucket(id_col, buckets) < F.floor(
+        quality_score() * F.lit(float(buckets))
+    )
+    return (
+        df.where(keep)
+        .groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum(weight_col).cast("long").alias("chars_kept"),
+        )
+    )
+
+
+def _duck_quality_gate(buckets: int) -> str:
+    from .text import _duck_quality
+
+    return (
+        f"{_duck_bucket('doc_id', buckets)} < "
+        f"floor(({_duck_quality()}) * {float(buckets)})"
+    )
+
+
+@register(
+    "x48_quality_weighted_sample",
+    "SELECT source, COUNT(*) AS n_kept, "
+    " CAST(SUM(n_chars) AS BIGINT) AS chars_kept "
+    f"FROM documents WHERE {_duck_quality_gate(10_000)} GROUP BY source",
+    "quality-weighted deterministic sampling: each doc kept with "
+    "probability = its quality score, reproducible across engines",
+)
+def x48_quality_weighted(spark, sf_dir) -> DataFrame:
+    return quality_weighted_sample(t(spark, sf_dir, "documents"))
+
+
 @register(
     "x43_token_budget_sample",
     r"WITH toks AS ("

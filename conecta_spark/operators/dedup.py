@@ -803,6 +803,63 @@ def x34_dedup_rate_by_source(spark, sf_dir) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# incremental dedup: new batch vs an existing corpus snapshot
+# ---------------------------------------------------------------------------
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    snapshot: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: tuple = ("source",),
+) -> DataFrame:
+    """Documents of ``batch`` whose content does not already exist in
+    ``snapshot`` -- the production shape of dedup at 100 TB: a corpus is
+    built incrementally, and each ingest batch is deduplicated against the
+    accumulated snapshot rather than re-deduplicating the world.
+
+    Mechanics: both sides are reduced to a fixed-width sha256 content hash
+    in the scan-stage projection (text never shuffles), the snapshot side
+    is made distinct, and the batch anti-joins on the hash.  At scale the
+    anti-join shuffles 64-byte keys; Spark's runtime bloom-filter join
+    (``spark.sql.optimizer.runtime.bloomFilter.enabled``) additionally
+    pushes a membership filter into the batch scan when the snapshot side
+    is much smaller than the batch, and AQE broadcasts it outright when it
+    fits.  The snapshot's hash column is exactly what a production system
+    would store as its dedup index -- pass a pre-hashed relation with an
+    ``h`` column to skip re-hashing the snapshot each ingest.
+    """
+    cols = [id_col, *keep_cols]
+    bh = batch.select(*cols, F.sha2(F.col(text_col), 256).alias("h"))
+    sh = (
+        snapshot.select(F.sha2(F.col(text_col), 256).alias("h")).distinct()
+        if "h" not in snapshot.columns
+        else snapshot.select("h").distinct()
+    )
+    return bh.join(sh, "h", "left_anti").select(*cols)
+
+
+@register(
+    "x46_incremental_dedup",
+    "SELECT d.doc_id, d.source FROM documents d "
+    "WHERE d.doc_id % 2 = 1 AND NOT EXISTS ("
+    " SELECT 1 FROM documents s WHERE s.doc_id % 2 = 0"
+    " AND sha256(s.text) = sha256(d.text))",
+    "incremental ingest dedup: new-batch docs anti-joined on content hash "
+    "against the accumulated snapshot (the production dedup shape)",
+)
+def x46_incremental(spark, sf_dir) -> DataFrame:
+    """Even doc_ids play the accumulated snapshot, odd ones the new ingest
+    batch: a deterministic split so the oracle can reproduce it."""
+    d = t(spark, sf_dir, "documents")
+    return incremental_dedup(
+        d.where(F.col("doc_id") % 2 == 1),
+        d.where(F.col("doc_id") % 2 == 0),
+    )
+
+
+# ---------------------------------------------------------------------------
 # span-level (sub-document) exact dedup -- C4/RefinedWeb-style
 # ---------------------------------------------------------------------------
 

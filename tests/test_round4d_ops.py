@@ -1,0 +1,150 @@
+"""Behavior + plan tests for the round-4 fourth-pass operators:
+incremental snapshot dedup (x46), sequence packing (x47), and
+quality-weighted sampling (x48).  Oracle parity for all three is covered
+by test_oracle.py's registry sweep; these pin the semantics and the scale
+properties."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from conecta_spark.functions.sampling import (
+    hash_bucket,
+    quality_weighted_sample,
+    sequence_pack,
+)
+from conecta_spark.operators.dedup import incremental_dedup
+from conecta_spark.queries import REGISTRY, _load_extensions
+
+from .test_plans import plan
+
+_load_extensions()
+
+
+# -- x46 incremental dedup ---------------------------------------------------
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t, source=s) for i, t, s in rows]
+    )
+
+
+def test_incremental_dedup_drops_known_content_keeps_novel(spark):
+    snapshot = _docs(spark, [(0, "seen before", "a"), (2, "also seen", "a")])
+    batch = _docs(
+        spark,
+        [(11, "seen before", "b"), (13, "brand new", "b"), (15, "also seen", "c")],
+    )
+    out = incremental_dedup(batch, snapshot).collect()
+    assert [(r.doc_id, r.source) for r in out] == [(13, "b")]
+
+
+def test_incremental_dedup_is_content_not_id_based(spark):
+    # Same ids on both sides must NOT matter; only text content does.
+    snapshot = _docs(spark, [(1, "alpha", "a")])
+    batch = _docs(spark, [(1, "beta", "b")])
+    assert incremental_dedup(batch, snapshot).count() == 1
+
+
+def test_incremental_dedup_accepts_prehashed_snapshot_index(spark):
+    # A production system stores the hash index, not the text: a snapshot
+    # relation that already has an ``h`` column is used as-is.
+    snapshot = _docs(spark, [(0, "seen before", "a")]).select(
+        F.sha2(F.col("text"), 256).alias("h")
+    )
+    batch = _docs(spark, [(11, "seen before", "b"), (13, "new", "b")])
+    out = incremental_dedup(batch, snapshot).collect()
+    assert [r.doc_id for r in out] == [13]
+
+
+def test_incremental_dedup_anti_join_never_shuffles_text(spark, oracle_dir):
+    p = plan(REGISTRY["x46_incremental_dedup"].fn(spark, oracle_dir))
+    # Anti-join semantics on the hash, and no Exchange row carries the text
+    # column -- it must die in the scan-stage projection on both sides.
+    assert "LeftAnti" in p
+    for ln in p.splitlines():
+        if "Arguments" in ln and "Exchange" in ln:
+            assert "text" not in ln
+
+
+# -- x47 sequence packing ----------------------------------------------------
+
+
+def test_sequence_pack_chunks_at_boundary(spark):
+    # 3 docs of 3 tokens in one (lang, shard) stream with seq_len=4:
+    # start offsets 0, 3, 6 -> seq_ids 0, 0, 1.
+    d = spark.createDataFrame(
+        [Row(doc_id=i * 8, lang="en", text="a b c") for i in range(3)]
+    )
+    out = {
+        r.doc_id: r.seq_id
+        for r in sequence_pack(d, seq_len=4, shards=8).collect()
+    }
+    assert out == {0: 0, 8: 0, 16: 1}
+
+
+def test_sequence_pack_streams_are_shard_independent(spark):
+    # Docs in different shards pack independently: both start at offset 0.
+    d = spark.createDataFrame(
+        [Row(doc_id=0, lang="en", text="a b c"), Row(doc_id=1, lang="en", text="d e f")]
+    )
+    out = sequence_pack(d, seq_len=4, shards=8).collect()
+    assert {r.seq_id for r in out} == {0}
+    assert {r.shard for r in out} == {0, 1}
+
+
+def test_sequence_pack_single_window_shuffle(spark, oracle_dir):
+    p = plan(REGISTRY["x47_sequence_pack"].fn(spark, oracle_dir))
+    from .test_plans import node_count
+
+    assert node_count(p, "Exchange") == 1
+    assert node_count(p, "Window") == 1
+
+
+# -- x48 quality-weighted sampling ------------------------------------------
+
+
+def test_quality_weighted_keeps_good_drops_empty(spark):
+    good = (
+        "the quick brown fox jumps over the lazy dog and the cat sat on the mat "
+    ) * 8
+    d = spark.createDataFrame(
+        [Row(doc_id=i, text=good, source="good", n_chars=len(good)) for i in range(200)]
+        + [Row(doc_id=1000 + i, text="", source="junk", n_chars=0) for i in range(200)]
+    )
+    out = {r.source: r.n_kept for r in quality_weighted_sample(d).collect()}
+    # Perfect-quality English text scores exactly 1.0 -> every doc kept.
+    assert out["good"] == 200
+    # Empty docs score 0.304 (only the no-punctuation component fires), so
+    # they survive at roughly that rate -- the sampler tracks the score.
+    assert 30 <= out.get("junk", 0) <= 95
+
+
+def test_quality_weighted_is_deterministic(spark, oracle_dir):
+    fn = REGISTRY["x48_quality_weighted_sample"].fn
+    a = sorted(map(tuple, fn(spark, oracle_dir).collect()))
+    b = sorted(map(tuple, fn(spark, oracle_dir).collect()))
+    assert a == b
+
+
+def test_quality_weighted_zero_shuffle_before_aggregate(spark, oracle_dir):
+    from .test_plans import node_count
+
+    p = plan(REGISTRY["x48_quality_weighted_sample"].fn(spark, oracle_dir))
+    # One exchange total: the final per-source aggregate.  The quality gate
+    # itself is a scan-stage filter.
+    assert node_count(p, "Exchange") == 1
+
+
+def test_hash_bucket_matches_registered_semantics(spark):
+    # The survival predicate reuses the x27 portable hash: spot-check the
+    # first few buckets against the documented integer formula.
+    rows = (
+        spark.range(5)
+        .select(hash_bucket("id", 10_000).alias("b"))
+        .collect()
+    )
+    MOD, MIX = 1_000_000_007, 2654435761
+    assert [r.b for r in rows] == [(i % MOD) * MIX % MOD % 10_000 for i in range(5)]
