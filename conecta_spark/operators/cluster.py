@@ -224,3 +224,83 @@ def x26_dedup_clusters(spark, sf_dir) -> DataFrame:
             F.transform("members", lambda x: x.cast("string")), ","
         ).alias("members"),
     )
+
+
+# -- canonical-document selection (the "prune" half of dedup) ----------------
+
+
+def keep_best_per_cluster(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One canonical document per near-dup cluster: the member with the
+    highest heuristic quality score (ties broken by lowest id).  This is
+    the step that turns a cluster map into a deduplicated corpus -- near-dup
+    pipelines don't keep an arbitrary member, they keep the best one.
+
+    Scale notes: ``clusters`` is the skinny (doc_id, cluster_id) relation;
+    the join pulls only (id, text) long enough to score it, and the text
+    dies before the cluster window -- only (cluster_id, doc_id, q) shuffles.
+    Per-cluster ranking is a window over cluster_id; near-dup clusters are
+    small by construction (giant components mean the threshold is wrong),
+    so the key is effectively uniform.
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions.text import quality_score
+
+    scored = clusters.join(
+        docs.select(id_col, F.round(quality_score(), 6).alias("q")), id_col
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("q"), F.col(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_members",
+            F.count(F.lit(1)).over(Window.partitionBy("cluster_id")),
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col(id_col).alias("kept_doc"),
+            F.col("q").alias("kept_quality"),
+            F.col("n_members").cast("long").alias("n_members"),
+        )
+    )
+
+
+def _duck_keep_best_sql() -> str:
+    from ..functions.text import _duck_quality
+
+    from .dedup import _DUCK_MH_SIGS
+
+    return (
+        "WITH RECURSIVE pairs AS ("
+        f" SELECT doc_a, doc_b FROM ({_DUCK_MH_SIGS}) q),"
+        " edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs"
+        "  UNION SELECT doc_b, doc_a FROM pairs),"
+        " reach(src, dst) AS (SELECT u, u FROM edges"
+        "  UNION SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u),"
+        " labeled AS (SELECT src, MIN(dst) AS cluster_id FROM reach GROUP BY src),"
+        " scored AS (SELECT l.cluster_id, l.src AS doc_id,"
+        f"  round({_duck_quality()}, 6) AS q"
+        "  FROM labeled l JOIN documents d ON d.doc_id = l.src),"
+        " ranked AS (SELECT cluster_id, doc_id, q,"
+        "  row_number() OVER (PARTITION BY cluster_id ORDER BY q DESC, doc_id) AS rn,"
+        "  COUNT(*) OVER (PARTITION BY cluster_id) AS n_members FROM scored)"
+        " SELECT cluster_id, doc_id AS kept_doc, q AS kept_quality,"
+        " CAST(n_members AS BIGINT) AS n_members FROM ranked WHERE rn = 1"
+    )
+
+
+@register(
+    "x50_keep_best_per_cluster",
+    _duck_keep_best_sql(),
+    "canonical-doc selection: per near-dup cluster keep the highest-quality "
+    "member (the prune step that produces the deduplicated corpus)",
+)
+def x50_keep_best(spark, sf_dir) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d)
+    return keep_best_per_cluster(d, connected_components(pairs))

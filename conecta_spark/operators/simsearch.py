@@ -696,3 +696,74 @@ def centroid_assign(
 )
 def x42_assign(spark, sf_dir) -> DataFrame:
     return centroid_assign(t(spark, sf_dir, "embeddings"), k=8)
+
+
+# -- filtered vector search (metadata predicate + kNN) -----------------------
+
+
+def filtered_knn(
+    emb: DataFrame,
+    docs: DataFrame,
+    predicate,
+    query_id: int = 0,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    doc_id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` cosine neighbors of ``query_id`` among only the vectors
+    whose joined document row satisfies ``predicate`` -- filtered vector
+    search, the production retrieval shape (a RAG query is almost never
+    "nearest over everything": it is nearest over one tenant / language /
+    date range / quality tier).
+
+    Mechanics: the predicate is evaluated entirely on the documents scan
+    (only the id and predicate columns are read -- pushdown-friendly), the
+    surviving ids LEFT SEMI join the vector relation, and scoring + top-k
+    proceed as in :func:`knn_topk` (broadcast query row, map-side scores,
+    ``TakeOrderedAndProject`` heap merge).  The query vector is taken from
+    the UNFILTERED relation, so a query document that fails its own filter
+    still anchors the search.
+
+    Scale notes (100 TB): the semi join is the only shuffle and moves ids
+    on the filter side and (id, vector) on the embedding side; co-bucket
+    both tables by id to eliminate it entirely.  For selective predicates
+    AQE broadcasts the survivor id set, turning the whole search into one
+    scan of the vector table -- strictly cheaper than post-filtering a
+    global top-k, which must over-fetch by an unknowable factor when the
+    filter is selective.
+    """
+    e = _vectors(emb, vec_col, id_col)
+    q = e.where(F.col(id_col) == query_id).select(F.col("v").alias("qv"))
+    allowed = docs.where(predicate).select(F.col(doc_id_col).alias(id_col))
+    scored = (
+        e.join(allowed, id_col, "left_semi")
+        .crossJoin(F.broadcast(q))
+        .where(F.col(id_col) != query_id)
+        .select(
+            id_col,
+            F.round(F.expr(cosine_expr("v", "qv", DIM)), 6).alias("score"),
+        )
+    )
+    return _topk_ranked(scored, k, id_col)
+
+
+@register(
+    "x49_filtered_knn",
+    _DUCK_VECS
+    + ", allowed AS (SELECT doc_id FROM documents"
+    "   WHERE lang = 'en' AND n_chars >= 200) "
+    "SELECT vec_id, score, rank FROM ("
+    " SELECT vec_id, round(" + duck_cosine("v", "qv", DIM) + ", 6) AS score, "
+    "  row_number() OVER (ORDER BY round(" + duck_cosine("v", "qv", DIM) + ", 6) DESC, vec_id) AS rank "
+    " FROM e JOIN allowed ON e.vec_id = allowed.doc_id CROSS JOIN q"
+    " WHERE vec_id <> 0) t WHERE rank <= 10",
+    "filtered vector search: cosine top-10 among vectors whose document "
+    "passes a metadata predicate (lang + length), semi-join before scoring",
+)
+def x49_filtered(spark, sf_dir) -> DataFrame:
+    return filtered_knn(
+        t(spark, sf_dir, "embeddings"),
+        t(spark, sf_dir, "documents"),
+        (F.col("lang") == "en") & (F.col("n_chars") >= 200),
+    )

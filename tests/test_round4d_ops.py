@@ -148,3 +148,95 @@ def test_hash_bucket_matches_registered_semantics(spark):
     )
     MOD, MIX = 1_000_000_007, 2654435761
     assert [r.b for r in rows] == [(i % MOD) * MIX % MOD % 10_000 for i in range(5)]
+
+
+# -- x49 filtered vector search ---------------------------------------------
+
+
+def _emb(spark, vecs):
+    return spark.createDataFrame(
+        [Row(vec_id=i, embedding=v) for i, v in vecs]
+    )
+
+
+def test_filtered_knn_excludes_filtered_out_nearest(spark):
+    from conecta_spark.operators.simsearch import filtered_knn
+
+    # vec 1 is identical to the query (cosine 1.0) but its doc fails the
+    # filter; vec 2 is orthogonal-ish but allowed.
+    base = [1.0] + [0.0] * 63
+    other = [0.0, 1.0] + [0.0] * 62
+    emb = _emb(spark, [(0, base), (1, base), (2, other)])
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, lang="de", n_chars=500),
+            Row(doc_id=2, lang="en", n_chars=500),
+        ]
+    )
+    out = filtered_knn(
+        emb, docs, (F.col("lang") == "en") & (F.col("n_chars") >= 200), k=5
+    ).collect()
+    assert [r.vec_id for r in out] == [2]
+
+
+def test_filtered_knn_query_exempt_from_its_own_filter(spark):
+    from conecta_spark.operators.simsearch import filtered_knn
+
+    base = [1.0] + [0.0] * 63
+    emb = _emb(spark, [(0, base), (1, base)])
+    # The query doc (0) fails the filter; the search must still run,
+    # anchored on its vector, and return the allowed neighbor.
+    docs = spark.createDataFrame(
+        [Row(doc_id=0, lang="de", n_chars=10), Row(doc_id=1, lang="en", n_chars=500)]
+    )
+    out = filtered_knn(emb, docs, F.col("lang") == "en", k=5).collect()
+    assert [r.vec_id for r in out] == [1]
+
+
+def test_filtered_knn_plan_heap_topk_and_pruned_doc_scan(spark, oracle_dir):
+    p = plan(REGISTRY["x49_filtered_knn"].fn(spark, oracle_dir))
+    assert "TakeOrderedAndProject" in p
+    # The documents side must read only the id + predicate columns.
+    doc_reads = [
+        ln for ln in p.splitlines() if "ReadSchema" in ln and "lang" in ln
+    ]
+    assert doc_reads and all("text" not in ln for ln in doc_reads)
+
+
+# -- x50 canonical-doc selection --------------------------------------------
+
+
+def test_keep_best_picks_highest_quality_then_lowest_id(spark):
+    from conecta_spark.operators.cluster import keep_best_per_cluster
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and the cat sat on it "
+    ) * 8
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="!!!"),          # junk member
+            Row(doc_id=2, text=good),           # best member of cluster 1
+            Row(doc_id=7, text=good),           # tied members of cluster 5:
+            Row(doc_id=5, text=good),           # min id 5 must win the tie
+        ]
+    )
+    clusters = spark.createDataFrame(
+        [
+            Row(doc_id=1, cluster_id=1),
+            Row(doc_id=2, cluster_id=1),
+            Row(doc_id=5, cluster_id=5),
+            Row(doc_id=7, cluster_id=5),
+        ]
+    )
+    out = {
+        r.cluster_id: (r.kept_doc, r.n_members)
+        for r in keep_best_per_cluster(docs, clusters).collect()
+    }
+    assert out == {1: (2, 2), 5: (5, 2)}
+
+
+def test_keep_best_text_never_enters_the_cluster_window(spark, oracle_dir):
+    p = plan(REGISTRY["x50_keep_best_per_cluster"].fn(spark, oracle_dir))
+    for ln in p.splitlines():
+        if "Exchange" in ln and "Arguments" in ln:
+            assert "text" not in ln
