@@ -23,19 +23,49 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
+def estimated_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for ``df`` (bytes): parquet footer totals
+    propagated through the optimized plan's column pruning and filter
+    selectivity.  The same statistic AQE uses to pick join strategies --
+    free (no job runs), and accurate enough to size output files."""
+    return int(
+        df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+
+
 def write_parquet(
     df: DataFrame,
     path: str,
     partition_by: tuple | list = (),
     mode: str = "overwrite",
     target_files: int | None = None,
+    target_mb: int | None = None,
+    cluster_by: tuple | list = (),
     compression: str = "snappy",
 ) -> None:
-    """Write ``df`` as (optionally hive-partitioned) parquet."""
+    """Write ``df`` as (optionally hive-partitioned) parquet.
+
+    ``target_mb`` sizes the output from Catalyst's byte estimate instead
+    of a hand-picked file count: ``ceil(estimated_bytes / target_mb)``
+    output files.  At 100 TB this is the difference between a dataset of
+    healthy ~512 MB files and either thousands-of-tiny-files (fixed count
+    too high for a filtered write) or single-file hotspots (too low).
+
+    ``cluster_by`` sorts WITHIN each output partition before writing (no
+    extra shuffle -- a local sort only).  Parquet stores per-row-group
+    min/max for every column; clustering makes those ranges narrow and
+    disjoint, so later predicate scans on the cluster column skip whole
+    row groups.  The cheap half of Z-ordering, for the single-column case
+    that dominates real query logs (time, tenant, id).
+    """
     out = df
+    if target_mb and not target_files:
+        target_files = max(1, -(-estimated_bytes(df) // (target_mb << 20)))
     if target_files:
         cols = list(partition_by)
         out = df.repartition(target_files, *cols) if cols else df.repartition(target_files)
+    if cluster_by:
+        out = out.sortWithinPartitions(*cluster_by)
     writer = out.write.mode(mode).option("compression", compression)
     if partition_by:
         writer = writer.partitionBy(*partition_by)

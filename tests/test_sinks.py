@@ -80,3 +80,61 @@ def test_bucketed_join_skips_shuffle(spark, orders, tmp_path_factory):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS orders_b1")
         spark.sql("DROP TABLE IF EXISTS orders_b2")
+
+
+def test_target_mb_sizes_file_count_from_plan_stats(spark, orders, tmp_path_factory):
+    from conecta_spark.sources.sinks import estimated_bytes
+
+    assert estimated_bytes(orders) > 0
+    # A relation Catalyst estimates at ~16 MB (2M longs): a 4 MB target
+    # must split the write into ~4 files; a huge target must produce one.
+    wide = spark.range(2_000_000)
+    est = estimated_bytes(wide)
+    assert est >> 20 >= 8
+    path_many = str(tmp_path_factory.mktemp("sink") / "sized_many")
+    write_parquet(wide, path_many, target_mb=4)
+    path_one = str(tmp_path_factory.mktemp("sink") / "sized_one")
+    write_parquet(wide, path_one, target_mb=(est >> 20) + 1024)
+    n_many = len([f for f in os.listdir(path_many) if f.endswith(".parquet")])
+    n_one = len([f for f in os.listdir(path_one) if f.endswith(".parquet")])
+    assert n_one == 1
+    assert n_many == -(-est // (4 << 20))
+
+
+def test_cluster_by_narrows_row_group_ranges(spark, orders, tmp_path_factory):
+    """sortWithinPartitions before write must produce parquet files whose
+    row groups are internally sorted on the cluster column -- the property
+    row-group min/max pruning depends on."""
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path_factory.mktemp("sink") / "clustered")
+    write_parquet(orders, path, target_files=2, cluster_by=("o_orderdate",))
+    files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert files
+    for fname in files:
+        md = pq.ParquetFile(os.path.join(path, fname)).metadata
+        idx = md.schema.to_arrow_schema().get_field_index("o_orderdate")
+        ranges = [
+            (
+                md.row_group(g).column(idx).statistics.min,
+                md.row_group(g).column(idx).statistics.max,
+            )
+            for g in range(md.num_row_groups)
+        ]
+        # Sorted within the file: successive row groups never overlap
+        # backwards (each group's min >= the previous group's min).
+        assert ranges == sorted(ranges)
+
+
+def test_cluster_by_adds_no_exchange(spark, orders):
+    """The clustering sort is partition-local: the write plan must not
+    gain a shuffle from it."""
+    out = orders.repartition(2).sortWithinPartitions("o_orderdate")
+    p = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    import re
+
+    # exactly the one explicit repartition exchange, none from the sort
+    assert len(re.findall(r"^\(\d+\) Exchange\b", p, flags=re.M)) == 1
+    assert "Sort" in p
