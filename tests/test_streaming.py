@@ -207,3 +207,105 @@ def test_stream_static_enrichment_matches_batch_and_is_stateless(
     a = sorted(map(tuple, out.collect()))
     b = sorted(map(tuple, batch.collect()))
     assert a == b
+
+
+# -- streaming corpus ingest with incremental dedup --------------------------
+
+
+def _doc_rows(spark, rows):
+    from pyspark.sql import Row
+
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t, source=s) for i, t, s in rows]
+    )
+
+
+def _run_ingest(spark, stage, snap, ckpt):
+    from conecta_spark.streaming.ingest import stream_ingest
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, source string")
+        .format("parquet")
+        .load(stage)
+    )
+    q = stream_ingest(stream, snap, ckpt)
+    q.awaitTermination(120)
+
+
+def test_stream_ingest_dedups_across_batches(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("ingest")
+    stage, snap, ckpt = str(base / "stage"), str(base / "snap"), str(base / "ckpt")
+
+    # batch 1: two docs, one internal duplicate (kept once, min id wins)
+    _doc_rows(
+        spark, [(1, "alpha", "a"), (2, "beta", "a"), (3, "alpha", "b")]
+    ).write.mode("append").parquet(stage)
+    _run_ingest(spark, stage, snap, ckpt)
+    got = {
+        (r.doc_id, r.text) for r in spark.read.parquet(snap).collect()
+    }
+    assert got == {(1, "alpha"), (2, "beta")}
+
+    # batch 2: one replayed content, one novel -- only the novel lands
+    _doc_rows(spark, [(9, "alpha", "c"), (10, "gamma", "c")]).write.mode(
+        "append"
+    ).parquet(stage)
+    _run_ingest(spark, stage, snap, ckpt)
+    got = {
+        (r.doc_id, r.text) for r in spark.read.parquet(snap).collect()
+    }
+    assert got == {(1, "alpha"), (2, "beta"), (10, "gamma")}
+
+
+def test_ingest_replay_is_content_idempotent(spark, tmp_path_factory):
+    from conecta_spark.streaming.ingest import ingest_batch
+
+    base = tmp_path_factory.mktemp("replay")
+    snap = str(base / "snap")
+    batch = _doc_rows(spark, [(1, "alpha", "a"), (2, "beta", "a")])
+    assert ingest_batch(batch, snap) == 2
+    # a full at-least-once replay of the same batch appends nothing
+    assert ingest_batch(batch, snap) == 0
+    assert spark.read.parquet(snap).count() == 2
+
+
+def test_ingest_written_hash_column_is_reused(spark, tmp_path_factory):
+    from conecta_spark.streaming.ingest import ingest_batch, snapshot_hashes
+
+    base = tmp_path_factory.mktemp("hashcol")
+    snap = str(base / "snap")
+    ingest_batch(_doc_rows(spark, [(1, "alpha", "a")]), snap)
+    snap_df = spark.read.parquet(snap)
+    assert "h" in snap_df.columns
+    # the index read must use the stored column, not re-hash text
+    import re
+
+    idx = snapshot_hashes(spark, snap)
+    p = idx._sc._jvm.PythonSQLUtils.explainString(
+        idx._jdf.queryExecution(), "formatted"
+    )
+    read_schema = [ln for ln in p.splitlines() if "ReadSchema" in ln][0]
+    assert "text" not in read_schema
+    assert re.search(r"\bh\b", read_schema)
+
+
+def test_stream_ingest_matches_batch_operator(spark, tmp_path_factory):
+    """Replaying the same files through the batch incremental_dedup yields
+    the same corpus content set as the streaming path."""
+    from conecta_spark.operators.dedup import incremental_dedup
+
+    base = tmp_path_factory.mktemp("parity")
+    stage, snap, ckpt = str(base / "stage"), str(base / "snap"), str(base / "ckpt")
+    b1 = [(1, "alpha", "a"), (2, "beta", "a")]
+    b2 = [(9, "alpha", "c"), (10, "gamma", "c")]
+    _doc_rows(spark, b1).write.mode("append").parquet(stage)
+    _run_ingest(spark, stage, snap, ckpt)
+    _doc_rows(spark, b2).write.mode("append").parquet(stage)
+    _run_ingest(spark, stage, snap, ckpt)
+    streamed = {r.text for r in spark.read.parquet(snap).collect()}
+
+    snapshot = _doc_rows(spark, b1)
+    novel2 = incremental_dedup(_doc_rows(spark, b2), snapshot)
+    batch_ids = {r.doc_id for r in novel2.collect()}
+    batched = {t for i, t, s in b1} | {t for i, t, s in b2 if i in batch_ids}
+    assert streamed == batched
