@@ -1,0 +1,187 @@
+#!/usr/bin/env python
+"""Scale-growth measurement: does the LSH dedup family's WORK grow
+linearly with corpus size?
+
+A plan that looks right at sf0.1 can still hide superlinear work (the
+classic failure: LSH candidate pairs growing quadratically inside dup
+cohorts).  Wall time on a shared host is too noisy to prove scaling at
+this corpus size, so the primary metrics here are deterministic work
+counts -- band-bucket maxima, candidate pairs, verified pairs -- which are
+exact functions of the data.  Time is reported as a secondary signal
+(min of 3, steady state).
+
+Corpus construction: the sf0.1 documents are replicated k times with id
+offsets and a per-replica vowel rotation of the text.  Rotation changes
+~2 of every 5 characters, so every 5-gram shingle differs across
+replicas: each replica keeps the original's internal duplicate structure
+but replicas never near-collide.  A scale-correct pipeline therefore does
+exactly k times the 1x work; a bucket-degenerate one shows pair counts
+growing faster than k.
+
+Run: python scale_bench.py  (one JSON line to stdout).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+VOWELS = "aeiou"
+
+
+def _rotations(k: int) -> list[str]:
+    return [VOWELS[i % 5:] + VOWELS[: i % 5] for i in range(k)]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+
+    from pyspark.sql import functions as F
+
+    from conecta_spark.session import get_session
+
+    spark = get_session(
+        app_name="conecta-spark-scale",
+        master=f"local[{cpus}]",
+        extra_conf={
+            "spark.sql.shuffle.partitions": cpus,
+            "spark.ui.enabled": "false",
+            "spark.driver.memory": "16g",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_base = base.count()
+    work = tempfile.mkdtemp(prefix="scale_bench_")
+
+    def build(k: int) -> str:
+        path = f"{work}/docs_x{k}"
+        rots = _rotations(k)
+        rep = spark.range(k).select(F.col("id").alias("rep"))
+        rot_text = F.col("text")
+        for i, r in enumerate(rots):
+            if i:
+                rot_text = F.when(
+                    F.col("rep") == i, F.translate(F.col("text"), VOWELS, r)
+                ).otherwise(rot_text)
+        (
+            base.crossJoin(rep)
+            .select(
+                (F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"),
+                rot_text.alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+            .repartition(int(cpus))
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        return path
+
+    from pyspark import StorageLevel
+
+    from conecta_spark.operators import dedup
+
+    def lsh_work(docs) -> dict:
+        """Deterministic work counts of the x07 pipeline on ``docs``."""
+        hashed = dedup.hashed_shingles(docs, 5, "text", "doc_id").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        n = hashed.count()
+        tok = hashed.select("doc_id", F.explode("sh").alias("h"))
+        common = (
+            tok.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .where(F.col("c") > 0.1 * n)
+            .select("h")
+        )
+        common_arr = common.agg(F.collect_list("h").alias("common_hs"))
+        filtered = (
+            hashed.crossJoin(F.broadcast(common_arr))
+            .select("doc_id", F.array_except("sh", "common_hs").alias("shf"))
+            .where(F.size("shf") > 0)
+        )
+        sigs = dedup.minhash_signatures(filtered, 16, "doc_id")
+        elems = ", ".join(
+            f"element_at(mh, band_idx * 4 + {j + 1})" for j in range(4)
+        )
+        banded = sigs.select(
+            "doc_id",
+            F.explode(F.expr("sequence(0, 3)")).alias("band_idx"),
+            "mh",
+        ).select(
+            "doc_id",
+            "band_idx",
+            F.expr(f"md5(concat_ws('-', {elems}))").alias("band_key"),
+        )
+        buckets = banded.groupBy("band_idx", "band_key").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        m = buckets.agg(
+            F.max("c").alias("max_bucket"),
+            F.sum(F.expr("c * (c - 1) / 2")).cast("long").alias("cand_pairs"),
+        ).first()
+        verified = dedup.minhash_lsh_pairs(docs).count()
+        hashed.unpersist()
+        return {
+            "n_docs": n,
+            "max_bucket": int(m["max_bucket"]),
+            "cand_pairs": int(m["cand_pairs"]),
+            "verified_pairs": verified,
+        }
+
+    def run(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    def _warm(batches):
+        import numpy  # noqa: F401
+
+        for b in batches:
+            yield b
+
+    run(spark.range(int(cpus) * 4, numPartitions=int(cpus)).mapInPandas(_warm, "id long"))
+
+    results: dict[str, dict] = {}
+    try:
+        for k in (1, 2, 4):
+            docs = spark.read.parquet(build(k))
+            stats = lsh_work(docs)
+            best = None
+            for _ in range(3):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                run(dedup.minhash_lsh_pairs(docs))
+                best = min(best or 1e9, time.perf_counter() - t0)
+            stats["lsh_seconds"] = round(best, 2)
+            results[f"x{k}"] = stats
+            print(f"x{k}: {stats}", file=sys.stderr)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    r1, r4 = results["x1"], results["x4"]
+    out = {
+        "metric": "scale_growth",
+        "base_docs": n_base,
+        "per_scale": results,
+        "work_factor_x4": {
+            "cand_pairs": round(r4["cand_pairs"] / max(r1["cand_pairs"], 1), 2),
+            "verified_pairs": round(
+                r4["verified_pairs"] / max(r1["verified_pairs"], 1), 2
+            ),
+            "max_bucket": round(r4["max_bucket"] / max(r1["max_bucket"], 1), 2),
+        },
+        "time_factor_x4": round(r4["lsh_seconds"] / r1["lsh_seconds"], 2),
+    }
+    print(json.dumps(out, separators=(",", ":")))
+
+
+if __name__ == "__main__":
+    main()
