@@ -414,7 +414,7 @@ _NEVER_DRIVER_RUN = (
     "x14", "x18",
     # SQL-surface shapes added in round 4
     "q40", "q41", "q42", "q43", "q44", "q45",
-    "q46", "q47", "q48", "q49", "q50",
+    "q46", "q47", "q48", "q49", "q50", "q51",
 )
 _FLAGSHIP_PROVEN = (
     "x05", "x07", "x08", "x26", "x10", "x11",

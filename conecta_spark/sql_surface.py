@@ -920,3 +920,29 @@ _Q50_SQL = (
 def q50(spark, sf_dir) -> DataFrame:
     catalog(spark, sf_dir)
     return spark.sql(_Q50_SQL)
+
+
+@register(
+    "q51_right_join_filtered_agg",
+    "SELECT c_mktsegment, COUNT(*) AS n_rows, "
+    " COUNT(o_orderkey) FILTER (WHERE o_totalprice > 100000) AS n_big, "
+    " COUNT(*) FILTER (WHERE o_orderkey IS NULL) AS n_orderless "
+    "FROM orders RIGHT JOIN customer ON o_custkey = c_custkey "
+    "GROUP BY c_mktsegment",
+    "right outer join + FILTER-clause aggregates: customers without orders "
+    "survive the join (NULL order side) and are counted selectively -- the "
+    "two delegated-SQL shapes the surface still lacked",
+)
+def q51(spark, sf_dir) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    j = o.join(c, o.o_custkey == c.c_custkey, "right_outer")
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr(
+            "count(o_orderkey) FILTER (WHERE o_totalprice > 100000)"
+        ).alias("n_big"),
+        F.expr("count(*) FILTER (WHERE o_orderkey IS NULL)").alias(
+            "n_orderless"
+        ),
+    )
