@@ -288,6 +288,13 @@ def brp_lsh_ml(
     feat = df.select(
         F.col(id_col), array_to_vector(F.col(vec_col)).alias("features")
     )
+    if feat.isEmpty():
+        # ml .fit() throws on zero rows; an empty corpus has an empty
+        # neighbor set (100 TB pipelines routinely hand operators empty
+        # filtered slices -- that must not be a crash).
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} long, l2_dist double"
+        )
     lsh = BucketedRandomProjectionLSH(
         inputCol="features",
         outputCol="hashes",
@@ -324,6 +331,12 @@ def ivf_topk(
     one assignment pass over the corpus, persisted) and calls
     :func:`ivf_search` per query -- the per-query cost is then a cell
     prefilter + exact cosine over ~corpus/n_clusters*n_probe rows."""
+    if df.isEmpty():
+        # KMeans.fit throws on zero rows; an empty corpus has an empty
+        # neighbor set (see brp_lsh_ml -- same contract).
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} long, score double, rank int"
+        )
     index = build_ivf_index(
         df, n_clusters=n_clusters, vec_col=vec_col, id_col=id_col, seed=seed
     )
