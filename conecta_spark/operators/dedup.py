@@ -874,9 +874,24 @@ def span_hashes(
     keyed by a 16-hex-char sha256 prefix of the span text.  The shared
     front half of the span-level operators (x40 dedup accounting, x44
     novelty): after this projection the document text is gone and every
-    downstream shuffle moves fixed-width (id, hash) pairs only."""
-    w = F.split(F.col(text_col), " ")
-    return df.select(
+    downstream shuffle moves fixed-width (id, hash) pairs only.
+
+    Null text contributes no spans -- and must be filtered, not passed
+    through: ``size(NULL)`` is -1, which makes the span-start
+    ``sequence(1, -1, k)`` throw at runtime (found by the pathological-
+    corpus sweep).
+
+    The word split is MATERIALIZED in its own projection before the span
+    lambda.  Referencing ``split(text)`` as an expression inside the
+    lambda re-evaluates it once per span (higher-order functions are
+    interpreted; common-subexpression elimination does not reach into
+    them), which is quadratic in document length -- measured 36 s for one
+    50k-word document vs <1 s with the bound column."""
+    words = df.where(F.col(text_col).isNotNull()).select(
+        id_col, F.split(F.col(text_col), " ").alias("__w")
+    )
+    w = F.col("__w")
+    return words.select(
         id_col,
         F.explode(
             F.transform(

@@ -80,8 +80,24 @@ def duck_hyperplane_bucket(vec: str, planes: int = 4, dim: int = DIM) -> str:
 # -- DataFrame transforms ----------------------------------------------------
 
 
+def valid_vectors(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Rows whose embedding is present, non-empty, and all-finite.
+    Malformed vectors (nulls from failed embedding jobs, NaNs from
+    overflowed encoders) are a data-quality fact of large corpora; they
+    must degrade to exclusion, not crash a matmul batch or an ML fit, and
+    NaN scores must never reach a ranking whose NaN order differs between
+    engines (found by the pathological-corpus sweep)."""
+    return df.where(
+        F.col(vec_col).isNotNull()
+        & (F.size(vec_col) > 0)
+        & F.expr(f"forall({vec_col}, x -> x IS NOT NULL AND NOT isnan(x))")
+    )
+
+
 def _vectors(df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
-    return df.select(
+    return valid_vectors(df, vec_col, id_col).select(
         F.col(id_col), F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("v")
     )
 
@@ -285,7 +301,7 @@ def brp_lsh_ml(
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
-    feat = df.select(
+    feat = valid_vectors(df, vec_col, id_col).select(
         F.col(id_col), array_to_vector(F.col(vec_col)).alias("features")
     )
     if feat.isEmpty():
@@ -331,9 +347,10 @@ def ivf_topk(
     one assignment pass over the corpus, persisted) and calls
     :func:`ivf_search` per query -- the per-query cost is then a cell
     prefilter + exact cosine over ~corpus/n_clusters*n_probe rows."""
-    if df.isEmpty():
-        # KMeans.fit throws on zero rows; an empty corpus has an empty
-        # neighbor set (see brp_lsh_ml -- same contract).
+    if valid_vectors(df, vec_col, id_col).isEmpty():
+        # KMeans.fit throws on zero rows; an empty (or all-malformed)
+        # corpus has an empty neighbor set (see brp_lsh_ml -- same
+        # contract).
         return df.sparkSession.createDataFrame(
             [], f"{id_col} long, score double, rank int"
         )
@@ -372,11 +389,14 @@ def build_ivf_index(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    feat = df.select(
+    feat = valid_vectors(df, vec_col, id_col).select(
         F.col(id_col),
         F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("v"),
         array_to_vector(F.col(vec_col)).alias("features"),
     )
+    # KMeans throws when k exceeds the point count; a tiny (or heavily
+    # filtered) corpus just gets a flatter index.
+    n_clusters = max(1, min(n_clusters, feat.count()))
     km = KMeans(
         k=n_clusters, seed=seed, featuresCol="features", predictionCol="cell"
     )
