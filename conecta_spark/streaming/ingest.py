@@ -94,15 +94,28 @@ def stream_ingest(
     snapshot_path: str,
     checkpoint: str,
     text_col: str = "text",
+    prepare=None,
 ):
     """Run a document stream through incremental dedup into the snapshot.
     Returns the started StreamingQuery (availableNow-style callers should
-    ``awaitTermination()``)."""
+    ``awaitTermination()``).
+
+    ``prepare`` is an optional batch transform applied to each microbatch
+    BEFORE dedup -- the hygiene stages of the batch corpus pipeline (x37's
+    quality gate, PII redaction) drop in unchanged, because every stage is
+    a stateless DataFrame transform; state lives only in the snapshot.
+    Gate-then-redact ordering and the redaction-before-hash contract are
+    the caller's composition, exactly as in the batch pipeline.
+    """
+
+    def _once(b: DataFrame, _id: int) -> None:
+        if prepare is not None:
+            b = prepare(b)
+        ingest_batch(b, snapshot_path, text_col)
+
     return (
         stream.writeStream.trigger(availableNow=True)
         .option("checkpointLocation", checkpoint)
-        .foreachBatch(
-            lambda b, _id: ingest_batch(b, snapshot_path, text_col)
-        )
+        .foreachBatch(_once)
         .start()
     )

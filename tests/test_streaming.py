@@ -309,3 +309,56 @@ def test_stream_ingest_matches_batch_operator(spark, tmp_path_factory):
     batch_ids = {r.doc_id for r in novel2.collect()}
     batched = {t for i, t, s in b1} | {t for i, t, s in b2 if i in batch_ids}
     assert streamed == batched
+
+
+def test_stream_ingest_with_hygiene_prepare_matches_batch_pipeline(
+    spark, tmp_path_factory
+):
+    """The batch corpus pipeline's hygiene stages (gopher gate, PII
+    redaction) drop into streaming ingest unchanged via ``prepare``; the
+    resulting snapshot equals the batch pipeline's gate->redact->dedup
+    output over the same documents."""
+    from conecta_spark.functions.quality import gopher_pass
+    from conecta_spark.functions.scrub import redact_pii
+    from conecta_spark.streaming.ingest import stream_ingest
+
+    good = "the quick brown fox jumps over the lazy dog again and again "
+    pii = good + "mail me at someone@example.com please " + good
+    junk = "!!!"  # fails the gopher gate
+    b1 = [(1, good * 3, "a"), (2, junk, "a"), (3, pii, "a")]
+    b2 = [(9, good * 3, "b"), (10, good * 5, "b"), (11, junk, "b")]
+
+    base = tmp_path_factory.mktemp("hygiene")
+    stage, snap, ckpt = str(base / "stage"), str(base / "snap"), str(base / "ckpt")
+    prepare = lambda b: redact_pii(b.where(gopher_pass("text")))
+
+    for rows in (b1, b2):
+        _doc_rows(spark, rows).write.mode("append").parquet(stage)
+        stream = (
+            spark.readStream.schema("doc_id long, text string, source string")
+            .format("parquet")
+            .load(stage)
+        )
+        q = stream_ingest(stream, snap, ckpt, text_col="text_redacted", prepare=prepare)
+        q.awaitTermination(120)
+
+    got = {
+        (r.doc_id, r.text_redacted)
+        for r in spark.read.parquet(snap).collect()
+    }
+    # batch twin: gate -> redact -> exact dedup (min id wins) over all docs
+    allb = _doc_rows(spark, b1 + b2)
+    gated = redact_pii(allb.where(gopher_pass("text")))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("text_redacted").orderBy("doc_id")
+    want = {
+        (r.doc_id, r.text_redacted)
+        for r in gated.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .collect()
+    }
+    assert got == want
+    # the junk docs were gated out, the PII doc was redacted before hashing
+    assert all("example.com" not in t for _, t in got)
+    assert {i for i, _ in got} == {1, 3, 10}
