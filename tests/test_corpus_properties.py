@@ -63,3 +63,65 @@ def test_incremental_dedup_is_set_difference_on_content(spark, snap, batch):
         1000 + i for i, t in enumerate(batch) if t not in set(snap)
     )
     assert got == want
+
+
+dup_corpus = st.lists(
+    st.integers(min_value=0, max_value=2**32),  # doc seeds
+    min_size=3,
+    max_size=10,
+    unique=True,
+)
+
+
+@given(seeds=dup_corpus)
+@settings(max_examples=6, deadline=None)
+def test_minhash_lsh_always_finds_planted_exact_clones(spark, seeds):
+    """Identical documents produce identical signatures, land in the same
+    band buckets, and verify at jaccard 1.0 -- so with the boilerplate
+    filter out of the way (max_df=1.0), EVERY planted clone pair must be
+    recalled, whatever else is in the corpus.  (Near-dup recall below 1.0
+    is inherent to LSH banding; exact-clone recall is not allowed to be.
+    The default max_df interacts with corpus SIZE, not LSH -- see the
+    companion test below.)"""
+    from conecta_spark.operators.dedup import minhash_lsh_pairs
+
+    # distinctive pseudo-random texts derived from seeds; clone the first
+    # two documents under high ids
+    texts = {
+        i: " ".join(f"w{(s * (j + 3)) % 9973}" for j in range(30))
+        for i, s in enumerate(seeds)
+    }
+    rows = [Row(doc_id=i, text=t) for i, t in texts.items()]
+    rows += [
+        Row(doc_id=100, text=texts[0]),
+        Row(doc_id=101, text=texts[1]),
+    ]
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(
+            spark.createDataFrame(rows), max_df=1.0
+        ).collect()
+    }
+    assert (0, 100) in pairs
+    assert (1, 101) in pairs
+
+
+def test_default_max_df_drops_clones_in_tiny_corpora_by_design(spark):
+    """Documented trade-off, pinned so it stays deliberate: with the
+    default max_df=0.1, a clone pair in a 7-doc corpus puts every shared
+    shingle at 2/7 > 10% document frequency -- all its shingles count as
+    boilerplate, the docs are dropped before banding, and the pair is NOT
+    recalled.  At production corpus sizes (2/n << max_df) the filter only
+    removes genuine template text; this is the tiny-corpus edge of that
+    dial, not an LSH recall failure (the hypothesis property above shows
+    recall is perfect with the filter open)."""
+    from conecta_spark.operators.dedup import minhash_lsh_pairs
+
+    texts = [
+        " ".join(f"w{(s * (j + 3)) % 9973}" for j in range(30))
+        for s in (11, 22, 33, 44, 55)
+    ]
+    rows = [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    rows += [Row(doc_id=100, text=texts[0])]
+    pairs = minhash_lsh_pairs(spark.createDataFrame(rows)).collect()
+    assert pairs == []

@@ -240,3 +240,20 @@ def test_keep_best_text_never_enters_the_cluster_window(spark, oracle_dir):
     for ln in p.splitlines():
         if "Exchange" in ln and "Arguments" in ln:
             assert "text" not in ln
+
+
+# -- span_hashes materialization (quadratic-regression pin) ------------------
+
+
+def test_span_hashes_splits_text_exactly_once(spark):
+    """The word split must be materialized in its own projection, not
+    re-evaluated inside the span lambda: higher-order functions are
+    interpreted and CSE does not reach into them, so an inlined split is
+    O(spans * doc_length) -- measured 36 s for one 50k-word document.
+    Pinned via the optimized plan: exactly one split() call."""
+    from conecta_spark.operators.dedup import span_hashes
+
+    d = spark.createDataFrame([Row(doc_id=1, text="a b c d e f g h i j")])
+    df = span_hashes(d)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert optimized.count("split(") == 1, optimized
