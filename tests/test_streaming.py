@@ -362,3 +362,61 @@ def test_stream_ingest_with_hygiene_prepare_matches_batch_pipeline(
     # the junk docs were gated out, the PII doc was redacted before hashing
     assert all("example.com" not in t for _, t in got)
     assert {i for i, _ in got} == {1, 3, 10}
+
+
+def test_watermark_drops_late_events_in_append_mode(spark, tmp_path_factory):
+    """An event arriving in a later microbatch, older than the advanced
+    watermark, must not reopen its (already-emitted) window -- the state
+    bound that makes a windowed aggregation runnable forever at 100 TB.
+    File-source microbatches advance the watermark between batches, so
+    staging two files reproduces the late arrival exactly."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from conecta_spark.streaming.events import streaming_hourly_rollup
+
+    base = tmp_path_factory.mktemp("late")
+    stage, out, ckpt = str(base / "stage"), str(base / "out"), str(base / "ckpt")
+
+    t0 = dt.datetime(2024, 1, 1, 0, 30)
+    mk = lambda eid, ts, et: Row(
+        event_id=eid, ts=ts, user_id=1, event_type=et, value=1.0
+    )
+    # batch 1: one event at 00:30 and one far ahead at 12:30 -- after this
+    # batch the watermark is ~10:30 (12:30 - 2h), sealing the 00:00 window
+    spark.createDataFrame(
+        [mk(1, t0, "a"), mk(2, t0 + dt.timedelta(hours=12), "a")]
+    ).write.mode("append").parquet(stage)
+
+    def run():
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, "
+                "event_type string, value double"
+            )
+            .format("parquet")
+            .load(stage)
+        )
+        q = (
+            streaming_hourly_rollup(stream)
+            .writeStream.trigger(availableNow=True)
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    # batch 2: a LATE event for the sealed 00:00 window
+    spark.createDataFrame([mk(3, t0 + dt.timedelta(minutes=5), "a")]).write.mode(
+        "append"
+    ).parquet(stage)
+    run()
+
+    got = spark.read.parquet(out)
+    rows = got.where(F.col("hour_start") == t0.replace(minute=0)).collect()
+    # the sealed window was emitted from batch 1 only: count 1, late event dropped
+    assert [r.c for r in rows] == [1]
