@@ -411,7 +411,7 @@ _NEVER_DRIVER_RUN = (
     # flagship pipeline first, then the round-4 operator wave
     "x37", "x36", "x35", "x34", "x38", "x39", "x40", "x41", "x42",
     "x43", "x44", "x45", "x46", "x47", "x48", "x49", "x50",
-    "x51",
+    "x51", "x52",
     # rows-only entries displaced by the cap in every prior round
     "x14", "x18",
     # SQL-surface shapes added in round 4

@@ -108,3 +108,60 @@ def test_skyline_plan_has_no_quadratic_join_or_global_point_window(spark, oracle
                 or "__pid" in ln
                 or "o_orderdate" in ln
             )
+
+
+# -- N-dimensional skyline ---------------------------------------------------
+
+
+def test_skyline_nd_matches_quadratic_reference_3d(spark):
+    from conecta_spark.operators.skyline import skyline_nd
+
+    rng = random.Random(29)
+    pts = [
+        (i, rng.randint(0, 12), rng.randint(0, 12), float(rng.randint(0, 12)))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(
+        [Row(id=i, a=a, b=b, c=c) for i, a, b, c in pts]
+    ).repartition(8)
+    got = {r.id for r in skyline_nd(df, ["a", "b", "c"]).collect()}
+    want = {
+        i
+        for i, a, b, c in pts
+        if not any(
+            qa <= a and qb <= b and qc <= c and (qa < a or qb < b or qc < c)
+            for _, qa, qb, qc in pts
+        )
+    }
+    assert got == want
+
+
+def test_skyline_nd_keeps_exact_duplicates_and_drops_nulls(spark):
+    from conecta_spark.operators.skyline import skyline_nd
+
+    df = spark.createDataFrame(
+        [
+            Row(id=1, a=1, b=1.0),
+            Row(id=2, a=1, b=1.0),      # exact duplicate: both kept
+            Row(id=3, a=0, b=None),     # null dim: incomparable, excluded
+            Row(id=4, a=2, b=2.0),      # dominated
+        ]
+    )
+    got = {r.id for r in skyline_nd(df, ["a", "b"]).collect()}
+    assert got == {1, 2}
+
+
+def test_skyline_nd_partitioning_invariant(spark):
+    """Local-skyline/merge must give the same frontier whatever the
+    initial partitioning -- any global skyline point survives every local
+    filter by definition."""
+    from conecta_spark.operators.skyline import skyline_nd
+
+    rng = random.Random(31)
+    rows = [
+        Row(id=i, a=rng.randint(0, 9), b=float(rng.randint(0, 9)))
+        for i in range(200)
+    ]
+    one = {r.id for r in skyline_nd(spark.createDataFrame(rows).coalesce(1), ["a", "b"]).collect()}
+    many = {r.id for r in skyline_nd(spark.createDataFrame(rows).repartition(16), ["a", "b"]).collect()}
+    assert one == many
