@@ -378,6 +378,7 @@ def _load_extensions() -> None:
         "conecta_spark.operators.asof",
         "conecta_spark.operators.cluster",
         "conecta_spark.operators.skyline",
+        "conecta_spark.operators.stringsim",
         "conecta_spark.functions.sampling",
         "conecta_spark.functions.scrub",
         "conecta_spark.functions.text",
@@ -411,7 +412,7 @@ _NEVER_DRIVER_RUN = (
     # flagship pipeline first, then the round-4 operator wave
     "x37", "x36", "x35", "x34", "x38", "x39", "x40", "x41", "x42",
     "x43", "x44", "x45", "x46", "x47", "x48", "x49", "x50",
-    "x51", "x52",
+    "x51", "x52", "x53",
     # rows-only entries displaced by the cap in every prior round
     "x14", "x18",
     # SQL-surface shapes added in round 4

@@ -1,0 +1,87 @@
+"""Behavior + plan tests for the edit-distance similarity join (x53).
+Oracle parity is covered by the registry sweep; these pin the
+deletion-neighborhood blocking's exactness at distance 1."""
+
+from __future__ import annotations
+
+import random
+import string
+
+from pyspark.sql import Row
+
+from conecta_spark.operators.stringsim import edit_distance_join
+from conecta_spark.queries import REGISTRY, _load_extensions
+
+from .test_plans import plan
+
+_load_extensions()
+
+
+def _j(spark, names):
+    df = spark.createDataFrame(
+        [Row(id=i, s=s) for i, s in enumerate(names)]
+    )
+    return {
+        (r.id_a, r.id_b): r.dist
+        for r in edit_distance_join(df, "s", "id").collect()
+    }
+
+
+def test_edit_join_finds_each_edit_kind_once(spark):
+    got = _j(
+        spark,
+        [
+            "kitten",   # 0
+            "mitten",   # 1: substitution           -> (0,1) dist 1
+            "kittens",  # 2: insertion at the end   -> (0,2) dist 1
+            "kitte",    # 3: deletion at the end    -> (0,3) dist 1
+            "sitting",  # 4: distance 3 from kitten -> absent
+            "kitten",   # 5: exact duplicate        -> (0,5) dist 0
+        ],
+    )
+    assert got[(0, 1)] == 1
+    assert got[(0, 2)] == 1
+    assert got[(0, 3)] == 1
+    assert got[(0, 5)] == 0
+    assert not any(4 in p for p in got)
+
+
+def test_edit_join_is_complete_vs_quadratic_reference(spark):
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    rng = random.Random(17)
+    names = [
+        "".join(rng.choice("ab") for _ in range(rng.randint(2, 5)))
+        for _ in range(60)
+    ]
+    got = set(_j(spark, names))
+    want = {
+        (i, j)
+        for i in range(len(names))
+        for j in range(i + 1, len(names))
+        if lev(names[i], names[j]) <= 1
+    }
+    assert got == want
+
+
+def test_edit_join_rejects_unsupported_threshold(spark):
+    import pytest
+
+    df = spark.createDataFrame([Row(id=1, s="a")])
+    with pytest.raises(NotImplementedError):
+        edit_distance_join(df, "s", "id", threshold=2)
+
+
+def test_edit_join_plan_is_equi_join_only(spark, oracle_dir):
+    p = plan(REGISTRY["x53_edit_distance_join"].fn(spark, oracle_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
