@@ -293,3 +293,89 @@ def token_commonness(df: DataFrame, text_col: str = "text",
 )
 def x39_token_commonness(spark, sf_dir) -> DataFrame:
     return token_commonness(t(spark, sf_dir, "documents"))
+
+
+def oov_stats(
+    df: DataFrame,
+    vocab_size: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Out-of-vocabulary scoring against a truncated corpus vocabulary:
+    the top ``vocab_size`` tokens by (count desc, token) become the vocab;
+    each document reports its token count, OOV token count, and the mean
+    corpus frequency of its IN-vocab tokens (exact BIGINT sums, one double
+    division -- the x39 parity discipline).
+
+    This is the scale-cheap sibling of x39's full-vocabulary join-back.
+    x39 shuffles every token three times (vocab agg, join back, per-doc
+    agg).  Here the vocabulary is *truncated and broadcast*: one shuffle
+    builds token counts, TakeOrdered keeps the top V, ONE map row
+    (map_from_entries) broadcasts to every task, and per-doc scoring is a
+    map-side fold over the token array -- the corpus is never exploded
+    into a join.  At 100 TB a 1M-entry vocab map is a few tens of MB
+    broadcast once, vs re-shuffling ~100 TB of exploded tokens; rare-tail
+    tokens deliberately degrade to OOV, which is exactly the signal
+    (garbled/foreign text scores high n_oov).
+    """
+    words = _w(text_col)
+    tok = df.select(F.explode(F.expr(words)).alias("w")).where(
+        F.length("w") > 0
+    )
+    top = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "w")
+        .limit(vocab_size)
+    )
+    vmap = top.agg(
+        F.expr("map_from_entries(array_agg(struct(w, c)))").alias("vm")
+    )
+    toks = f"filter({words}, x -> length(x) > 0)"
+    return (
+        df.crossJoin(F.broadcast(vmap))
+        .select(
+            F.col(id_col),
+            F.expr(f"CAST(size({toks}) AS BIGINT)").alias("n_tok"),
+            F.expr(
+                f"CAST(size(filter({toks}, x -> element_at(vm, x) IS NULL))"
+                " AS BIGINT)"
+            ).alias("n_oov"),
+            F.expr(
+                f"aggregate({toks}, 0L,"
+                " (a, x) -> a + coalesce(element_at(vm, x), 0L))"
+            ).alias("invocab_c_sum"),
+        )
+        .withColumn(
+            "mean_invocab_df",
+            F.col("invocab_c_sum").cast("double")
+            / F.nullif(F.col("n_tok") - F.col("n_oov"), F.lit(0)),
+        )
+    )
+
+
+@register(
+    "x56_oov_rate",
+    "WITH tok AS (SELECT doc_id, unnest("
+    + _dw("text")
+    + ") AS w FROM documents), "
+    "tok2 AS (SELECT doc_id, w FROM tok WHERE length(w) > 0), "
+    "vocab AS (SELECT w, COUNT(*) AS c FROM tok2 GROUP BY w), "
+    "topv AS (SELECT w, c FROM (SELECT w, c,"
+    "  row_number() OVER (ORDER BY c DESC, w) AS rn FROM vocab) t"
+    "  WHERE rn <= 16) "
+    "SELECT d.doc_id, COUNT(t.w) AS n_tok, "
+    " COUNT(*) FILTER (t.w IS NOT NULL AND topv.c IS NULL) AS n_oov, "
+    " COALESCE(SUM(topv.c), 0) AS invocab_c_sum, "
+    " CAST(COALESCE(SUM(topv.c), 0) AS DOUBLE) /"
+    "  NULLIF(COUNT(t.w) - COUNT(*) FILTER (t.w IS NOT NULL"
+    "   AND topv.c IS NULL), 0) AS mean_invocab_df "
+    "FROM documents d LEFT JOIN tok2 t ON d.doc_id = t.doc_id"
+    " LEFT JOIN topv ON t.w = topv.w "
+    "GROUP BY d.doc_id",
+    "OOV-rate quality scoring against a truncated broadcast vocabulary "
+    "(top-16 tokens): one token-count shuffle, then pure map-side scoring "
+    "-- no exploded-token join-back at any scale",
+)
+def x56_oov(spark, sf_dir) -> DataFrame:
+    return oov_stats(t(spark, sf_dir, "documents"), vocab_size=16)

@@ -800,3 +800,207 @@ def x49_filtered(spark, sf_dir) -> DataFrame:
         t(spark, sf_dir, "documents"),
         (F.col("lang") == "en") & (F.col("n_chars") >= 200),
     )
+
+
+# -- semantic dedup (SemDeDup-style, cell-blocked) ---------------------------
+
+
+def semantic_dedup(
+    df: DataFrame,
+    k: int = 8,
+    threshold: float = 0.35,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: every vector is assigned to
+    its nearest of ``k`` deterministic centroids (the x42 exact int8
+    argmax), and WITHIN each cell a vector is flagged a semantic duplicate
+    if any lower-id cellmate has rounded cosine >= ``threshold``.  Returns
+    one row per vector: (id, centroid_id, is_dup) -- the keep/drop decision
+    a corpus build applies before training.
+
+    Why the cell blocking matters: embedding near-dup (x11) compares all
+    pairs -- O(n^2) in the corpus.  SemDeDup's observation is that semantic
+    duplicates land in the same coarse cluster, so the quadratic only runs
+    within cells: cost drops to sum(|cell|^2), and at 100 TB you grow ``k``
+    with the corpus (k ~ n / target_cell_size) so cells stay bounded and
+    the whole pass stays linear-ish.  Missed cross-cell pairs are the
+    documented recall trade the SemDeDup paper accepts.
+
+    Plan shape: one broadcast of the k-centroid array (map-side argmax, as
+    x42), one shuffle of the skinny (id, cell, unit-vector) relation keyed
+    by cell for the self-join, one skinny distinct of flagged ids, one
+    left join back.  The pairwise score is a dot product of pre-normalized
+    vectors, so norms are computed once per vector, not once per pair.
+    """
+    e = _vectors(df, vec_col, id_col)
+    qe = e.withColumn("qa", F.expr(quantize_int8_expr("v")))
+    cents = (
+        qe.where(F.col(id_col) < k)
+        .select(F.expr(f"named_struct('cid', {id_col}, 'qc', qa)").alias("c"))
+        .agg(F.expr("array_agg(c)").alias("cs"))
+    )
+    assigned = (
+        qe.crossJoin(F.broadcast(cents))
+        .select(
+            F.col(id_col),
+            F.expr(
+                "array_max(transform(cs, c -> named_struct("
+                " 's', aggregate(zip_with(qa, c.qc, (x, y) -> x * y), 0L,"
+                "  (a, x) -> a + x),"
+                " 'negcid', -c.cid))).negcid"
+            ).alias("negcid"),
+            F.expr(normalize_expr("v", DIM)).alias("nv"),
+        )
+        .select(
+            id_col,
+            (-F.col("negcid")).cast("long").alias("centroid_id"),
+            "nv",
+        )
+        # Referenced three times (both self-join sides + the final left
+        # join); without a persist each reference replans the whole
+        # quantize/argmax/normalize pipeline -- the x07 ReuseExchange
+        # lesson.  Skinny relation: (id, cell, unit vector).
+        .persist()
+    )
+    a = assigned
+    b = assigned.select(
+        F.col(id_col).alias("b_id"),
+        F.col("centroid_id").alias("b_cell"),
+        F.col("nv").alias("bnv"),
+    )
+    dups = (
+        a.join(
+            b,
+            (a["centroid_id"] == b["b_cell"]) & (b["b_id"] < a[id_col]),
+        )
+        .where(
+            F.round(F.expr(dot_expr("nv", "bnv", DIM)), 6) >= threshold
+        )
+        .select(id_col)
+        .distinct()
+        .withColumn("flag", F.lit(1).cast("long"))
+    )
+    return assigned.join(dups, id_col, "left").select(
+        id_col,
+        "centroid_id",
+        F.coalesce(F.col("flag"), F.lit(0).cast("long")).alias("is_dup"),
+    )
+
+
+_DUCK_CELL = (
+    ", cents AS (SELECT vec_id AS cid, qa AS qc FROM qe WHERE vec_id < 8), "
+    "cell AS (SELECT vec_id, cid FROM ("
+    " SELECT qe.vec_id, cents.cid, row_number() OVER ("
+    "  PARTITION BY qe.vec_id ORDER BY"
+    "  CAST(list_sum(list_transform(range(1, 65), i -> qa[i] * qc[i]))"
+    "   AS BIGINT) DESC, cents.cid) AS rn"
+    " FROM qe CROSS JOIN cents) t WHERE rn = 1), "
+    "av AS (SELECT cell.vec_id, cell.cid, "
+    + duck_normalize("e.v", DIM)
+    + " AS nv FROM cell JOIN e USING (vec_id)) "
+)
+
+
+@register(
+    "x54_semantic_dedup",
+    _DUCK_Q
+    + _DUCK_CELL
+    + ", dups AS (SELECT DISTINCT a.vec_id FROM av a JOIN av b"
+    "   ON a.cid = b.cid AND b.vec_id < a.vec_id"
+    "   WHERE round(" + duck_dot("a.nv", "b.nv", DIM) + ", 6) >= 0.35) "
+    "SELECT av.vec_id, CAST(av.cid AS BIGINT) AS centroid_id, "
+    " CAST(CASE WHEN dups.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT)"
+    "  AS is_dup "
+    "FROM av LEFT JOIN dups ON av.vec_id = dups.vec_id",
+    "SemDeDup-style semantic dedup: exact int8 centroid assignment, then "
+    "within-cell cosine flagging against lower-id cellmates (the quadratic "
+    "runs per cell, never corpus-wide)",
+)
+def x54_semdedup(spark, sf_dir) -> DataFrame:
+    return semantic_dedup(t(spark, sf_dir, "embeddings"), k=8, threshold=0.35)
+
+
+# -- semantic contamination (embedding-level decontamination) ----------------
+
+
+def semantic_contamination(
+    df: DataFrame,
+    bench_label: int = 9,
+    threshold: float = 0.40,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Embedding-level benchmark decontamination: flag every corpus vector
+    whose max cosine against ANY benchmark vector (rows with
+    ``label = bench_label``) reaches ``threshold``; return
+    (id, nearest bench id, rounded score) for the contaminated rows.
+
+    The n-gram contamination check (x31, functions/scrub.py) catches exact
+    and near-verbatim inclusions; this catches *paraphrased* test-set
+    leakage that shares no shingle -- the second stage of a real
+    decontamination gate.
+
+    Same scale asymmetry as x31: the benchmark set is small and bounded,
+    so it collapses into ONE array-of-structs row (unit-normalized once)
+    broadcast to every task, and the corpus is scanned exactly once with a
+    map-side max -- no join shuffle, no corpus movement.  Ties break to
+    the lowest benchmark id (struct max on (score, -id)).
+    """
+    ev = valid_vectors(df, vec_col, id_col).select(
+        F.col(id_col),
+        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("v"),
+        F.col(label_col),
+    )
+    bench = (
+        ev.where(F.col(label_col) == bench_label)
+        .select(
+            F.expr(
+                f"named_struct('bid', {id_col}, "
+                f"'bv', {normalize_expr('v', DIM)})"
+            ).alias("c")
+        )
+        .agg(F.expr("array_agg(c)").alias("bs"))
+    )
+    corpus = ev.where(F.col(label_col) != bench_label).select(
+        id_col, F.expr(normalize_expr("v", DIM)).alias("nv")
+    )
+    best = corpus.crossJoin(F.broadcast(bench)).select(
+        id_col,
+        F.expr(
+            f"array_max(transform(bs, c -> named_struct("
+            f" 's', round({dot_expr('nv', 'c.bv', DIM)}, 6),"
+            f" 'negbid', -c.bid)))"
+        ).alias("m"),
+    )
+    return best.where(F.col("m.s") >= threshold).select(
+        id_col,
+        (-F.col("m.negbid")).cast("long").alias("bench_id"),
+        F.col("m.s").alias("score"),
+    )
+
+
+@register(
+    "x55_semantic_contamination",
+    "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label"
+    "  FROM embeddings), "
+    "nb AS (SELECT vec_id AS bid, " + duck_normalize("v", DIM) + " AS bv"
+    "  FROM e WHERE label = 9), "
+    "c AS (SELECT vec_id, " + duck_normalize("v", DIM) + " AS nv"
+    "  FROM e WHERE label <> 9), "
+    "m AS (SELECT c.vec_id, nb.bid,"
+    "  round(" + duck_dot("nv", "bv", DIM) + ", 6) AS s,"
+    "  row_number() OVER (PARTITION BY c.vec_id ORDER BY"
+    "   round(" + duck_dot("nv", "bv", DIM) + ", 6) DESC, nb.bid) AS rn"
+    " FROM c CROSS JOIN nb) "
+    "SELECT vec_id, CAST(bid AS BIGINT) AS bench_id, s AS score "
+    "FROM m WHERE rn = 1 AND s >= 0.40",
+    "embedding-level decontamination: corpus vectors whose max cosine "
+    "against the broadcast benchmark set (label=9) reaches 0.40 -- catches "
+    "paraphrased leakage the n-gram check (x31) cannot",
+)
+def x55_semantic_contam(spark, sf_dir) -> DataFrame:
+    return semantic_contamination(
+        t(spark, sf_dir, "embeddings"), bench_label=9, threshold=0.40
+    )

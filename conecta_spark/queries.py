@@ -408,11 +408,15 @@ def _load_extensions() -> None:
 # operators.  Everything demoted below slot 50 is hash-green in r02/r03 and
 # still locally oracle-checked every test run; those rows stand.
 _REGRESSION_PROOFS = ("x16", "x22", "x23")  # errored in r03, fixed this round
+# Triple-green (r01/r02/r03) trivial shapes demoted below the window so the
+# three round-4 SQL queries at the tail of _NEVER_DRIVER_RUN fit inside the
+# 50 slots; their prior driver rows stand and they stay locally oracled.
+_TRIPLE_GREEN_CORE = ("q05", "q06", "q07", "q08", "q09", "q10")
 _NEVER_DRIVER_RUN = (
     # flagship pipeline first, then the round-4 operator wave
     "x37", "x36", "x35", "x34", "x38", "x39", "x40", "x41", "x42",
     "x43", "x44", "x45", "x46", "x47", "x48", "x49", "x50",
-    "x51", "x52", "x53",
+    "x51", "x52", "x53", "x54", "x55", "x56",
     # rows-only entries displaced by the cap in every prior round
     "x14", "x18",
     # SQL-surface shapes added in round 4
@@ -423,9 +427,12 @@ _FLAGSHIP_PROVEN = (
     "x05", "x07", "x08", "x26", "x10", "x11",
 )
 _PRIORITY_TIERS: tuple[tuple[str, ...], ...] = (
-    tuple(f"q{i:02d}" for i in range(1, 17)),  # core q01-q16
+    tuple(
+        f"q{i:02d}" for i in range(1, 17) if f"q{i:02d}" not in _TRIPLE_GREEN_CORE
+    ),  # core q01-q16 minus the demoted triple-green trivials
     _REGRESSION_PROOFS,
     _NEVER_DRIVER_RUN,
+    _TRIPLE_GREEN_CORE,
     _FLAGSHIP_PROVEN,
     # proven extension tail (green r03), most informative first
     tuple(
