@@ -41,6 +41,8 @@ def write_parquet(
     target_files: int | None = None,
     target_mb: int | None = None,
     cluster_by: tuple | list = (),
+    zorder_by: tuple | list = (),
+    zorder_bits: int = 16,
     compression: str = "snappy",
 ) -> None:
     """Write ``df`` as (optionally hive-partitioned) parquet.
@@ -57,11 +59,31 @@ def write_parquet(
     disjoint, so later predicate scans on the cluster column skip whole
     row groups.  The cheap half of Z-ordering, for the single-column case
     that dominates real query logs (time, tenant, id).
+
+    ``zorder_by`` is the multi-column version: rows are RANGE-partitioned
+    across output files by a Morton-interleaved key over the named integer
+    columns (functions/zorder.py) and locally sorted by it, so each
+    file/row-group covers one segment of the space-filling curve --
+    file-level AND row-group min/max stats narrow for EVERY named column
+    at once, and a predicate on any of them prunes (the layout behind
+    OPTIMIZE ZORDER BY).  The key is computed map-side after a one-row
+    min/max probe, used only for layout, and never written.  Costs one
+    range-partition shuffle -- the same exchange any global layout pass
+    pays.  Mutually exclusive with ``cluster_by``.
     """
+    if cluster_by and zorder_by:
+        raise ValueError("cluster_by and zorder_by are mutually exclusive")
     out = df
     if target_mb and not target_files:
         target_files = max(1, -(-estimated_bytes(df) // (target_mb << 20)))
-    if target_files:
+    if zorder_by:
+        from ..functions.zorder import with_zorder_key
+
+        out = with_zorder_key(out, list(zorder_by), bits=zorder_bits)
+        if target_files:
+            out = out.repartitionByRange(target_files, "_zkey")
+        out = out.sortWithinPartitions("_zkey").drop("_zkey")
+    elif target_files:
         cols = list(partition_by)
         out = df.repartition(target_files, *cols) if cols else df.repartition(target_files)
     if cluster_by:

@@ -169,3 +169,97 @@ def test_oov_plan_is_map_side_after_vocab(spark, sf):
     # vocab partial agg + final agg exchange, plus the TakeOrdered; the
     # documents scan must not feed any Exchange.
     assert node_count(p, "Exchange") <= 2
+
+
+# -- x57 z-order layout ------------------------------------------------------
+
+
+def test_zorder_expr_interleaves_known_values(spark):
+    # 2 cols, 2 bits, ranges [0,3]: scaled value == input value.
+    # Morton(x=2 (10b), y=1 (01b)) with bit p of key = bit p//2 of col p%2:
+    # p0=x bit0=0, p1=y bit0=1, p2=x bit1=1, p3=y bit1=0 -> 0b0110 = 6.
+    from conecta_spark.functions.zorder import duck_zorder, zorder_expr
+
+    expr = zorder_expr(["x", "y"], [0, 0], [3, 3], bits=2)
+    df = spark.createDataFrame([Row(x=2, y=1), Row(x=3, y=3), Row(x=0, y=0)])
+    got = [r.z for r in df.select(F.expr(expr).alias("z")).collect()]
+    assert got == [6, 15, 0]
+    # the DuckDB twin computes the identical keys
+    import duckdb
+
+    dz = duck_zorder(["x", "y"], [0, 0], [3, 3], bits=2)
+    duck = duckdb.connect().execute(
+        f"SELECT {dz} AS z FROM (VALUES (2, 1), (3, 3), (0, 0)) t(x, y)"
+    ).fetchall()
+    assert [r[0] for r in duck] == got
+
+
+def test_zorder_rejects_too_wide_keys():
+    from conecta_spark.functions.zorder import zorder_expr
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="too wide"):
+        zorder_expr(["a", "b"], [0, 0], [1, 1], bits=32)
+
+
+def test_zorder_write_narrows_stats_for_both_columns(spark, sf, tmp_path_factory):
+    """The z-ordered layout must narrow per-file min/max ranges for BOTH
+    named columns, where a single-column clustering narrows only its own.
+
+    Quantified as mean per-file (max-min) width over 8 output files:
+    z-order must shrink the second column's width to under 70% of what the
+    single-column layout leaves it (that layout leaves it ~the full
+    domain), while keeping the first column's width well under the full
+    domain too -- i.e. it does not simply sort by one column.
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    from conecta_spark.queries import t
+    from conecta_spark.sources.sinks import write_parquet
+
+    li = t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+
+    def mean_widths(path):
+        widths = {"l_orderkey": [], "l_suppkey": []}
+        for fname in os.listdir(path):
+            if not fname.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(path, fname)).metadata
+            sch = md.schema.to_arrow_schema()
+            for col in widths:
+                idx = sch.get_field_index(col)
+                st = md.row_group(0).column(idx).statistics
+                mn = min(
+                    md.row_group(g).column(idx).statistics.min
+                    for g in range(md.num_row_groups)
+                )
+                mx = max(
+                    md.row_group(g).column(idx).statistics.max
+                    for g in range(md.num_row_groups)
+                )
+                widths[col].append(mx - mn)
+        return {c: sum(w) / len(w) for c, w in widths.items()}
+
+    base = str(tmp_path_factory.mktemp("zorder") / "single")
+    zpath = str(tmp_path_factory.mktemp("zorder") / "morton")
+    write_parquet(li, base, target_files=8, cluster_by=("l_orderkey",))
+    write_parquet(
+        li, zpath, target_files=8, zorder_by=("l_orderkey", "l_suppkey")
+    )
+    bw, zw = mean_widths(base), mean_widths(zpath)
+    domain = {
+        "l_orderkey": li.agg(
+            F.max("l_orderkey") - F.min("l_orderkey")
+        ).collect()[0][0],
+        "l_suppkey": li.agg(
+            F.max("l_suppkey") - F.min("l_suppkey")
+        ).collect()[0][0],
+    }
+    # single-column layout leaves the second column essentially unpruned
+    assert bw["l_suppkey"] > 0.9 * domain["l_suppkey"]
+    # z-order narrows BOTH dimensions
+    assert zw["l_suppkey"] < 0.7 * bw["l_suppkey"]
+    assert zw["l_orderkey"] < 0.7 * domain["l_orderkey"]
