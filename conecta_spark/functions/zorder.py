@@ -154,3 +154,24 @@ def x57_zorder(spark, sf_dir) -> DataFrame:
         "l_linenumber",
         F.expr(zorder_expr(_ZCOLS, _ZMIN, _ZMAX, _ZBITS)).alias("zkey"),
     )
+
+
+def morton_key(values: list[int], bits: int) -> int:
+    """Pure-Python reference interleave (test oracle): bit ``p`` of the
+    key is bit ``p // n`` of ``values[p % n]``."""
+    n = len(values)
+    key = 0
+    for p in range(n * bits):
+        key |= ((values[p % n] >> (p // n)) & 1) << p
+    return key
+
+
+def morton_decode(key: int, n: int, bits: int) -> list[int]:
+    """Inverse of :func:`morton_key` -- recovers the scaled per-column
+    values from a key.  Used to reason about file boundaries: a z-ordered
+    file covering keys [a, b] covers column i values within the decoded
+    bounding box of that key range."""
+    vals = [0] * n
+    for p in range(n * bits):
+        vals[p % n] |= ((key >> p) & 1) << (p // n)
+    return vals

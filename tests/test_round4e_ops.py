@@ -263,3 +263,33 @@ def test_zorder_write_narrows_stats_for_both_columns(spark, sf, tmp_path_factory
     # z-order narrows BOTH dimensions
     assert zw["l_suppkey"] < 0.7 * bw["l_suppkey"]
     assert zw["l_orderkey"] < 0.7 * domain["l_orderkey"]
+
+
+def test_morton_roundtrip_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from conecta_spark.functions.zorder import morton_decode, morton_key
+
+    @given(
+        st.lists(st.integers(min_value=0, max_value=(1 << 16) - 1),
+                 min_size=1, max_size=3),
+    )
+    @settings(max_examples=200, deadline=None)
+    def check(vals):
+        key = morton_key(vals, 16)
+        assert morton_decode(key, len(vals), 16) == vals
+        assert 0 <= key < (1 << (16 * len(vals)))
+
+    check()
+
+
+def test_zorder_expr_matches_python_reference(spark):
+    from conecta_spark.functions.zorder import morton_key, zorder_expr
+
+    rows = [Row(x=i * 37 % 256, y=i * 91 % 256) for i in range(40)]
+    df = spark.createDataFrame(rows)
+    expr = zorder_expr(["x", "y"], [0, 0], [255, 255], bits=8)
+    got = [r.z for r in df.select(F.expr(expr).alias("z")).collect()]
+    want = [morton_key([r.x, r.y], 8) for r in rows]
+    assert got == want
