@@ -828,11 +828,18 @@ def semantic_dedup(
     documented recall trade the SemDeDup paper accepts.
 
     Plan shape: one broadcast of the k-centroid array (map-side argmax, as
-    x42), one shuffle of the skinny (id, cell, unit-vector) relation keyed
-    by cell for the self-join, one skinny distinct of flagged ids, one
-    left join back.  The pairwise score is a dot product of pre-normalized
-    vectors, so norms are computed once per vector, not once per pair.
+    x42), then the x11 block-matmul layout RESTRICTED to same-cell block
+    pairs: rows pack into (cell, id mod B) matrix blocks, the block-pair
+    grid joins on equal cell, and each pair scores as one vectorized numpy
+    ``A @ B.T`` (a SQL pair join re-evaluating the 64-term dot per pair in
+    an interpreted lambda measured ~10 s at sf0.1; the matmul form is
+    sub-second).  Scores round to 6dp before the threshold so BLAS and the
+    oracle's sequential fold agree.  Flagged ids come back as a skinny
+    distinct joined onto the assignment.
     """
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
     e = _vectors(df, vec_col, id_col)
     qe = e.withColumn("qa", F.expr(quantize_int8_expr("v")))
     cents = (
@@ -857,28 +864,70 @@ def semantic_dedup(
             (-F.col("negcid")).cast("long").alias("centroid_id"),
             "nv",
         )
-        # Referenced three times (both self-join sides + the final left
+        # Referenced three times (both block-grid sides + the final left
         # join); without a persist each reference replans the whole
         # quantize/argmax/normalize pipeline -- the x07 ReuseExchange
         # lesson.  Skinny relation: (id, cell, unit vector).
         .persist()
     )
-    a = assigned
-    b = assigned.select(
-        F.col(id_col).alias("b_id"),
-        F.col("centroid_id").alias("b_cell"),
-        F.col("nv").alias("bnv"),
+    n_blocks = max(1, min(64, -(-df.count() // (k * 1024))))
+    blocks = (
+        assigned.withColumn(
+            "bid", F.pmod(F.col(id_col), F.lit(n_blocks)).cast("long")
+        )
+        .groupBy("centroid_id", "bid")
+        .agg(F.collect_list(F.struct(F.col(id_col).alias("vid"), "nv")).alias("rows"))
     )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    grid = a.join(
+        b,
+        (F.col("a.centroid_id") == F.col("b.centroid_id"))
+        & (F.col("a.bid") <= F.col("b.bid")),
+    ).select(
+        F.col("a.bid").alias("bid_a"),
+        F.col("a.rows").alias("rows_a"),
+        F.col("b.bid").alias("bid_b"),
+        F.col("b.rows").alias("rows_b"),
+    )
+
+    def flag_blocks(batches):
+        import numpy as np
+
+        for pdf in batches:
+            outs = []
+            for rows_a, rows_b, bid_a, bid_b in zip(
+                pdf["rows_a"], pdf["rows_b"], pdf["bid_a"], pdf["bid_b"]
+            ):
+                ids_a = np.array([r["vid"] for r in rows_a], dtype=np.int64)
+                ids_b = np.array([r["vid"] for r in rows_b], dtype=np.int64)
+                mat_a = np.array([r["nv"] for r in rows_a], dtype=np.float64)
+                mat_b = np.array([r["nv"] for r in rows_b], dtype=np.float64)
+                scores = np.round(mat_a @ mat_b.T, 6)
+                mask = scores >= threshold
+                # a pair flags only its HIGHER id; same-block pairs need
+                # i != j (each row is cosine-1.0 with itself)
+                if bid_a == bid_b:
+                    mask &= ids_a[:, None] < ids_b[None, :]
+                ii, jj = np.nonzero(mask)
+                if len(ii) == 0:
+                    continue
+                outs.append(
+                    pd.DataFrame(
+                        {"dup_id": np.maximum(ids_a[ii], ids_b[jj])}
+                    )
+                )
+            yield (
+                pd.concat(outs)
+                if outs
+                else pd.DataFrame({"dup_id": []}).astype({"dup_id": "int64"})
+            )
+
     dups = (
-        a.join(
-            b,
-            (a["centroid_id"] == b["b_cell"]) & (b["b_id"] < a[id_col]),
+        grid.mapInPandas(
+            flag_blocks, schema=StructType([StructField("dup_id", LongType())])
         )
-        .where(
-            F.round(F.expr(dot_expr("nv", "bnv", DIM)), 6) >= threshold
-        )
-        .select(id_col)
         .distinct()
+        .select(F.col("dup_id").alias(id_col))
         .withColumn("flag", F.lit(1).cast("long"))
     )
     return assigned.join(dups, id_col, "left").select(
@@ -943,42 +992,82 @@ def semantic_contamination(
     decontamination gate.
 
     Same scale asymmetry as x31: the benchmark set is small and bounded,
-    so it collapses into ONE array-of-structs row (unit-normalized once)
-    broadcast to every task, and the corpus is scanned exactly once with a
-    map-side max -- no join shuffle, no corpus movement.  Ties break to
-    the lowest benchmark id (struct max on (score, -id)).
+    so it is unit-normalized once, collected (a bounded planner artifact,
+    like the contamination shingle set and the union-find edge list), and
+    broadcast to every task as ONE numpy matrix; the corpus is scanned
+    exactly once and each Arrow batch scores as a vectorized
+    ``block @ bench.T`` -- no join shuffle, no corpus movement, no
+    per-pair interpreted dot (the SQL array-of-structs max measured ~6 s
+    at sf0.1; the matmul form is sub-second).  Scores round to 6dp before
+    the max so BLAS and the oracle's sequential fold agree; ties break to
+    the lowest benchmark id (bench rows sorted by id, argmax takes the
+    first maximum).
     """
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
     ev = valid_vectors(df, vec_col, id_col).select(
         F.col(id_col),
         F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("v"),
         F.col(label_col),
     )
-    bench = (
+    bench_rows = (
         ev.where(F.col(label_col) == bench_label)
-        .select(
-            F.expr(
-                f"named_struct('bid', {id_col}, "
-                f"'bv', {normalize_expr('v', DIM)})"
-            ).alias("c")
-        )
-        .agg(F.expr("array_agg(c)").alias("bs"))
+        .select(id_col, F.expr(normalize_expr("v", DIM)).alias("bv"))
+        .orderBy(id_col)
+        .collect()
     )
     corpus = ev.where(F.col(label_col) != bench_label).select(
         id_col, F.expr(normalize_expr("v", DIM)).alias("nv")
     )
-    best = corpus.crossJoin(F.broadcast(bench)).select(
-        id_col,
-        F.expr(
-            f"array_max(transform(bs, c -> named_struct("
-            f" 's', round({dot_expr('nv', 'c.bv', DIM)}, 6),"
-            f" 'negbid', -c.bid)))"
-        ).alias("m"),
+    out_schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("bench_id", LongType()),
+            StructField("score", DoubleType()),
+        ]
     )
-    return best.where(F.col("m.s") >= threshold).select(
-        id_col,
-        (-F.col("m.negbid")).cast("long").alias("bench_id"),
-        F.col("m.s").alias("score"),
+    if not bench_rows:
+        return corpus.sparkSession.createDataFrame([], out_schema)
+    sc = corpus.sparkSession.sparkContext
+    import numpy as np
+
+    b_ids = sc.broadcast(
+        np.array([r[0] for r in bench_rows], dtype=np.int64)
     )
+    b_mat = sc.broadcast(
+        np.array([r["bv"] for r in bench_rows], dtype=np.float64)
+    )
+
+    def score_batches(batches):
+        import numpy as np
+
+        bm, bi = b_mat.value, b_ids.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.array(list(pdf["nv"]), dtype=np.float64)
+            scores = np.round(mat @ bm.T, 6)
+            # bench rows are id-sorted, so argmax's first-maximum rule IS
+            # the lowest-bench-id tie-break
+            best_j = scores.argmax(axis=1)
+            best_s = scores[np.arange(len(ids)), best_j]
+            keep = best_s >= threshold
+            yield pd.DataFrame(
+                {
+                    "vec_id": ids[keep],
+                    "bench_id": bi[best_j[keep]],
+                    "score": best_s[keep],
+                }
+            )
+
+    return corpus.mapInPandas(score_batches, schema=out_schema)
 
 
 @register(
