@@ -1093,3 +1093,130 @@ def x55_semantic_contam(spark, sf_dir) -> DataFrame:
     return semantic_contamination(
         t(spark, sf_dir, "embeddings"), bench_label=9, threshold=0.40
     )
+
+
+# -- batched multi-query kNN -------------------------------------------------
+
+
+def batch_knn(
+    df: DataFrame,
+    query_ids: list[int] | None = None,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-``k`` cosine neighbors for a BATCH of query vectors in one
+    corpus pass.  Production retrieval is never one query at a time: an
+    evaluation sweep or an online batch scores hundreds of queries, and
+    re-scanning 100 TB per query is the difference between feasible and
+    not.
+
+    Dataflow: the query vectors (bounded, like x55's benchmark set)
+    collect once, unit-normalized, and broadcast as one numpy matrix.
+    Each corpus Arrow batch computes ``block @ Q.T`` and emits only its
+    LOCAL top-k rows per query, selected by the exact global order
+    (rounded score desc, id asc) so ties cannot drop the global winner.
+    The global merge is then a window over at most
+    ``partitions * |Q| * k`` skinny rows -- WindowGroupLimit keeps
+    per-partition heaps, never a full sort.  Total shuffle: O(candidate
+    rows), independent of corpus size.
+
+    A query id never appears in its own result (self-cosine is 1.0); it
+    may appear in other queries' results, matching x49's convention.
+    """
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+    from pyspark.sql.window import Window
+
+    if query_ids is None:
+        query_ids = list(range(8))
+    ev = _vectors(df, vec_col, id_col)
+    q_rows = (
+        ev.where(F.col(id_col).isin(query_ids))
+        .select(id_col, F.expr(normalize_expr("v", DIM)).alias("qv"))
+        .orderBy(id_col)
+        .collect()
+    )
+    corpus = ev.select(id_col, F.expr(normalize_expr("v", DIM)).alias("nv"))
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("vec_id", LongType()),
+            StructField("score", DoubleType()),
+        ]
+    )
+    if not q_rows:
+        return corpus.sparkSession.createDataFrame([], out_schema)
+    sc = corpus.sparkSession.sparkContext
+    import numpy as np
+
+    q_ids_b = sc.broadcast(np.array([r[0] for r in q_rows], dtype=np.int64))
+    q_mat_b = sc.broadcast(
+        np.array([r["qv"] for r in q_rows], dtype=np.float64)
+    )
+
+    def local_topk(batches):
+        import numpy as np
+
+        qm, qi = q_mat_b.value, q_ids_b.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.array(list(pdf["nv"]), dtype=np.float64)
+            scores = np.round(mat @ qm.T, 6)
+            outs = []
+            for j in range(len(qi)):
+                s = scores[:, j]
+                valid = ids != qi[j]  # never self-match
+                cand_ids, cand_s = ids[valid], s[valid]
+                # exact global order locally: (-score, id) lexicographic,
+                # so a tie on score keeps the LOWEST ids -- the global
+                # winner is always inside the local top-k
+                order = np.lexsort((cand_ids, -cand_s))[:k]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qi[j],
+                            "vec_id": cand_ids[order],
+                            "score": cand_s[order],
+                        }
+                    )
+                )
+            yield pd.concat(outs)
+
+    cand = corpus.mapInPandas(local_topk, schema=out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "score", "rank")
+    )
+
+
+@register(
+    "x58_batch_knn",
+    "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+    "qs AS (SELECT vec_id AS query_id, " + duck_normalize("v", DIM) + " AS qv"
+    "  FROM e WHERE vec_id < 8), "
+    "c AS (SELECT vec_id, " + duck_normalize("v", DIM) + " AS nv FROM e), "
+    "s AS (SELECT qs.query_id, c.vec_id,"
+    "  round(" + duck_dot("nv", "qv", DIM) + ", 6) AS score"
+    " FROM c CROSS JOIN qs WHERE c.vec_id <> qs.query_id) "
+    "SELECT query_id, vec_id, score, rank FROM ("
+    " SELECT query_id, vec_id, score, row_number() OVER ("
+    "  PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank FROM s) t "
+    "WHERE rank <= 5",
+    "batched multi-query kNN: 8 query vectors scored in ONE corpus pass "
+    "(broadcast query matrix, per-batch local top-k in exact global order, "
+    "WindowGroupLimit merge) -- shuffle is O(candidates), not O(corpus)",
+)
+def x58_batchknn(spark, sf_dir) -> DataFrame:
+    return batch_knn(t(spark, sf_dir, "embeddings"), k=5)

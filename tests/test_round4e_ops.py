@@ -293,3 +293,46 @@ def test_zorder_expr_matches_python_reference(spark):
     got = [r.z for r in df.select(F.expr(expr).alias("z")).collect()]
     want = [morton_key([r.x, r.y], 8) for r in rows]
     assert got == want
+
+
+# -- x58 batched multi-query kNN ---------------------------------------------
+
+
+def test_batch_knn_scores_all_queries_one_pass(spark):
+    from conecta_spark.operators.simsearch import batch_knn
+
+    rows = [(i, _e(i), 0) for i in range(3)]          # queries 0, 1, 2
+    rows += [
+        (10, _mix(0, 1, 1.0, 0.2), 0),   # closest to q0
+        (11, _mix(1, 0, 1.0, 0.2), 0),   # closest to q1
+        (12, _mix(2, 0, 1.0, 0.2), 0),   # closest to q2
+    ]
+    out = batch_knn(_vecs(spark, rows), query_ids=[0, 1, 2], k=1).collect()
+    best = {r.query_id: r.vec_id for r in out}
+    assert best == {0: 10, 1: 11, 2: 12}
+    assert all(r.rank == 1 for r in out)
+
+
+def test_batch_knn_excludes_self_only(spark):
+    from conecta_spark.operators.simsearch import batch_knn
+
+    # q0 and q1 are identical vectors: each must surface the OTHER at
+    # rank 1 (cosine 1.0) but never itself.
+    rows = [(0, _e(0), 0), (1, _e(0), 0), (10, _mix(0, 1, 1.0, 1.0), 0)]
+    out = batch_knn(_vecs(spark, rows), query_ids=[0, 1], k=2).collect()
+    got = {(r.query_id, r.rank): r.vec_id for r in out}
+    assert got[(0, 1)] == 1 and got[(1, 1)] == 0
+    assert got[(0, 2)] == 10 and got[(1, 2)] == 10
+
+
+def test_batch_knn_tie_break_survives_partitioning(spark):
+    from conecta_spark.operators.simsearch import batch_knn
+
+    # 40 corpus vectors IDENTICAL to the query, spread over many
+    # partitions: global top-3 must be the 3 lowest ids, regardless of
+    # which partition emitted which local candidate.
+    rows = [(0, _e(0), 0)] + [(i, _e(0), 0) for i in range(10, 50)]
+    df = _vecs(spark, rows).repartition(8)
+    out = batch_knn(df, query_ids=[0], k=3).collect()
+    assert [r.vec_id for r in sorted(out, key=lambda r: r.rank)] == [10, 11, 12]
+    assert all(r.score == 1.0 for r in out)
