@@ -115,19 +115,40 @@ def _local_skyline_fn(dim_cols: list):
             return
         pdf = pd.concat(rows, ignore_index=True)
         pts = np.column_stack([as_f64(pdf[c]) for c in dim_cols])
-        # sort by sum of dims: a point can only be dominated by one with a
-        # smaller-or-equal coordinate sum, so the frontier builds forward
+        # Sort by sum of dims: a point can only be dominated by one with a
+        # smaller-or-equal coordinate sum, so the frontier builds forward.
+        # Chunked-vectorized (a per-point loop with per-survivor vstack
+        # measured ~2x slower at 19k rows/task): each chunk is filtered
+        # against the accumulated frontier in one (chunk x frontier x d)
+        # matrix op, then in-chunk dominance resolves as one
+        # (chunk x chunk x d) pairwise op -- transitivity makes "dominated
+        # by any chunkmate" correct even when the dominator is itself
+        # dominated, and exact ties dominate in neither direction.
         order = np.argsort(pts.sum(axis=1), kind="stable")
-        keep_idx = []
+        sorted_pts = pts[order]
+        keep_mask = np.zeros(len(pts), dtype=bool)
         frontier = np.empty((0, pts.shape[1]))
-        for i in order:
-            p = pts[i]
-            le = (frontier <= p).all(axis=1)
-            lt = (frontier < p).any(axis=1)
-            if not (le & lt).any():
-                keep_idx.append(i)
-                frontier = np.vstack([frontier, p])
-        yield pdf.iloc[sorted(keep_idx)]
+        chunk = 2048
+        for lo in range(0, len(sorted_pts), chunk):
+            c = sorted_pts[lo : lo + chunk]
+            idx = order[lo : lo + chunk]
+            for flo in range(0, len(frontier), 8192):  # bound the bool matrix
+                fs = frontier[flo : flo + 8192]
+                le = (fs[None, :, :] <= c[:, None, :]).all(axis=2)
+                lt = (fs[None, :, :] < c[:, None, :]).any(axis=2)
+                alive = ~(le & lt).any(axis=1)
+                c, idx = c[alive], idx[alive]
+                if not len(c):
+                    break
+            if not len(c):
+                continue
+            le = (c[None, :, :] <= c[:, None, :]).all(axis=2)
+            lt = (c[None, :, :] < c[:, None, :]).any(axis=2)
+            alive = ~(le & lt).any(axis=1)
+            c, idx = c[alive], idx[alive]
+            keep_mask[idx] = True
+            frontier = np.vstack([frontier, c])
+        yield pdf.iloc[np.flatnonzero(keep_mask)]
 
     return fn
 
@@ -151,8 +172,16 @@ def skyline_nd(df: DataFrame, dim_cols: list, merge_rounds: int = 2) -> DataFram
     pts = df
     for c in dim_cols:
         pts = pts.where(F.col(c).isNotNull())
-    out = pts.mapInPandas(_local_skyline_fn(list(dim_cols)), pts.schema)
     n = df.sparkSession.sparkContext.defaultParallelism
+    # The local pass costs O(rows_per_partition * local_frontier): it must
+    # run at full cluster width.  A small file scan may give only a few
+    # input partitions (measured 3 tasks x ~200k rows = 5 s at sf0.1 vs
+    # ~1 s at 32); widen when the scan is coarser than the cluster.  At
+    # real scale the scan already exceeds parallelism and this is a no-op
+    # -- no forced shuffle of the full point set.
+    if pts.rdd.getNumPartitions() < n:
+        pts = pts.repartition(n)
+    out = pts.mapInPandas(_local_skyline_fn(list(dim_cols)), pts.schema)
     for r in range(merge_rounds):
         width = max(1, n // (4 ** (r + 1))) if r + 1 < merge_rounds else 1
         out = out.repartition(width).mapInPandas(
