@@ -279,3 +279,71 @@ def x03_lang_id(spark, sf_dir) -> DataFrame:
 )
 def x04_fingerprint(spark, sf_dir) -> DataFrame:
     return fingerprints_pandas(t(spark, sf_dir, "documents"))
+
+
+def passage_chunks(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-size overlapping token windows -- the
+    passage layout retrieval systems index (a RAG store serves ~100-token
+    passages with overlap so an answer spanning a boundary is never lost,
+    not whole documents).  One row per chunk: (doc id, chunk id, token
+    count, chunk text).
+
+    Scale design: ZERO shuffles -- the split materializes in its own
+    projection (the span_hashes lesson: referencing split(text) inside a
+    per-chunk expression re-evaluates it per chunk, quadratic in document
+    length), the start offsets explode map-side, and the slice/join are
+    plain codegen expressions, no higher-order lambda anywhere.  Output
+    feeds the embedding stage (x10/x58) and inherits the documents scan's
+    partitioning.
+
+    A document shorter than one chunk yields exactly one chunk (its whole
+    text); the final chunk clamps at the document end.
+    """
+    words = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__w")
+    )
+    w = F.col("__w")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(w), F.lit(1)), F.lit(stride)
+    )
+    return (
+        words.select(id_col, "__w", F.explode(starts).alias("__s"))
+        .select(
+            F.col(id_col),
+            F.expr(f"CAST((__s - 1) DIV {stride} AS BIGINT)").alias(
+                "chunk_id"
+            ),
+            F.size(F.slice(w, F.col("__s"), chunk_tokens))
+            .cast("long")
+            .alias("n_chunk_tokens"),
+            F.array_join(F.slice(w, F.col("__s"), chunk_tokens), " ").alias(
+                "chunk_text"
+            ),
+        )
+    )
+
+
+@register(
+    "x59_passage_chunks",
+    "WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks "
+    " FROM documents WHERE text IS NOT NULL), "
+    "s AS (SELECT doc_id, toks, unnest(range(1, "
+    " greatest(len(toks), 1) + 1, 48)) AS start FROM w) "
+    "SELECT doc_id, CAST((start - 1) // 48 AS BIGINT) AS chunk_id, "
+    " CAST(len(list_slice(toks, start, start + 63)) AS BIGINT)"
+    "  AS n_chunk_tokens, "
+    " array_to_string(list_slice(toks, start, start + 63), ' ')"
+    "  AS chunk_text "
+    "FROM s",
+    "RAG passage chunking: 64-token windows, stride 48 (16-token overlap), "
+    "zero-shuffle map-side explode with the split materialized once per "
+    "document",
+)
+def x59_chunks(spark, sf_dir) -> DataFrame:
+    return passage_chunks(t(spark, sf_dir, "documents"))

@@ -336,3 +336,33 @@ def test_batch_knn_tie_break_survives_partitioning(spark):
     out = batch_knn(df, query_ids=[0], k=3).collect()
     assert [r.vec_id for r in sorted(out, key=lambda r: r.rank)] == [10, 11, 12]
     assert all(r.score == 1.0 for r in out)
+
+
+# -- x59 passage chunking ----------------------------------------------------
+
+
+def test_passage_chunks_overlap_and_clamp(spark):
+    from conecta_spark.functions.text import passage_chunks
+
+    text = " ".join(f"w{i}" for i in range(100))
+    docs = spark.createDataFrame([Row(doc_id=0, text=text), Row(doc_id=1, text="a b")])
+    out = passage_chunks(docs, chunk_tokens=64, stride=48).collect()
+    by = {(r.doc_id, r.chunk_id): r for r in out}
+    # doc 0: starts at tokens 0, 48, 96 -> 3 chunks
+    assert sorted(k for k in by if k[0] == 0) == [(0, 0), (0, 1), (0, 2)]
+    assert by[(0, 0)].n_chunk_tokens == 64
+    assert by[(0, 0)].chunk_text.startswith("w0 w1 ")
+    # overlap: chunk 1 begins 16 tokens before chunk 0 ends
+    assert by[(0, 1)].chunk_text.split()[0] == "w48"
+    # final chunk clamps at the document end
+    assert by[(0, 2)].n_chunk_tokens == 4
+    assert by[(0, 2)].chunk_text == "w96 w97 w98 w99"
+    # short doc: exactly one whole-text chunk
+    assert by[(1, 0)].n_chunk_tokens == 2 and by[(1, 0)].chunk_text == "a b"
+
+
+def test_passage_chunks_zero_shuffle(spark, sf):
+    from conecta_spark.queries import REGISTRY
+
+    p = plan(REGISTRY["x59_passage_chunks"].fn(spark, sf))
+    assert node_count(p, "Exchange") == 0
