@@ -366,3 +366,33 @@ def test_passage_chunks_zero_shuffle(spark, sf):
 
     p = plan(REGISTRY["x59_passage_chunks"].fn(spark, sf))
     assert node_count(p, "Exchange") == 0
+
+
+# -- sketch mergeability (the property sketch rollups rely on) ---------------
+
+
+def test_hll_hourly_sketches_merge_to_exact_daily_registers(spark, sf):
+    """approx-distinct rollups at scale work by MERGING sub-aggregate
+    sketches, never re-scanning raw data.  That is only sound if union of
+    hourly sketches equals the sketch built directly from the day's rows:
+    HLL registers combine by max, so the merged and direct registers are
+    identical and the estimates must match EXACTLY, per day."""
+    from conecta_spark.queries import t
+
+    e = t(spark, sf, "events").select(
+        F.date_trunc("day", "ts").alias("d"),
+        F.date_trunc("hour", "ts").alias("h"),
+        "user_id",
+    )
+    hourly = e.groupBy("d", "h").agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk")
+    )
+    merged = hourly.groupBy("d").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est")
+    )
+    direct = e.groupBy("d").agg(
+        F.expr("hll_sketch_estimate(hll_sketch_agg(user_id))").alias("est")
+    )
+    m = {r.d: r.est for r in merged.collect()}
+    dct = {r.d: r.est for r in direct.collect()}
+    assert m == dct and len(m) > 1
