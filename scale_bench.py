@@ -166,7 +166,78 @@ def main() -> None:
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
+    # -- semantic dedup (x54) growth: k centroids scaled with the corpus --
+    #
+    # Replicas are component ROTATIONS of the embedding vectors (roll by
+    # rep*7 dims).  Rotation is an orthogonal transform, so every
+    # in-replica dot product -- including the int8-quantized ones, since
+    # quantization commutes with a permutation -- is bit-identical to the
+    # base corpus, while cross-replica cosines scramble.  Ids interleave
+    # (old*k + rep), so the first 8k ids are the 8 original centroid seeds
+    # in every rotation: each replica carries its own rotated seed set and
+    # reproduces the base assignment exactly.  Scaling k with the corpus
+    # must therefore hold per-cell population ~constant: within-cell pair
+    # work (the quadratic term) grows by k, not k^2.
+    from conecta_spark.operators import simsearch
+
+    emb_base = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    semres: dict[str, dict] = {}
+    work2 = tempfile.mkdtemp(prefix="scale_bench_emb_")
+    try:
+        for k in (1, 2, 4):
+            rep = spark.range(k).select(F.col("id").alias("rep"))
+            rolled = F.col("embedding")
+            for i in range(1, k):
+                r = (i * 7) % 64
+                rolled = F.when(
+                    F.col("rep") == i,
+                    F.expr(
+                        f"concat(slice(embedding, {r + 1}, {64 - r}), "
+                        f"slice(embedding, 1, {r}))"
+                    ),
+                ).otherwise(rolled)
+            path = f"{work2}/emb_x{k}"
+            (
+                emb_base.crossJoin(rep)
+                .select(
+                    (F.col("vec_id") * k + F.col("rep")).alias("vec_id"),
+                    rolled.alias("embedding"),
+                    "label",
+                )
+                .repartition(int(cpus))
+                .write.mode("overwrite")
+                .parquet(path)
+            )
+            docs = spark.read.parquet(path)
+            cells = k * 8
+            census = simsearch.centroid_assign(docs, k=cells).select(
+                "centroid_id", "n_assigned"
+            )
+            c = census.agg(
+                F.max("n_assigned").alias("max_cell"),
+                F.sum(
+                    F.expr("n_assigned * (n_assigned - 1) / 2")
+                ).cast("long").alias("cell_pairs"),
+                F.count(F.lit(1)).alias("cells_used"),
+            ).first()
+            dups = (
+                simsearch.semantic_dedup(docs, k=cells)
+                .agg(F.sum("is_dup"))
+                .first()[0]
+            )
+            semres[f"x{k}"] = {
+                "n_vecs": docs.count(),
+                "cells_used": int(c["cells_used"]),
+                "max_cell": int(c["max_cell"]),
+                "cell_pairs": int(c["cell_pairs"]),
+                "dups": int(dups),
+            }
+            print(f"semdedup x{k}: {semres[f'x{k}']}", file=sys.stderr)
+    finally:
+        shutil.rmtree(work2, ignore_errors=True)
+
     r1, r4 = results["x1"], results["x4"]
+    s1, s4 = semres["x1"], semres["x4"]
     out = {
         "metric": "scale_growth",
         "base_docs": n_base,
@@ -179,6 +250,12 @@ def main() -> None:
             "max_bucket": round(r4["max_bucket"] / max(r1["max_bucket"], 1), 2),
         },
         "time_factor_x4": round(r4["lsh_seconds"] / r1["lsh_seconds"], 2),
+        "semdedup_per_scale": semres,
+        "semdedup_factor_x4": {
+            "cell_pairs": round(s4["cell_pairs"] / max(s1["cell_pairs"], 1), 2),
+            "max_cell": round(s4["max_cell"] / max(s1["max_cell"], 1), 2),
+            "dups": round(s4["dups"] / max(s1["dups"], 1), 2),
+        },
     }
     print(json.dumps(out, separators=(",", ":")))
 
