@@ -68,3 +68,46 @@ def test_json_catalog_aggregate(spark, orders, json_root):
         .collect()
     }
     assert got == want
+
+
+def test_read_with_quarantine_splits_good_and_bad(spark, tmp_path_factory):
+    from pyspark.sql import types as T
+
+    from conecta_spark.sources.files import read_with_quarantine
+
+    d = tmp_path_factory.mktemp("quarantine")
+    p = d / "docs.json"
+    p.write_text(
+        '{"id": 1, "text": "ok"}\n'
+        "this is not json at all\n"
+        '{"id": 2, "text": "also ok"}\n'
+        '{"id": "not-a-number", "text": "type drift"}\n'
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    good, bad = read_with_quarantine(spark, str(p), schema, fmt="json")
+    assert sorted((r.id, r.text) for r in good.collect()) == [
+        (1, "ok"),
+        (2, "also ok"),
+    ]
+    raws = [r.raw_record for r in bad.collect()]
+    assert len(raws) == 2
+    assert any("not json" in r for r in raws)
+    assert any("not-a-number" in r for r in raws)
+    assert good.schema.fieldNames() == ["id", "text"]
+
+
+def test_read_with_quarantine_rejects_unsupported_format(spark):
+    import pytest as _pytest
+    from pyspark.sql import types as T
+
+    from conecta_spark.sources.files import read_with_quarantine
+
+    with _pytest.raises(ValueError, match="csv/json"):
+        read_with_quarantine(
+            spark, "/tmp/x", T.StructType([]), fmt="parquet"
+        )
