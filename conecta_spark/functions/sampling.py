@@ -397,3 +397,68 @@ def x48_quality_weighted(spark, sf_dir) -> DataFrame:
 )
 def x43_token_budget(spark, sf_dir) -> DataFrame:
     return token_budget_sample(t(spark, sf_dir, "documents"))
+
+
+def _string_hash(col: str) -> str:
+    """Spark SQL: engine-portable polynomial hash of a string (fold of
+    31*h + ascii(char) mod 1e9+7) -- no dependence on either engine's
+    builtin string hash."""
+    return (
+        f"aggregate(transform(sequence(1, length({col})), "
+        f"i -> ascii(substring({col}, i, 1))), 0L, "
+        f"(a, c) -> (a * 31 + c) % {MOD}L)"
+    )
+
+
+def _duck_string_hash(col: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0::BIGINT, "
+        f"list_transform(range(1, length({col}) + 1), "
+        f"i -> ascii({col}[i]))), (a, c) -> (a * 31 + c) % {MOD})"
+    )
+
+
+def source_disjoint_split(
+    df: DataFrame,
+    train_pct: int = 80,
+    val_pct: int = 10,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign every document to train/val/test with the guarantee that a
+    SOURCE never straddles splits: the split key is a portable hash of the
+    source, not of the document.
+
+    Why source-level: near-duplicate and boilerplate structure is
+    heavily intra-source (same feed, same template).  A doc-level random
+    split leaks that structure across train and eval -- the eval set then
+    contains near-copies of training documents and overstates quality.
+    Hashing the source sends every document of a feed to one side.
+
+    Scale: pure map-side expression over the scan -- no shuffle, no
+    source-list collection; the hash is exact integer arithmetic, so the
+    assignment is reproducible on any engine and any partitioning.
+    """
+    bucket = f"({_string_hash(source_col)} % 100)"
+    split = (
+        f"CASE WHEN {bucket} < {train_pct} THEN 'train' "
+        f"WHEN {bucket} < {train_pct + val_pct} THEN 'val' "
+        f"ELSE 'test' END"
+    )
+    return df.select(
+        F.col(id_col), F.col(source_col), F.expr(split).alias("split")
+    )
+
+
+@register(
+    "x60_source_disjoint_split",
+    "SELECT doc_id, source, CASE "
+    f"WHEN ({_duck_string_hash('source')} % 100) < 80 THEN 'train' "
+    f"WHEN ({_duck_string_hash('source')} % 100) < 90 THEN 'val' "
+    "ELSE 'test' END AS split FROM documents",
+    "leakage-safe train/val/test split: the split key hashes the SOURCE "
+    "(portable integer arithmetic), so intra-feed near-duplicates can "
+    "never straddle train and eval; zero-shuffle map-side assignment",
+)
+def x60_split(spark, sf_dir) -> DataFrame:
+    return source_disjoint_split(t(spark, sf_dir, "documents"))

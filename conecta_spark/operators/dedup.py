@@ -1013,3 +1013,110 @@ def span_novelty(
 )
 def x44_span_novelty(spark, sf_dir) -> DataFrame:
     return span_novelty(t(spark, sf_dir, "documents"))
+
+
+def span_scrub(
+    df: DataFrame,
+    span_words: int = 8,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style boilerplate REMOVAL (x40 detects; this transforms): every
+    ``span_words``-word span occurring >= ``min_count`` times corpus-wide
+    is dropped from every document EXCEPT its first occurrence (lowest
+    (doc id, span index) -- the C4 "retain one copy" rule), and the
+    surviving spans rebuild the text.  Returns (id, span count, dropped
+    count, clean text).
+
+    Scale design: only fixed-width (id, span index, 16-hex hash) rows
+    shuffle -- the drop decision travels back to each document as a
+    skinny integer array, and the rebuild is a map-side slice/flatten
+    over the document's own (materialized-once) word array.  First-owner
+    selection is MIN over the single BIGINT encoding
+    ``doc_id * 1e6 + span_idx`` (documents beyond a million spans are
+    beyond this operator: chunk first), so no struct-ordering semantics
+    are relied on cross-engine.
+    """
+    words = df.where(F.col(text_col).isNotNull()).select(
+        id_col, F.split(F.col(text_col), " ").alias("__w")
+    )
+    w = F.col("__w")
+    starts = F.sequence(F.lit(1), F.size(w), F.lit(span_words))
+    spans = words.select(
+        F.col(id_col),
+        F.explode(starts).alias("__s"),
+        "__w",
+    ).select(
+        id_col,
+        F.expr(f"CAST((__s - 1) DIV {span_words} AS BIGINT)").alias("idx"),
+        F.substring(
+            F.sha2(
+                F.array_join(
+                    F.slice(w, F.col("__s"), span_words), " "
+                ),
+                256,
+            ),
+            1,
+            16,
+        ).alias("h"),
+    )
+    occ = F.col(id_col) * 1_000_000 + F.col("idx")
+    counts = spans.groupBy("h").agg(
+        F.count(F.lit(1)).alias("c"), F.min(occ).alias("fk")
+    )
+    drops = (
+        spans.join(counts, "h")
+        .where((F.col("c") >= min_count) & (occ != F.col("fk")))
+        .groupBy(id_col)
+        .agg(F.collect_list("idx").alias("__drop"))
+    )
+    rebuilt = words.join(drops, id_col, "left")
+    kept = (
+        f"filter(sequence(1, size(__w), {span_words}), "
+        f"s -> __drop IS NULL OR NOT array_contains("
+        f"__drop, CAST((s - 1) DIV {span_words} AS BIGINT)))"
+    )
+    return rebuilt.select(
+        F.col(id_col),
+        F.expr(
+            f"CAST(size(sequence(1, size(__w), {span_words})) AS BIGINT)"
+        ).alias("n_spans"),
+        F.expr(
+            "CAST(CASE WHEN __drop IS NULL THEN 0 ELSE size(__drop) END"
+            " AS BIGINT)"
+        ).alias("n_dropped"),
+        F.expr(
+            f"array_join(flatten(transform({kept}, "
+            f"s -> slice(__w, s, {span_words}))), ' ')"
+        ).alias("clean_text"),
+    )
+
+
+@register(
+    "x61_span_scrub",
+    "WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents"
+    "  WHERE text IS NOT NULL), "
+    "sp AS (SELECT doc_id, CAST((i - 1) // 8 AS BIGINT) AS idx, "
+    " substr(sha256(array_to_string(ws[i:i+7], ' ')), 1, 16) AS h "
+    " FROM w, UNNEST(range(1, len(ws) + 1, 8)) AS t(i)), "
+    "c AS (SELECT h, COUNT(*) AS c, MIN(doc_id * 1000000 + idx) AS fk"
+    "  FROM sp GROUP BY h), "
+    "drops AS (SELECT sp.doc_id, list(sp.idx) AS drop_idxs FROM sp"
+    "  JOIN c USING (h)"
+    "  WHERE c.c >= 2 AND sp.doc_id * 1000000 + sp.idx <> c.fk"
+    "  GROUP BY sp.doc_id) "
+    "SELECT w.doc_id, "
+    " CAST(len(range(1, len(ws) + 1, 8)) AS BIGINT) AS n_spans, "
+    " CAST(COALESCE(len(drop_idxs), 0) AS BIGINT) AS n_dropped, "
+    " COALESCE(array_to_string(flatten(list_transform(list_filter("
+    "  range(1, len(ws) + 1, 8), s -> drop_idxs IS NULL OR"
+    "  NOT list_contains(drop_idxs, CAST((s - 1) // 8 AS BIGINT))),"
+    "  s -> ws[s:s+7])), ' '), '') AS clean_text "
+    "FROM w LEFT JOIN drops ON w.doc_id = drops.doc_id",
+    "C4-style boilerplate removal: corpus-duplicated 8-word spans dropped "
+    "from every document except the first occurrence, text rebuilt from "
+    "surviving spans -- only fixed-width span rows ever shuffle",
+)
+def x61_scrub(spark, sf_dir) -> DataFrame:
+    return span_scrub(t(spark, sf_dir, "documents"))

@@ -396,3 +396,75 @@ def test_hll_hourly_sketches_merge_to_exact_daily_registers(spark, sf):
     m = {r.d: r.est for r in merged.collect()}
     dct = {r.d: r.est for r in direct.collect()}
     assert m == dct and len(m) > 1
+
+
+# -- x60 source-disjoint split -----------------------------------------------
+
+
+def test_source_split_never_straddles_a_source(spark):
+    from conecta_spark.functions.sampling import source_disjoint_split
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, source=f"feed{i % 7}") for i in range(70)]
+    )
+    out = source_disjoint_split(docs).collect()
+    by_source = {}
+    for r in out:
+        by_source.setdefault(r.source, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_source.values())
+
+
+def test_source_split_distribution_over_many_sources(spark):
+    from conecta_spark.functions.sampling import source_disjoint_split
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, source=f"publisher-{i}") for i in range(1000)]
+    )
+    counts = {
+        r.split: r.c
+        for r in source_disjoint_split(docs)
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    # 80/10/10 within generous hash-variance bounds
+    assert 700 < counts["train"] < 900
+    assert 40 < counts["val"] < 180
+    assert 40 < counts["test"] < 180
+
+
+# -- x61 span scrub ----------------------------------------------------------
+
+
+def test_span_scrub_keeps_first_occurrence_drops_rest(spark):
+    from conecta_spark.operators.dedup import span_scrub
+
+    span = " ".join(f"b{i}" for i in range(8))          # the boilerplate
+    uniq = lambda tag: " ".join(f"{tag}{i}" for i in range(8))  # noqa: E731
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=span + " " + uniq("u")),   # first owner
+            Row(doc_id=2, text=uniq("v") + " " + span),   # later copy
+            Row(doc_id=3, text=span),                     # all boilerplate
+            Row(doc_id=4, text=uniq("w")),                # untouched
+        ]
+    )
+    out = {r.doc_id: r for r in span_scrub(docs).collect()}
+    assert out[1].n_dropped == 0 and out[1].clean_text.startswith("b0 ")
+    assert out[2].n_dropped == 1 and out[2].clean_text == uniq("v")
+    assert out[3].n_dropped == 1 and out[3].clean_text == ""
+    assert out[4].n_dropped == 0 and out[4].clean_text == uniq("w")
+    assert all(out[i].n_spans == (2 if i in (1, 2) else 1) for i in out)
+
+
+def test_span_scrub_text_never_shuffles(spark, sf):
+    # Every Exchange in the plan must carry only skinny columns -- the
+    # document text (and its word array) stay out of all shuffles.
+    from conecta_spark.queries import REGISTRY
+
+    p = plan(REGISTRY["x61_span_scrub"].fn(spark, sf))
+    import re
+
+    for m in re.finditer(r"^\(\d+\) Exchange\b.*\n((?:.+\n)*?)\n", p, re.M):
+        block = m.group(0)
+        assert "text" not in block.split("Arguments")[-1] or "__w" not in block
