@@ -119,3 +119,49 @@ def write_bucketed_table(
 
 def read_back(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def upsert_parquet(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: tuple | list,
+    target_mb: int | None = None,
+) -> None:
+    """MERGE-by-key into a parquet dataset: rows of ``updates`` replace
+    current rows sharing their key, everything else is carried forward
+    (parquet is immutable, so the merge is rewrite-and-swap -- the same
+    copy-on-write strategy table formats use under their logs).
+
+    Dataflow: current LEFT ANTI updates on the key (drops the rows being
+    replaced), union the updates, write to a staging directory, then swap
+    directories.  The anti join is the only shuffle and carries the
+    current dataset once; with both sides bucketed on the key it is
+    shuffle-free.
+
+    Atomicity contract, stated plainly: each parquet write is job-atomic
+    (Spark's commit protocol), and the swap is two renames -- a reader
+    racing the swap can see the old version or fail on a missing
+    directory for the instant between renames, and a crash between them
+    requires restoring from the staged copy (which is never deleted until
+    the swap completes).  That is the honest ceiling without a
+    transaction log; pipelines needing concurrent-reader isolation should
+    front this with a table format, and everything above (the merge
+    dataflow) carries over unchanged.
+    """
+    import os
+    import shutil
+
+    keys = list(key_cols)
+    if not os.path.exists(path):
+        write_parquet(updates, path, target_mb=target_mb)
+        return
+    current = spark.read.parquet(path)
+    merged = current.join(updates, keys, "left_anti").unionByName(updates)
+    staged = path.rstrip("/") + ".__staging__"
+    retired = path.rstrip("/") + ".__retired__"
+    write_parquet(merged, staged, target_mb=target_mb)
+    shutil.rmtree(retired, ignore_errors=True)
+    os.rename(path, retired)
+    os.rename(staged, path)
+    shutil.rmtree(retired, ignore_errors=True)

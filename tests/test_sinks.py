@@ -138,3 +138,29 @@ def test_cluster_by_adds_no_exchange(spark, orders):
     # exactly the one explicit repartition exchange, none from the sort
     assert len(re.findall(r"^\(\d+\) Exchange\b", p, flags=re.M)) == 1
     assert "Sort" in p
+
+
+def test_upsert_parquet_replaces_by_key_and_carries_rest(
+    spark, tmp_path_factory
+):
+    from pyspark.sql import Row
+
+    from conecta_spark.sources.sinks import upsert_parquet
+
+    path = str(tmp_path_factory.mktemp("upsert") / "tbl")
+    base = spark.createDataFrame(
+        [Row(k=1, v="a"), Row(k=2, v="b"), Row(k=3, v="c")]
+    )
+    upsert_parquet(spark, path, base, ("k",))          # initial load
+    updates = spark.createDataFrame([Row(k=2, v="B2"), Row(k=4, v="d")])
+    upsert_parquet(spark, path, updates, ("k",))
+    got = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert got == {1: "a", 2: "B2", 3: "c", 4: "d"}
+    # idempotent replay of the same updates changes nothing
+    upsert_parquet(spark, path, updates, ("k",))
+    again = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert again == got
+    import os
+
+    assert not os.path.exists(path + ".__staging__")
+    assert not os.path.exists(path + ".__retired__")
