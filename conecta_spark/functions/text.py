@@ -347,3 +347,84 @@ def passage_chunks(
 )
 def x59_chunks(spark, sf_dir) -> DataFrame:
     return passage_chunks(t(spark, sf_dir, "documents"))
+
+
+def heavy_hitters(
+    df: DataFrame,
+    k: int = 64,
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokens carrying at least ``1/k`` of all token occurrences, with
+    EXACT counts, found without ever shuffling the full vocabulary.
+
+    The classic two-pass heavy-hitter layout:
+
+    1. **Candidate pass (map-side, bounded memory).**  Each partition
+       counts its own tokens and keeps those with local share >= 1/k.
+       Pigeonhole guarantees the union of local candidates is a superset
+       of the global heavy hitters: if a token's global share is >= 1/k,
+       some partition must hold it at >= 1/k of that partition's tokens.
+       Per-partition output is <= k rows.
+    2. **Exact recount (skinny shuffle).**  The candidate set (bounded by
+       partitions * k, typically tiny after the union) broadcasts back,
+       and only candidate tokens are counted exactly -- the long tail of
+       the vocabulary never enters an exchange.
+
+    x21's top-k-words shuffles every distinct token; at web-corpus scale
+    that vocabulary shuffle dwarfs the answer.  This form's shuffles are
+    O(candidates), independent of vocabulary size.  The >= comparison is
+    ``count * k >= total`` in exact integers -- no float share anywhere.
+    """
+    import pandas as pd
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from .quality import _w
+
+    words = _w(text_col)
+    tok = df.select(F.explode(F.expr(words)).alias("w")).where(
+        F.length("w") > 0
+    )
+
+    def local_candidates(batches):
+        counts: dict[str, int] = {}
+        n = 0
+        for pdf in batches:
+            vc = pdf["w"].value_counts()
+            n += int(vc.sum())
+            for w, c in vc.items():
+                counts[w] = counts.get(w, 0) + int(c)
+        cand = [w for w, c in counts.items() if c * k >= n]
+        yield pd.DataFrame({"w": cand})
+
+    cands = tok.mapInPandas(
+        local_candidates, StructType([StructField("w", StringType())])
+    ).distinct()
+    total = tok.count()
+    exact = (
+        tok.join(F.broadcast(cands), "w")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") * k >= F.lit(total))
+    )
+    return exact.select("w", F.col("c").cast("long").alias("c"))
+
+
+from .quality import _dw as _qdw  # tokenizer twins live in quality.py
+
+
+@register(
+    "x62_heavy_hitters",
+    "WITH tok AS (SELECT unnest("
+    + _qdw("text")
+    + ") AS w FROM documents), "
+    "tok2 AS (SELECT w FROM tok WHERE length(w) > 0), "
+    "tot AS (SELECT COUNT(*) AS n FROM tok2) "
+    "SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tok2, tot "
+    "GROUP BY w, tot.n HAVING COUNT(*) * 64 >= tot.n",
+    "exact heavy hitters (tokens with >= 1/64 of all occurrences) via the "
+    "two-pass candidate layout: map-side bounded-memory local candidates "
+    "(pigeonhole superset guarantee), then exact recount of candidates "
+    "only -- the full vocabulary never shuffles",
+)
+def x62_heavy(spark, sf_dir) -> DataFrame:
+    return heavy_hitters(t(spark, sf_dir, "documents"), k=64)

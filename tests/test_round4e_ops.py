@@ -468,3 +468,30 @@ def test_span_scrub_text_never_shuffles(spark, sf):
     for m in re.finditer(r"^\(\d+\) Exchange\b.*\n((?:.+\n)*?)\n", p, re.M):
         block = m.group(0)
         assert "text" not in block.split("Arguments")[-1] or "__w" not in block
+
+
+# -- x62 heavy hitters -------------------------------------------------------
+
+
+def test_heavy_hitters_exact_counts_and_threshold(spark):
+    from conecta_spark.functions.text import heavy_hitters
+
+    # 'a' x 10, 'b' x 5, 'c' x 1 over 16 tokens; k=4 -> threshold 4
+    docs = spark.createDataFrame(
+        [Row(doc_id=0, text=" ".join(["a"] * 10 + ["b"] * 5 + ["c"]))]
+    )
+    out = {r.w: r.c for r in heavy_hitters(docs, k=4).collect()}
+    assert out == {"a": 10, "b": 5}
+
+
+def test_heavy_hitters_candidate_superset_across_partitions(spark):
+    from conecta_spark.functions.text import heavy_hitters
+
+    # A token that is LOCALLY rare in every partition but globally heavy
+    # cannot exist (pigeonhole); conversely a token locally heavy in one
+    # partition but globally light must be filtered by the exact recount.
+    rows = [Row(doc_id=i, text="common " * 20 + f"rare{i}") for i in range(40)]
+    docs = spark.createDataFrame(rows).repartition(8)
+    out = {r.w: r.c for r in heavy_hitters(docs, k=3).collect()}
+    assert set(out) == {"common"}
+    assert out["common"] == 800
