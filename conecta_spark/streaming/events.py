@@ -259,6 +259,7 @@ def streaming_interval_pairs(
     stream: DataFrame,
     radius_us: int = 300_000_000,
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream self-join: purchase/error event pairs within
     ``radius_us`` per user (streaming twin of the batch interval join,
@@ -287,7 +288,14 @@ def streaming_interval_pairs(
         (F.col("user_id") == F.col("a_user"))
         & (F.col("a_t") >= F.col("p_t") - radius)
         & (F.col("a_t") <= F.col("p_t") + radius),
+        how,
     )
+    # how="left_outer": a purchase with no error inside its radius EMITS
+    # with null error-side columns once the error-side watermark passes
+    # p_t + radius -- the absence signal ("purchase with no nearby error")
+    # a monitoring pipeline needs, impossible with the inner form.  State
+    # bound is identical; nulls appear only when the watermark proves no
+    # match can still arrive.
     return joined.select(
         "user_id",
         F.unix_micros("p_t").alias("p_ts"),

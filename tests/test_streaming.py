@@ -420,3 +420,30 @@ def test_watermark_drops_late_events_in_append_mode(spark, tmp_path_factory):
     rows = got.where(F.col("hour_start") == t0.replace(minute=0)).collect()
     # the sealed window was emitted from batch 1 only: count 1, late event dropped
     assert [r.c for r in rows] == [1]
+
+
+def test_streaming_interval_left_outer_emits_absence_rows(spark, sf_dir):
+    """The left-outer stream-stream join must (a) keep every inner pair,
+    (b) emit null-padded rows ONLY for purchases with no error in radius,
+    and (c) actually emit such absence rows once the watermark passes
+    (purchases near the stream's end may legitimately stay unclosed)."""
+    from conecta_spark.queries import REGISTRY, _load_extensions
+    from conecta_spark.streaming.events import streaming_interval_pairs
+
+    _load_extensions()
+
+    sdf = streaming_interval_pairs(
+        read_event_stream(spark, sf_dir), how="left_outer"
+    )
+    got = _run_stream(spark, sdf, "interval_outer").collect()
+    inner = {(r.user_id, r.p_ts, r.a_ts) for r in got if r.a_ts is not None}
+    outer_p = {(r.user_id, r.p_ts) for r in got if r.a_ts is None}
+    batch = REGISTRY["x23_interval_join"].fn(spark, sf_dir).collect()
+    batch_pairs = {(r.user_id, r.p_ts, r.a_ts) for r in batch}
+    matched_p = {(r.user_id, r.p_ts) for r in batch}
+    # (a) exact inner parity
+    assert inner == batch_pairs
+    # (b) no absence row for a purchase that actually has a match
+    assert not (outer_p & matched_p)
+    # (c) the watermark did close and emit real absence rows
+    assert outer_p
