@@ -379,3 +379,84 @@ def oov_stats(
 )
 def x56_oov(spark, sf_dir) -> DataFrame:
     return oov_stats(t(spark, sf_dir, "documents"), vocab_size=16)
+
+
+def source_quality_norm(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source z-normalization of the document quality score: each
+    document's score is re-expressed in units of its OWN feed's
+    distribution.  A global quality threshold silently biases the corpus
+    toward whichever feeds happen to score high (clean encyclopedias
+    survive, transcripts die) -- normalizing per source first makes one
+    threshold mean the same thing everywhere, which is how a balanced
+    corpus actually gates.
+
+    Parity discipline: the score is quantized to an exact integer
+    (round(q * 1e6)), the per-source moments are exact BIGINT sums of it,
+    and mean/variance/z are the SAME scalar double expression on both
+    engines over those identical integers -- no order-dependent float
+    aggregation anywhere.  Zero-variance sources z to 0.
+
+    Scale: one skinny aggregate keyed by source (low cardinality --
+    AQE broadcasts it back), one map-side join; the text is read once.
+    BIGINT bound: sum(q^2) <= 1e12 * rows_per_source -- fine to ~9e6
+    docs per source; widen the quantization down to 1e4 beyond that.
+    """
+    from .text import quality_score
+
+    d = df.select(
+        F.col(id_col),
+        F.col(source_col),
+        F.round(quality_score(text_col) * F.lit(1_000_000.0))
+        .cast("long")
+        .alias("q"),
+    )
+    s = d.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").alias("s1"),
+        F.sum(F.col("q") * F.col("q")).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n").cast("double")
+    var = F.col("s2").cast("double") / F.col("n").cast("double") - mean * mean
+    z = F.when(var <= 0, F.lit(0.0)).otherwise(
+        (F.col("q").cast("double") - mean) / F.sqrt(var)
+    )
+    return d.join(s, source_col).select(
+        id_col,
+        source_col,
+        F.round(F.col("q") / F.lit(1_000_000.0), 6).alias("q_score"),
+        F.round(z, 6).alias("z_quality"),
+    )
+
+
+def _duck_zq() -> str:
+    from .text import _duck_quality
+
+    return (
+        "WITH d AS (SELECT doc_id, source, "
+        f"CAST(round(({_duck_quality()}) * 1000000) AS BIGINT) AS q"
+        "  FROM documents), "
+        "s AS (SELECT source, COUNT(*) AS n, SUM(q) AS s1, SUM(q*q) AS s2"
+        "  FROM d GROUP BY source) "
+        "SELECT doc_id, d.source, round(q / 1000000.0, 6) AS q_score, "
+        " round(CASE WHEN (s2::DOUBLE / n - (s1::DOUBLE / n) * (s1::DOUBLE / n)) <= 0 "
+        "  THEN 0.0 ELSE (q::DOUBLE - s1::DOUBLE / n) / "
+        "  sqrt(s2::DOUBLE / n - (s1::DOUBLE / n) * (s1::DOUBLE / n)) END, 6)"
+        "  AS z_quality "
+        "FROM d JOIN s USING (source)"
+    )
+
+
+@register(
+    "x63_source_quality_norm",
+    _duck_zq(),
+    "per-source z-normalized quality: quantized-integer moments per feed, "
+    "identical scalar double arithmetic on both engines -- one global "
+    "threshold then means the same thing in every feed",
+)
+def x63_zq(spark, sf_dir) -> DataFrame:
+    return source_quality_norm(t(spark, sf_dir, "documents"))

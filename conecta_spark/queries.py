@@ -414,14 +414,14 @@ _REGRESSION_PROOFS = ("x16", "x22", "x23")  # errored in r03, fixed this round
 # 50 slots; their prior driver rows stand and they stay locally oracled.
 _TRIPLE_GREEN_CORE = (
     "q03", "q04", "q05", "q06", "q07", "q08", "q09", "q10", "q11",
-    "q13", "q15", "q16",
+    "q13", "q14", "q15", "q16",
 )
 _NEVER_DRIVER_RUN = (
     # flagship pipeline first, then the round-4 operator wave
     "x37", "x36", "x35", "x34", "x38", "x39", "x40", "x41", "x42",
     "x43", "x44", "x45", "x46", "x47", "x48", "x49", "x50",
     "x51", "x52", "x53", "x54", "x55", "x56", "x57", "x58", "x59",
-    "x60", "x61", "x62",
+    "x60", "x61", "x62", "x63",
     # rows-only entries displaced by the cap in every prior round
     "x14", "x18",
     # SQL-surface shapes added in round 4

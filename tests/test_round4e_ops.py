@@ -495,3 +495,33 @@ def test_heavy_hitters_candidate_superset_across_partitions(spark):
     out = {r.w: r.c for r in heavy_hitters(docs, k=3).collect()}
     assert set(out) == {"common"}
     assert out["common"] == 800
+
+
+# -- x63 per-source quality normalization ------------------------------------
+
+
+def test_source_quality_norm_recenters_each_feed(spark):
+    from conecta_spark.functions.quality import source_quality_norm
+
+    # Feed A: systematically longer (higher-quality-scoring) docs than
+    # feed B.  After normalization, each feed's z-scores center on 0, so
+    # one threshold treats both feeds alike.
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, source="A", text="the and for " * (20 + i)) for i in range(6)]
+        + [Row(doc_id=100 + i, source="B", text="word " * (2 + i)) for i in range(6)]
+    )
+    out = source_quality_norm(docs).collect()
+    for src in ("A", "B"):
+        zs = [r.z_quality for r in out if r.source == src]
+        assert abs(sum(zs)) < 1e-3          # centered
+        assert max(zs) > 0 > min(zs)        # spread in both directions
+
+
+def test_source_quality_norm_constant_feed_z_is_zero(spark):
+    from conecta_spark.functions.quality import source_quality_norm
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, source="C", text="same text every time") for i in range(4)]
+    )
+    out = source_quality_norm(docs).collect()
+    assert all(r.z_quality == 0.0 for r in out)
