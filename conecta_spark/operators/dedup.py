@@ -1120,3 +1120,57 @@ def span_scrub(
 )
 def x61_scrub(spark, sf_dir) -> DataFrame:
     return span_scrub(t(spark, sf_dir, "documents"))
+
+
+def source_overlap(
+    df: DataFrame,
+    span_words: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Pairwise content overlap BETWEEN sources: Jaccard similarity of
+    each source pair's distinct span-hash sets.  The feed-level
+    diagnostic behind x34's per-source dup exposure -- it answers not
+    "which feed is duplicated" but "which feeds duplicate EACH OTHER"
+    (mirror sites, syndication, re-crawls), which decides whether to drop
+    a whole feed rather than dedup document by document.
+
+    Scale shape: text dies in the span projection; the relation that
+    shuffles is distinct (source, span-hash) pairs -- bounded by content
+    volume, not document count -- and the pair join is keyed by the
+    uniform hash.  Output is O(|sources|^2) rows, tiny by construction.
+    """
+    spans = (
+        span_hashes(
+            df.select(F.col(source_col).alias("__src"), F.col(text_col)),
+            span_words,
+            text_col,
+            "__src",
+        )
+        .distinct()
+    )
+    sizes = spans.groupBy("__src").agg(F.count(F.lit(1)).alias("n"))
+    a = spans.select(F.col("__src").alias("source_a"), "h")
+    b = spans.select(F.col("__src").alias("source_b"), "h")
+    inter = (
+        a.join(b, "h")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.select(F.col("__src").alias("source_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("__src").alias("source_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "source_a")
+        .join(nb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.round(
+                F.col("inter")
+                / (F.col("na") + F.col("nb") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

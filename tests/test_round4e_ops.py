@@ -525,3 +525,58 @@ def test_source_quality_norm_constant_feed_z_is_zero(spark):
     )
     out = source_quality_norm(docs).collect()
     assert all(r.z_quality == 0.0 for r in out)
+
+
+# -- source overlap (library capability, test-proven) ------------------------
+
+
+def test_source_overlap_finds_syndicating_feeds(spark):
+    from conecta_spark.operators.dedup import source_overlap
+
+    block = lambda tag: " ".join(f"{tag}{i}" for i in range(8))  # noqa: E731
+    shared = block("s")
+    docs = spark.createDataFrame(
+        [
+            # mirror and primary share half their spans
+            Row(doc_id=1, source="primary", text=shared + " " + block("p")),
+            Row(doc_id=2, source="mirror", text=shared + " " + block("m")),
+            # independent feed shares nothing
+            Row(doc_id=3, source="indie", text=block("x") + " " + block("y")),
+        ]
+    )
+    out = {
+        (r.source_a, r.source_b): r.jaccard
+        for r in source_overlap(docs).collect()
+    }
+    # primary/mirror: 1 shared of 3 distinct spans -> 1/3
+    assert out == {("mirror", "primary"): round(1 / 3, 6)}
+
+
+def test_heavy_hitters_matches_exact_counter_property():
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    # pure-python twin of the guarantee: candidates from any partitioning
+    # of the stream are a superset of the true heavy hitters
+    @given(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d", "e", "f"]),
+            min_size=1, max_size=200,
+        ),
+        st.integers(min_value=2, max_value=8),   # k
+        st.integers(min_value=1, max_value=5),   # number of partitions
+    )
+    @settings(max_examples=150, deadline=None)
+    def check(tokens, k, parts):
+        n = len(tokens)
+        true_heavy = {w for w, c in Counter(tokens).items() if c * k >= n}
+        chunks = [tokens[i::parts] for i in range(parts)]
+        cands = set()
+        for ch in chunks:
+            cn = len(ch)
+            cands |= {w for w, c in Counter(ch).items() if c * k >= cn}
+        assert true_heavy <= cands
+
+    check()
