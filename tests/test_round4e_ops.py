@@ -580,3 +580,35 @@ def test_heavy_hitters_matches_exact_counter_property():
         assert true_heavy <= cands
 
     check()
+
+
+# -- plan pins for the newest operators --------------------------------------
+
+
+def test_source_split_zero_shuffle(spark, sf):
+    from conecta_spark.queries import REGISTRY
+
+    p = plan(REGISTRY["x60_source_disjoint_split"].fn(spark, sf))
+    assert node_count(p, "Exchange") == 0
+
+
+def test_source_quality_norm_bounded_exchanges(spark, sf):
+    # one source-keyed aggregate (partial + final) and the join back;
+    # the text itself is scored in the scan projection
+    from conecta_spark.queries import REGISTRY
+
+    p = plan(REGISTRY["x63_source_quality_norm"].fn(spark, sf))
+    assert "CartesianProduct" not in p
+    assert node_count(p, "Exchange") <= 4
+
+
+def test_heavy_hitters_no_vocabulary_wide_shuffle(spark, sf):
+    # candidates broadcast back to the token scan: the only exchanges
+    # feed the distinct over the bounded candidate set and the final
+    # candidate-keyed count
+    from conecta_spark.queries import REGISTRY
+
+    p = plan(REGISTRY["x62_heavy_hitters"].fn(spark, sf))
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
+    assert node_count(p, "Exchange") <= 3
