@@ -125,3 +125,62 @@ def test_default_max_df_drops_clones_in_tiny_corpora_by_design(spark):
     rows += [Row(doc_id=100, text=texts[0])]
     pairs = minhash_lsh_pairs(spark.createDataFrame(rows)).collect()
     assert pairs == []
+
+
+def test_span_scrub_matches_reference_first_occurrence_rule(spark):
+    """span_scrub against a literal-text reference implementation of the
+    C4 rule (count spans corpus-wide, keep only the first occurrence of
+    any span seen >= 2 times, rebuild): random small-alphabet corpora
+    force heavy span collision, including within one document."""
+    from collections import defaultdict
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from conecta_spark.operators.dedup import span_scrub
+
+    K = 4  # span width for the test (operator default is 8)
+
+    def reference(texts):
+        spans = []  # (doc_i, idx, tuple_of_words)
+        for di, text in enumerate(texts):
+            ws = text.split(" ")
+            for idx, s in enumerate(range(0, len(ws), K)):
+                spans.append((di, idx, tuple(ws[s : s + K])))
+        count = defaultdict(int)
+        first = {}
+        for di, idx, sp in spans:
+            count[sp] += 1
+            if sp not in first or (di, idx) < first[sp]:
+                first[sp] = (di, idx)
+        out = {}
+        for di, text in enumerate(texts):
+            ws = text.split(" ")
+            kept, dropped = [], 0
+            for idx, s in enumerate(range(0, len(ws), K)):
+                sp = tuple(ws[s : s + K])
+                if count[sp] >= 2 and first[sp] != (di, idx):
+                    dropped += 1
+                else:
+                    kept.extend(sp)
+            out[di] = (dropped, " ".join(kept))
+        return out
+
+    word = st.sampled_from(["aa", "bb", "cc"])
+    doc = st.lists(word, min_size=1, max_size=12).map(" ".join)
+
+    @given(st.lists(doc, min_size=1, max_size=5))
+    @settings(max_examples=12, deadline=None)
+    def check(texts):
+        from pyspark.sql import Row
+
+        df = spark.createDataFrame(
+            [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+        )
+        got = {
+            r.doc_id: (r.n_dropped, r.clean_text)
+            for r in span_scrub(df, span_words=K).collect()
+        }
+        assert got == reference(texts)
+
+    check()
