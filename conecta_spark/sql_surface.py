@@ -946,3 +946,116 @@ def q51(spark, sf_dir) -> DataFrame:
             "n_orderless"
         ),
     )
+
+
+@register(
+    "q52_group_by_all",
+    "SELECT r_name, n_name, COUNT(*) AS c, "
+    + DSUM("c_acctbal")
+    + " AS bal FROM customer"
+    " JOIN nation ON c_nationkey = n_nationkey"
+    " JOIN region ON n_regionkey = r_regionkey"
+    " GROUP BY ALL",
+    "GROUP BY ALL: every non-aggregated select column becomes a grouping "
+    "key (both engines infer the same key set)",
+)
+def q52(spark, sf_dir) -> DataFrame:
+    catalog(spark, sf_dir)
+    return spark.sql(
+        "SELECT r_name, n_name, COUNT(*) AS c, "
+        "CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS bal "
+        "FROM customer "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "GROUP BY ALL"
+    )
+
+
+@register(
+    "q53_values_inline_join",
+    "WITH tiers(mkt, tier) AS (VALUES"
+    " ('AUTOMOBILE', 'retail'), ('MACHINERY', 'industrial'),"
+    " ('BUILDING', 'industrial')) "
+    "SELECT tier, COUNT(*) AS c FROM customer"
+    " JOIN tiers ON c_mktsegment = mkt GROUP BY tier",
+    "inline VALUES relation joined to a table (the ad-hoc lookup-table "
+    "shape; broadcasts as a literal LocalRelation)",
+)
+def q53(spark, sf_dir) -> DataFrame:
+    catalog(spark, sf_dir)
+    return spark.sql(
+        "WITH tiers AS (SELECT * FROM VALUES"
+        " ('AUTOMOBILE', 'retail'), ('MACHINERY', 'industrial'),"
+        " ('BUILDING', 'industrial') AS t(mkt, tier)) "
+        "SELECT tier, COUNT(*) AS c FROM customer"
+        " JOIN tiers ON c_mktsegment = mkt GROUP BY tier"
+    )
+
+
+@register(
+    "q54_array_funcs",
+    "WITH a AS (SELECT o_custkey, list_sort(list(DISTINCT o_orderpriority))"
+    "  AS ps FROM orders GROUP BY o_custkey) "
+    "SELECT CAST(len(ps) AS BIGINT) AS n_prio, "
+    " array_to_string(ps, '|') AS prios, COUNT(*) AS n_cust "
+    "FROM a GROUP BY ps",
+    "array construction/sort/length/join over per-customer priority sets "
+    "(arrays stringified at the boundary for the driver)",
+)
+def q54(spark, sf_dir) -> DataFrame:
+    catalog(spark, sf_dir)
+    return spark.sql(
+        "WITH a AS (SELECT o_custkey,"
+        "  sort_array(collect_set(o_orderpriority)) AS ps"
+        "  FROM orders GROUP BY o_custkey) "
+        "SELECT CAST(size(ps) AS BIGINT) AS n_prio, "
+        " array_join(ps, '|') AS prios, COUNT(*) AS n_cust "
+        "FROM a GROUP BY ps"
+    )
+
+
+@register(
+    "q55_named_window",
+    "SELECT o_custkey, o_orderkey, "
+    " row_number() OVER w AS rn, "
+    " CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE)"
+    "  AS running "
+    "FROM orders "
+    "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)",
+    "named WINDOW clause shared by two window functions (running sum uses "
+    "the decimal cast so partial-order summation is engine-independent)",
+)
+def q55(spark, sf_dir) -> DataFrame:
+    catalog(spark, sf_dir)
+    return spark.sql(
+        "SELECT o_custkey, o_orderkey, "
+        " row_number() OVER w AS rn, "
+        " CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE)"
+        "  AS running "
+        "FROM orders "
+        "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)"
+    )
+
+
+@register(
+    "q56_null_safe_join",
+    "WITH l AS (SELECT CASE WHEN o_orderkey % 3 = 0 THEN NULL"
+    "  ELSE o_orderpriority END AS k, o_orderkey FROM orders),"
+    " r AS (SELECT DISTINCT CASE WHEN o_orderkey % 5 = 0 THEN NULL"
+    "  ELSE o_orderpriority END AS k FROM orders) "
+    "SELECT COALESCE(l.k, '<null>') AS k, COUNT(*) AS c "
+    "FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k GROUP BY l.k",
+    "null-safe equality join (Spark <=> / SQL IS NOT DISTINCT FROM): NULL "
+    "keys match each other instead of vanishing -- the semantics ETL "
+    "key-reconciliation needs",
+)
+def q56(spark, sf_dir) -> DataFrame:
+    catalog(spark, sf_dir)
+    return spark.sql(
+        "WITH l AS (SELECT CASE WHEN o_orderkey % 3 = 0 THEN NULL"
+        "  ELSE o_orderpriority END AS k, o_orderkey FROM orders),"
+        " r AS (SELECT DISTINCT CASE WHEN o_orderkey % 5 = 0 THEN NULL"
+        "  ELSE o_orderpriority END AS k FROM orders) "
+        "SELECT COALESCE(l.k, '<null>') AS k, COUNT(*) AS c "
+        "FROM l JOIN r ON l.k <=> r.k GROUP BY l.k"
+    )
