@@ -62,7 +62,11 @@ def edit_distance_join(
         F.explode(
             F.array_distinct(F.expr(_del1_signatures_expr(string_col)))
         ).alias("sig"),
-    )
+        # Both self-join sides replan this projection independently (AQE
+        # never reuses exchanges across them -- the x07/x54 lesson), and
+        # the deletion-neighborhood transform is an interpreted lambda
+        # worth evaluating once.  Skinny relation: (id, signature).
+    ).persist()
     a, b = sigs.alias("a"), sigs.alias("b")
     cands = (
         a.join(
