@@ -48,10 +48,24 @@ def edit_distance_join(
     string_col: str,
     id_col: str,
     threshold: int = 1,
+    sig_count_cap: int | None = None,
 ) -> DataFrame:
     """``(id_a, id_b, dist)`` for all pairs with edit distance <=
     ``threshold`` (currently 1: the deletion-neighborhood property this
-    blocking relies on is exact for d=1)."""
+    blocking relies on is exact for d=1).
+
+    ``sig_count_cap`` is the skew valve: a signature shared by c strings
+    produces ~c^2/2 candidate pairs, so a templated column (serial-
+    numbered names, boilerplate prefixes) concentrates quadratic work in
+    a few buckets exactly like a hot LSH band.  With the cap set,
+    signatures held by more than ``sig_count_cap`` strings are dropped
+    BEFORE the self-join (one partial-aggregated count over the skinny
+    signature relation -- the x07 document-frequency filter, same
+    diagnosis, same medicine).  The trade is explicit: pairs related
+    ONLY through a dropped signature are missed, so the default (None)
+    stays exact; set the cap when a bucket audit shows cohort blowup,
+    because a popular signature's cohort is precisely the part of the
+    answer that is quadratically large no matter the algorithm."""
     if threshold != 1:
         raise NotImplementedError(
             "deletion-neighborhood blocking is implemented for threshold=1; "
@@ -67,6 +81,14 @@ def edit_distance_join(
         # the deletion-neighborhood transform is an interpreted lambda
         # worth evaluating once.  Skinny relation: (id, signature).
     ).persist()
+    if sig_count_cap is not None:
+        ok = (
+            sigs.groupBy("sig")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .where(F.col("__c") <= sig_count_cap)
+            .select("sig")
+        )
+        sigs = sigs.join(ok, "sig")
     a, b = sigs.alias("a"), sigs.alias("b")
     cands = (
         a.join(

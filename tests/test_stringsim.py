@@ -85,3 +85,33 @@ def test_edit_join_plan_is_equi_join_only(spark, oracle_dir):
     p = plan(REGISTRY["x53_edit_distance_join"].fn(spark, oracle_dir))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_sig_count_cap_bounds_templated_blowup(spark):
+    """A serial-numbered template column concentrates every string into a
+    handful of shared-prefix deletion signatures; the cap must bound the
+    candidate cohort while keeping pairs that relate through rare
+    signatures."""
+    from pyspark.sql import Row
+
+    from conecta_spark.operators.stringsim import edit_distance_join
+
+    # 60 strings "template0".."template59" differ only in the suffix:
+    # deleting the final char maps template1x/template2x/... onto shared
+    # signatures; plus two genuinely-close outliers.
+    rows = [Row(id=i, s=f"template{i}") for i in range(60)]
+    rows += [Row(id=100, s="unique-abc"), Row(id=101, s="unique-abX")]
+    df = spark.createDataFrame(rows)
+
+    exact = edit_distance_join(df, "s", "id")
+    capped = edit_distance_join(df, "s", "id", sig_count_cap=3)
+    exact_pairs = {(r.id_a, r.id_b) for r in exact.collect()}
+    capped_pairs = {(r.id_a, r.id_b) for r in capped.collect()}
+    # the template cohort is quadratically related in the exact answer
+    assert len(exact_pairs) > 40
+    # capping keeps a subset, never an invention
+    assert capped_pairs <= exact_pairs
+    # the outlier pair relates through rare signatures and must survive
+    assert (100, 101) in capped_pairs
+    # and the quadratic cohort is actually bounded
+    assert len(capped_pairs) < len(exact_pairs) / 2
