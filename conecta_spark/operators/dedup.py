@@ -1174,3 +1174,26 @@ def source_overlap(
             ).alias("jaccard"),
         )
     )
+
+
+@register(
+    "x64_source_overlap",
+    "WITH w AS (SELECT source, str_split(text, ' ') AS ws FROM documents"
+    "  WHERE text IS NOT NULL), "
+    "spans AS (SELECT DISTINCT source,"
+    " substr(sha256(array_to_string(ws[i:i+7], ' ')), 1, 16) AS h"
+    " FROM w, UNNEST(range(1, len(ws) + 1, 8)) AS t(i)), "
+    "sizes AS (SELECT source, COUNT(*) AS n FROM spans GROUP BY source), "
+    "inter AS (SELECT a.source AS source_a, b.source AS source_b,"
+    " COUNT(*) AS i FROM spans a JOIN spans b"
+    " ON a.h = b.h AND a.source < b.source GROUP BY 1, 2) "
+    "SELECT source_a, source_b, "
+    " round(i / (na.n + nb.n - i), 6) AS jaccard "
+    "FROM inter JOIN sizes na ON source_a = na.source"
+    " JOIN sizes nb ON source_b = nb.source",
+    "pairwise source-overlap matrix: Jaccard of distinct span-hash sets "
+    "between feeds (mirror/syndication detection; only skinny "
+    "(source, hash) pairs shuffle)",
+)
+def x64_overlap(spark, sf_dir) -> DataFrame:
+    return source_overlap(t(spark, sf_dir, "documents"))
