@@ -1059,3 +1059,81 @@ def q56(spark, sf_dir) -> DataFrame:
         "SELECT COALESCE(l.k, '<null>') AS k, COUNT(*) AS c "
         "FROM l JOIN r ON l.k <=> r.k GROUP BY l.k"
     )
+
+
+@register(
+    "q57_nulls_ordering_rank",
+    "WITH s AS (SELECT o_orderkey,"
+    " CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_totalprice END AS p"
+    " FROM orders WHERE o_orderkey <= 200) "
+    "SELECT o_orderkey, "
+    " row_number() OVER (ORDER BY p DESC NULLS LAST, o_orderkey)"
+    "  AS rn_last, "
+    " row_number() OVER (ORDER BY p DESC NULLS FIRST, o_orderkey)"
+    "  AS rn_first "
+    "FROM s",
+    "explicit NULLS FIRST/LAST ordering made observable through rank "
+    "columns (the engines' DEFAULT null placement differs -- Spark asc is "
+    "NULLS FIRST, DuckDB is NULLS LAST -- so portable SQL must say it)",
+)
+def q57(spark, sf_dir) -> DataFrame:
+    catalog(spark, sf_dir)
+    return spark.sql(
+        "WITH s AS (SELECT o_orderkey,"
+        " CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_totalprice END AS p"
+        " FROM orders WHERE o_orderkey <= 200) "
+        "SELECT o_orderkey, "
+        " row_number() OVER (ORDER BY p DESC NULLS LAST, o_orderkey)"
+        "  AS rn_last, "
+        " row_number() OVER (ORDER BY p DESC NULLS FIRST, o_orderkey)"
+        "  AS rn_first "
+        "FROM s"
+    )
+
+
+@register(
+    "q58_horizontal_min_max",
+    "SELECT l_orderkey, l_linenumber, "
+    " greatest(l_tax, l_discount, 0.05) AS hi, "
+    " least(l_tax, nullif(l_discount, 0.0)) AS lo "
+    "FROM lineitem WHERE l_orderkey <= 100",
+    "row-wise greatest/least incl. NULL operands (both engines skip "
+    "NULLs rather than propagating them -- pinned because it is the "
+    "opposite of scalar comparison semantics)",
+)
+def q58(spark, sf_dir) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") <= 100)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.greatest("l_tax", "l_discount", F.lit(0.05)).alias("hi"),
+        F.least(F.col("l_tax"), F.nullif("l_discount", F.lit(0.0))).alias(
+            "lo"
+        ),
+    )
+
+
+@register(
+    "q59_conditional_chain",
+    "SELECT o_orderkey, "
+    " coalesce(nullif(o_orderstatus, 'O'), '<open>') AS status_tag, "
+    " CASE WHEN o_totalprice > 200000 THEN 'jumbo'"
+    "  WHEN o_totalprice > 100000 THEN 'large' ELSE 'standard' END"
+    "  AS size_tier, "
+    " ifnull(nullif(o_orderpriority, o_orderpriority), 'self-null') AS self_null_check "
+    "FROM orders WHERE o_orderkey <= 500",
+    "conditional-expression chains: nullif/coalesce/ifnull composition "
+    "and a searched CASE (nullif(x, x) is always NULL -- the standard "
+    "self-null idiom)",
+)
+def q59(spark, sf_dir) -> DataFrame:
+    catalog(spark, sf_dir)
+    return spark.sql(
+        "SELECT o_orderkey, "
+        " coalesce(nullif(o_orderstatus, 'O'), '<open>') AS status_tag, "
+        " CASE WHEN o_totalprice > 200000 THEN 'jumbo'"
+        "  WHEN o_totalprice > 100000 THEN 'large' ELSE 'standard' END"
+        "  AS size_tier, "
+        " ifnull(nullif(o_orderpriority, o_orderpriority), 'self-null') AS self_null_check "
+        "FROM orders WHERE o_orderkey <= 500"
+    )
