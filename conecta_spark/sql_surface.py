@@ -1137,3 +1137,50 @@ def q59(spark, sf_dir) -> DataFrame:
         " ifnull(nullif(o_orderpriority, o_orderpriority), 'self-null') AS self_null_check "
         "FROM orders WHERE o_orderkey <= 500"
     )
+
+
+@register(
+    "q60_outer_explode_null_rows",
+    "WITH d AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN []"
+    "  ELSE string_split(substr(text, 1, 40), ' ') END AS toks"
+    " FROM documents WHERE doc_id < 100), "
+    "u AS (SELECT doc_id, generate_subscripts(toks, 1) - 1 AS pos,"
+    "  unnest(toks) AS w FROM d) "
+    "SELECT d.doc_id, "
+    " CAST(coalesce(u.pos, -1) AS BIGINT) AS pos, "
+    " coalesce(u.w, '<no-token>') AS w "
+    "FROM d LEFT JOIN u ON d.doc_id = u.doc_id",
+    "OUTER posexplode: a row with an EMPTY array still produces one "
+    "null-padded output row (plain explode silently drops it -- the bug "
+    "class where empty documents vanish from per-token accounting)",
+)
+def q60(spark, sf_dir) -> DataFrame:
+    catalog(spark, sf_dir)
+    return spark.sql(
+        "WITH d AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN array()"
+        "  ELSE split(substr(text, 1, 40), ' ') END AS toks"
+        " FROM documents WHERE doc_id < 100) "
+        "SELECT doc_id, CAST(coalesce(pos, -1) AS BIGINT) AS pos, "
+        " coalesce(w, '<no-token>') AS w "
+        "FROM d LATERAL VIEW OUTER posexplode(toks) AS pos, w"
+    )
+
+
+@register(
+    "q61_percentile_disc",
+    "SELECT event_type, "
+    " CAST(quantile_disc(value, 0.5) AS DOUBLE) AS p50_disc, "
+    " CAST(quantile_disc(value, 0.9) AS DOUBLE) AS p90_disc "
+    "FROM events WHERE value IS NOT NULL GROUP BY event_type",
+    "discrete percentiles (WITHIN GROUP inverse-distribution): the result "
+    "is an actual data element, never an interpolated value -- the "
+    "variant x24's continuous percentiles cannot express",
+)
+def q61(spark, sf_dir) -> DataFrame:
+    catalog(spark, sf_dir)
+    return spark.sql(
+        "SELECT event_type, "
+        " percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS p50_disc, "
+        " percentile_disc(0.9) WITHIN GROUP (ORDER BY value) AS p90_disc "
+        "FROM events WHERE value IS NOT NULL GROUP BY event_type"
+    )
