@@ -1184,3 +1184,50 @@ def q61(spark, sf_dir) -> DataFrame:
         " percentile_disc(0.9) WITHIN GROUP (ORDER BY value) AS p90_disc "
         "FROM events WHERE value IS NOT NULL GROUP BY event_type"
     )
+
+
+@register(
+    "q62_modulo_semantics",
+    "WITH n AS (SELECT o_orderkey, o_orderkey - 750 AS d FROM orders"
+    "  WHERE o_orderkey <= 1500) "
+    "SELECT o_orderkey, d % 7 AS m, ((d % 7) + 7) % 7 AS pm "
+    "FROM n",
+    "modulo with negative operands: both engines give % the dividend's "
+    "sign (C semantics), so nonnegative bucketing needs the "
+    "((n % m) + m) % m form -- Spark's pmod(), expanded on the oracle "
+    "side.  Pinned because every hash-bucket sampler in this repo "
+    "depends on it",
+)
+def q62(spark, sf_dir) -> DataFrame:
+    catalog(spark, sf_dir)
+    return spark.sql(
+        "WITH n AS (SELECT o_orderkey, o_orderkey - 750 AS d FROM orders"
+        "  WHERE o_orderkey <= 1500) "
+        "SELECT o_orderkey, d % 7 AS m, pmod(d, 7) AS pm FROM n"
+    )
+
+
+@register(
+    "q63_try_cast_matrix",
+    "SELECT o_orderkey, "
+    " TRY_CAST(o_orderpriority AS INT) AS junk_to_int, "
+    " TRY_CAST(substr(o_orderpriority, 1, 1) AS INT) AS digit_to_int, "
+    # Spark CAST(double AS INT) TRUNCATES toward zero; DuckDB ROUNDS
+    # half-up.  A genuine cross-engine divergence: the oracle must spell
+    # the truncation out to match Spark's (and ANSI's) behavior.
+    " CAST(trunc(o_totalprice / 1000.0) AS INT) AS price_k "
+    "FROM orders WHERE o_orderkey <= 500",
+    "safe-cast matrix: garbage strings degrade to NULL in both engines, "
+    "and double->int conversion is pinned as TRUNCATION (Spark/ANSI) "
+    "with the DuckDB twin made explicit -- DuckDB's bare cast ROUNDS, "
+    "a divergence that silently shifts bucket boundaries if unstated",
+)
+def q63(spark, sf_dir) -> DataFrame:
+    catalog(spark, sf_dir)
+    return spark.sql(
+        "SELECT o_orderkey, "
+        " TRY_CAST(o_orderpriority AS INT) AS junk_to_int, "
+        " TRY_CAST(substr(o_orderpriority, 1, 1) AS INT) AS digit_to_int, "
+        " CAST(o_totalprice / 1000.0 AS INT) AS price_k "
+        "FROM orders WHERE o_orderkey <= 500"
+    )
