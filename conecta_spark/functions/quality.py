@@ -366,7 +366,7 @@ def oov_stats(
     "  WHERE rn <= 16) "
     "SELECT d.doc_id, COUNT(t.w) AS n_tok, "
     " COUNT(*) FILTER (t.w IS NOT NULL AND topv.c IS NULL) AS n_oov, "
-    " COALESCE(SUM(topv.c), 0) AS invocab_c_sum, "
+    " CAST(COALESCE(SUM(topv.c), 0) AS BIGINT) AS invocab_c_sum, "
     " CAST(COALESCE(SUM(topv.c), 0) AS DOUBLE) /"
     "  NULLIF(COUNT(t.w) - COUNT(*) FILTER (t.w IS NOT NULL"
     "   AND topv.c IS NULL), 0) AS mean_invocab_df "

@@ -402,52 +402,56 @@ def _load_extensions() -> None:
 # extension operator (x01-x29), then the SQL-surface queries whose oracle SQL
 # changed this round (re-proof needed), then the remaining SQL-surface
 # variants that were already hash-green in round 1.
-# Window composition for round 4 (50 slots): core operators, then the three
-# r03-errored queries whose TIMESTAMP_NTZ fix must be proven by a green
-# driver row, then every entry the driver has NEVER executed (displaced by
-# the cap in r01-r03 or added this round), then the flagship extension
-# operators.  Everything demoted below slot 50 is hash-green in r02/r03 and
-# still locally oracle-checked every test run; those rows stand.
-_REGRESSION_PROOFS = ("x16", "x22", "x23")  # errored in r03, fixed this round
-# Triple-green (r01/r02/r03) trivial shapes demoted below the window so the
-# three round-4 SQL queries at the tail of _NEVER_DRIVER_RUN fit inside the
-# 50 slots; their prior driver rows stand and they stay locally oracled.
-_TRIPLE_GREEN_CORE = (
-    "q03", "q04", "q05", "q06", "q07", "q08", "q09", "q10", "q11",
-    "q13", "q14", "q15", "q16",
-)
+# Window composition for round 5 (50 slots), per the round-4 verdict:
+#   1. core q01/q02/q12 (every-round scan/projection/agg smoke);
+#   2. x56, red in r4 from the oracle HUGEINT type bug -- the 1-line CAST
+#      fix must be proven by a green driver row;
+#   3. x16, the TIMESTAMP_NTZ regression sentinel: one NTZ-sensitive query
+#      stays in the window every round so a driver-side testdata
+#      regeneration shows up as a driver row, not a silent local break;
+#   4. the 13 entries the driver has NEVER executed (q52-q63 + x64, added
+#      after the r4 window filled; all judge-verified hash-green locally);
+#   5. entries added this round (x65+);
+#   6. the 20 queries whose latest green driver row is round 1 (oldest
+#      proof -- refresh against three rounds of engine drift);
+#   7. flagship heavy extensions last green in r3 (LSH, clusters, kNN).
+# Everything demoted below slot 50 has a green r3/r4 driver row and stays
+# locally oracle-checked every test run; those rows stand.
+_CORE_SMOKE = ("q01", "q02", "q12")
+_FIX_PROOFS = ("x56",)
+_REGRESSION_SENTINELS = ("x16",)
 _NEVER_DRIVER_RUN = (
-    # flagship pipeline first, then the round-4 operator wave
-    "x37", "x36", "x35", "x34", "x38", "x39", "x40", "x41", "x42",
-    "x43", "x44", "x45", "x46", "x47", "x48", "x49", "x50",
-    "x51", "x52", "x53", "x54", "x55", "x56", "x57", "x58", "x59",
-    "x60", "x61", "x62", "x63",
-    # rows-only entries displaced by the cap in every prior round
-    "x14", "x18",
-    # SQL-surface shapes added in round 4
-    "q40", "q41", "q42", "q43", "q44", "q45",
-    "q46", "q47", "q48", "q49", "q50", "q51",
+    "q52", "q53", "q54", "q55", "q56", "q57", "q58", "q59",
+    "q60", "q61", "q62", "q63", "x64",
 )
-_FLAGSHIP_PROVEN = (
-    "x05", "x07", "x08", "x26", "x10", "x11",
+_NEW_THIS_ROUND = ("x65", "x66", "x67")
+_OLDEST_GREEN_R1 = (
+    "q17", "q18", "q19", "q20", "q21", "q22", "q23", "q25", "q26",
+    "q27", "q28", "q29", "q30", "q31", "q32", "q33", "q34", "q36",
+    "q38", "q39",
+)
+_FLAGSHIP_REFRESH = (
+    "x05", "x07", "x08", "x26", "x10", "x11", "x12", "x24", "x30",
+)
+_WINDOW = (
+    _CORE_SMOKE + _FIX_PROOFS + _REGRESSION_SENTINELS + _NEVER_DRIVER_RUN
+    + _NEW_THIS_ROUND + _OLDEST_GREEN_R1 + _FLAGSHIP_REFRESH
 )
 _PRIORITY_TIERS: tuple[tuple[str, ...], ...] = (
-    tuple(
-        f"q{i:02d}" for i in range(1, 17) if f"q{i:02d}" not in _TRIPLE_GREEN_CORE
-    ),  # core q01-q16 minus the demoted triple-green trivials
-    _REGRESSION_PROOFS,
+    _CORE_SMOKE,
+    _FIX_PROOFS,
+    _REGRESSION_SENTINELS,
     _NEVER_DRIVER_RUN,
-    _TRIPLE_GREEN_CORE,
-    _FLAGSHIP_PROVEN,
-    # proven extension tail (green r03), most informative first
+    _NEW_THIS_ROUND,
+    _OLDEST_GREEN_R1,
+    _FLAGSHIP_REFRESH,
+    # below the 50-slot window: r4 greens, then the r3 extension tail
+    tuple(f"q{i:02d}" for i in range(40, 52)),
     tuple(
-        f"x{i:02d}"
-        for i in range(1, 34)
-        if f"x{i:02d}"
-        not in _REGRESSION_PROOFS + _NEVER_DRIVER_RUN + _FLAGSHIP_PROVEN
+        f"x{i:02d}" for i in range(1, 64) if f"x{i:02d}" not in _WINDOW
     ),
-    ("q24", "q35", "q37"),  # driver-green in r02 and r03
-    ("q17", "q28", "q29", "q30"),  # top-k + TPC-H shapes
+    tuple(f"q{i:02d}" for i in range(3, 17)),
+    ("q24", "q35", "q37"),
 )
 
 

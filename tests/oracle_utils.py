@@ -68,7 +68,74 @@ def duckdb_result(con, sql: str):
     return list(rel.columns), rel.fetchall()
 
 
+# The driver compares pandas frames, not Python values: a DuckDB HUGEINT
+# (any SUM over integers) lands in pandas as float64 ("11992.0") while the
+# Spark BIGINT stays int64 ("11992"), so the driver hash-mismatches even
+# though fetchall()'s Python ints stringify identically.  x56 shipped red
+# in round 4 exactly this way.  Compare numeric KINDS (int vs float) from
+# the engines' own static types -- no extra execution -- and reject
+# pandas-lossy oracle output types outright.
+_DUCK_LOSSY = ("HUGEINT", "UHUGEINT", "DECIMAL")
+_DUCK_INT = {
+    "TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+    "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT",
+}
+_DUCK_FLOAT = {"FLOAT", "DOUBLE", "REAL"}
+_SPARK_INT = {"byte", "short", "int", "bigint"}
+_SPARK_FLOAT = {"float", "double"}
+
+
+def _duck_kind(type_str: str) -> str | None:
+    t = type_str.upper()
+    if any(t.startswith(l) for l in _DUCK_LOSSY):
+        return "lossy"
+    if t in _DUCK_INT:
+        return "i"
+    if t in _DUCK_FLOAT:
+        return "f"
+    return None
+
+
+def _spark_kind(type_str: str) -> str | None:
+    t = type_str.lower()
+    if t.startswith("decimal"):
+        return "lossy"
+    if t in _SPARK_INT:
+        return "i"
+    if t in _SPARK_FLOAT:
+        return "f"
+    return None
+
+
+def assert_numeric_kinds_match(name: str, spark_df, con, oracle: str):
+    """Driver-style dtype gate: every numeric output column must be
+    integer on both engines or float on both engines, and neither side
+    may emit a type pandas degrades (HUGEINT/DECIMAL)."""
+    rel = con.sql(oracle)
+    d_kinds = {
+        c: _duck_kind(str(t)) for c, t in zip(rel.columns, rel.types)
+    }
+    s_kinds = {
+        f.name: _spark_kind(f.dataType.simpleString())
+        for f in spark_df.schema.fields
+    }
+    for col, dk in sorted(d_kinds.items()):
+        sk = s_kinds.get(col)
+        if dk == "lossy" or sk == "lossy":
+            raise AssertionError(
+                f"{name}.{col}: pandas-lossy type (duck={dk} spark={sk}) "
+                f"-- CAST the oracle (e.g. SUM(int) -> HUGEINT needs "
+                f"CAST(... AS BIGINT)) or the Spark column"
+            )
+        if dk in ("i", "f") and sk in ("i", "f") and dk != sk:
+            raise AssertionError(
+                f"{name}.{col}: numeric kind mismatch duck={dk} spark={sk}"
+                f" -- the driver's pandas hash will diverge"
+            )
+
+
 def assert_match(name: str, spark_df, con, oracle: str):
+    assert_numeric_kinds_match(name, spark_df, con, oracle)
     s_cols, s_rows = spark_result(spark_df)
     d_cols, d_rows = duckdb_result(con, oracle)
     assert sorted(s_cols) == sorted(d_cols), (
