@@ -11,12 +11,15 @@ the sink, the honest analog of the reference's read_sql wall-clock
 Catalyst prune scan queries down to parquet footer metadata and report
 fantasy numbers.
 
-Each query is timed as min-of-two consecutive runs with the cache cleared
-in between: the first run pays one-time costs that say nothing about
-throughput (Janino codegen compilation of large SQL expressions costs ~10s
-once per session; executor JIT warm-up), the second measures the
-steady-state rate that extrapolates to a long-running cluster.  Measured
-spread between the two runs is 2-40x on this suite, all of it first-touch.
+Each query is timed over >=3 consecutive runs with the cache cleared in
+between, and the MEDIAN is recorded: the first run pays one-time costs
+that say nothing about throughput (Janino codegen compilation of large SQL
+expressions costs ~10s once per session; executor JIT warm-up), and this
+shared 32-core host carries external load that perturbs single runs by
+2-3x, so a min is a lucky draw and a single run is a lottery -- the
+median-of-n is the number that is comparable ACROSS rounds (the round-4
+verdict's request).  The sum of per-query minima is still emitted as
+``value_min`` so the r1-r4 min-based artifacts stay interpretable.
 """
 
 from __future__ import annotations
@@ -78,33 +81,39 @@ def main() -> None:
     )
 
     timings: dict[str, float] = {}
+    minima: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
     for name, fn in sorted(qs.items()):
         try:
-            best = None
-            for attempt in range(4):
+            runs: list[float] = []
+            for attempt in range(5):
                 # Isolate queries from each other: operators persist
                 # intermediates (shingle relations, label frontiers) that
                 # would otherwise pressure later queries' memory.
                 spark.catalog.clearCache()
                 start = time.perf_counter()
                 run(fn(spark, sf_dir))
-                elapsed = time.perf_counter() - start
-                prev = best
-                best = elapsed if best is None else min(best, elapsed)
-                # Adaptive steady-state: two runs minimum, then keep
-                # rerunning (cap 4) while the latest run still improved the
-                # best by >20%.  Tiered JIT takes 2-3 executions to fully
-                # compile the heavy codegen stages (LSH banding, array
-                # verification), so min-of-two under-reports the
-                # steady-state rate a long-running cluster sits at; light
-                # queries converge in two runs and pay nothing extra.
-                if attempt >= 1 and (prev is None or best > 0.8 * prev):
+                runs.append(time.perf_counter() - start)
+                # Adaptive steady-state: three runs minimum (a median of
+                # fewer is a min or a mean), then keep rerunning (cap 5)
+                # while the latest run still improved the best by >20%.
+                # Tiered JIT takes 2-3 executions to fully compile the
+                # heavy codegen stages (LSH banding, array verification),
+                # so early runs under-report the steady-state rate a
+                # long-running cluster sits at; light queries converge in
+                # three runs and pay little extra.
+                if attempt >= 2 and min(runs) > 0.8 * min(runs[:-1]):
                     break
-            timings[name] = round(best, 4)
+            srt = sorted(runs)
+            timings[name] = round(srt[len(srt) // 2], 4)
+            minima[name] = round(srt[0], 4)
+            all_runs[name] = [round(r, 4) for r in runs]
         except Exception as e:  # never let one query kill the whole bench
             print(f"bench: {name} failed: {e}", file=sys.stderr)
             timings[name] = -1.0
+            minima[name] = -1.0
     total = round(sum(v for v in timings.values() if v >= 0), 4)
+    total_min = round(sum(v for v in minima.values() if v >= 0), 4)
     # The driver records only the LAST 2000 chars of stdout and tries to
     # parse the JSON line out of it -- with 86 full-name queries the line is
     # ~3 KB and has been truncated (BENCH_r01..r03 all show parsed: null).
@@ -114,29 +123,26 @@ def main() -> None:
     # for humans.
     short = {n.split("_", 1)[0]: v for n, v in timings.items()}
     assert len(short) == len(timings), "registry prefixes must stay unique"
-    line = json.dumps(
-        {
-            "metric": "total_query_wall_seconds",
-            "value": total,
-            "unit": "sec",
-            "queries": short,
-            "sf": float(sf),
-        },
-        separators=(",", ":"),
-    )
-    if len(line) > 1900:  # stay inside the window even if the registry grows
-        short = {k: round(v, 2) for k, v in short.items()}
-        line = json.dumps(
+
+    def emit(q: dict) -> str:
+        return json.dumps(
             {
                 "metric": "total_query_wall_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": short,
+                "stat": "median",
+                "value_min": total_min,
+                "queries": q,
                 "sf": float(sf),
             },
             separators=(",", ":"),
         )
+
+    line = emit(short)
+    if len(line) > 1900:  # stay inside the window even if the registry grows
+        line = emit({k: round(v, 2) for k, v in short.items()})
     print(json.dumps({"query_names": sorted(timings)}), file=sys.stderr)
+    print(json.dumps({"all_runs": all_runs}), file=sys.stderr)
     print(line)
 
 

@@ -14,6 +14,20 @@ exact ``levenshtein() <= 1`` verification of the candidate pairs (both
 engines implement classic Levenshtein, so the oracle can verify with the
 same function).
 
+For threshold d >= 2 the deletion neighborhood grows O(L^d), so the
+module switches schemes to q-gram PREFIX filtering (the ED-Join family,
+Xiao/Wang/Lin VLDB'08; Gravano et al. VLDB'01 for the count bound):
+one edit destroys at most q of a string's L-q+1 positional q-grams, so
+strings within distance d share all but q*d grams -- and by the classic
+prefix-filtering principle, their q*d+1 globally-RAREST grams must
+intersect.  Candidate generation is again a pure equi-join, on the
+(gram, occurrence-index) labels of each string's q*d+1 rarest grams,
+plus a length band |len_a - len_b| <= d; an exact levenshtein verify
+closes the loop.  Occurrence-index labeling keeps the guarantee exact
+for strings with repeated grams ("0000" holds "00" three times; the
+k-th occurrences pair up), proven by the hypothesis test against the
+brute-force all-pairs model in tests/test_stringsim.py.
+
 Scale notes (100 TB): signatures are fixed small multiples of string
 length and shuffle as (signature-hash, id) pairs; the verify join
 re-attaches the two strings by id.  Popular signatures (shared prefixes
@@ -65,11 +79,16 @@ def edit_distance_join(
     ONLY through a dropped signature are missed, so the default (None)
     stays exact; set the cap when a bucket audit shows cohort blowup,
     because a popular signature's cohort is precisely the part of the
-    answer that is quadratically large no matter the algorithm."""
+    answer that is quadratically large no matter the algorithm.
+
+    Thresholds >= 2 route to the q-gram prefix-filter scheme
+    (:func:`edit_distance_join_qgram`); threshold=1 keeps the deletion
+    neighborhood, whose signature volume (L+1 per string) beats the
+    q-gram path's candidate count at d=1."""
     if threshold != 1:
-        raise NotImplementedError(
-            "deletion-neighborhood blocking is implemented for threshold=1; "
-            "use q-gram count filtering for larger thresholds"
+        return edit_distance_join_qgram(
+            df, string_col, id_col,
+            threshold=threshold, sig_count_cap=sig_count_cap,
         )
     sigs = df.select(
         F.col(id_col),
@@ -114,6 +133,178 @@ def edit_distance_join(
         )
         .where(F.col("dist") <= threshold)
     )
+
+
+def _labeled_grams_expr(col: str, q: int) -> str:
+    """Spark SQL array of (gram, occurrence-index) structs for ``col``'s
+    positional q-grams.  The occurrence index k distinguishes repeated
+    grams ("0000" holds "00" three times -> (00,1),(00,2),(00,3)), which
+    is what keeps the prefix-filter guarantee exact on multisets: within
+    d edits the k-th occurrences pair up content-wise.  Computed map-side
+    (O(L^2) bounded substring compares per string, L = string length)
+    instead of a row_number window so the gram relation shuffles ONCE
+    (for the per-string prefix ranking), not twice."""
+    n = f"(length({col}) - {q} + 1)"
+    return (
+        f"transform(sequence(1, {n}), i -> struct("
+        f"substring({col}, i, {q}) AS g, "
+        f"size(filter(sequence(1, i), j -> "
+        f"substring({col}, j, {q}) = substring({col}, i, {q}))) AS k))"
+    )
+
+
+def edit_distance_join_qgram(
+    df: DataFrame,
+    string_col: str,
+    id_col: str,
+    threshold: int = 2,
+    q: int = 2,
+    sig_count_cap: int | None = None,
+) -> DataFrame:
+    """``(id_a, id_b, dist)`` for all pairs with edit distance <=
+    ``threshold``, via q-gram prefix filtering (ED-Join family): one
+    edit destroys at most q of a string's L-q+1 positional q-grams, so
+    strings within distance d share all but q*d (gram, occurrence-index)
+    labels -- and by the prefix-filtering principle their q*d+1 rarest
+    labels (under a global frequency order) must intersect.  Candidate
+    generation is an equi-join on those labels plus a |len_a - len_b|
+    <= d band; exact ``levenshtein(a, b, threshold)`` verifies.
+
+    Strings with fewer than q*d+1 grams (length <= q*d+q-1) fall outside
+    the pigeonhole guarantee and route through a bounded length-banded
+    pool instead: short x near-short is quadratic only in the count of
+    sub-(q*d+q-1+d)-char strings, a corpus-constant-bounded set.
+
+    No positional filter on the label join: with repeated grams the
+    shared prefix label need not be the transcript-matched occurrence,
+    so a |pos_a - pos_b| <= d prune can drop true pairs.  Exactness over
+    the last 10% of pruning.
+
+    Scale notes (100 TB): the gram relation is L skinny rows per string
+    built map-side; the global frequency table is the q-gram vocabulary
+    (<= |alphabet|^q, broadcast-sized); prefix selection is one
+    per-string window (single shuffle on id); the label join shuffles
+    q*d+1 rows per string.  Hot labels concentrate candidates exactly
+    like d=1 signatures -- same ``sig_count_cap`` valve, same trade
+    (pairs related ONLY through a capped label are missed; default None
+    stays exact).  Identical templated strings share every label, but
+    their cohort is genuinely part of the quadratic answer."""
+    if threshold < 1:
+        raise ValueError("threshold must be >= 1")
+    d = threshold
+    pref_len = q * d + 1
+    short_max = q * d + q - 1  # fewer than pref_len grams below this
+    from pyspark.sql import Window
+
+    s = df.select(
+        F.col(id_col).alias("id"), F.col(string_col).alias("s")
+    ).withColumn("len", F.length("s"))
+
+    long_s = s.where(F.col("len") > short_max)
+    occ = long_s.select(
+        "id",
+        "len",
+        F.explode(F.expr(_labeled_grams_expr("s", q))).alias("gk"),
+    ).select("id", "len", F.col("gk.g").alias("g"), F.col("gk.k").alias("k"))
+    freq = occ.groupBy("g").agg(F.count(F.lit(1)).alias("gf"))
+    # gram vocabulary <= |alphabet|^q: broadcast so frequency attachment
+    # stays map-side and the only gram-relation shuffle is the ranking
+    prefix = (
+        occ.join(F.broadcast(freq), "g")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy("gf", "g", "k")
+            ),
+        )
+        .where(F.col("rn") <= pref_len)
+        .select("id", "len", "g", "k")
+        # both self-join sides would replan the gram pipeline (AQE never
+        # reuses exchanges across them -- the x07/x53 lesson)
+        .persist()
+    )
+    if sig_count_cap is not None:
+        ok = (
+            prefix.groupBy("g", "k")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .where(F.col("__c") <= sig_count_cap)
+            .select("g", "k")
+        )
+        prefix = prefix.join(ok, ["g", "k"])
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cands_long = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (F.abs(F.col("a.len") - F.col("b.len")) <= d),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    shorts = s.where(F.col("len") <= short_max)
+    near = s.where(F.col("len") <= short_max + d)
+    # |len_a - len_b| <= d as an EQUI-join: the short side explodes its
+    # band into discrete length keys (2d+1 skinny rows per short string,
+    # d and the pool both corpus-constant-bounded) so no nested-loop
+    # operator ever enters the plan; distinct below absorbs the
+    # one-pair-per-matching-key multiplicity.
+    cands_short = (
+        shorts.select(
+            F.col("id"),
+            F.explode(
+                F.sequence(
+                    F.greatest(F.col("len") - d, F.lit(0)),
+                    F.col("len") + d,
+                )
+            ).alias("lb"),
+        )
+        .alias("sa")
+        .join(near.alias("sb"), F.col("sa.lb") == F.col("sb.len"))
+        .where(F.col("sa.id") != F.col("sb.id"))
+        .select(
+            F.least(F.col("sa.id"), F.col("sb.id")).alias("id_a"),
+            F.greatest(F.col("sa.id"), F.col("sb.id")).alias("id_b"),
+        )
+    )
+    cands = cands_long.unionByName(cands_short).distinct()
+    sa2, sb2 = s.alias("va"), s.alias("vb")
+    return (
+        cands.join(sa2, F.col("id_a") == F.col("va.id"))
+        .join(sb2, F.col("id_b") == F.col("vb.id"))
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein(
+                F.col("va.s"), F.col("vb.s"), threshold=d
+            ).alias("dist"),
+        )
+        .where(F.col("dist") >= 0)  # bounded levenshtein: -1 means > d
+    )
+
+
+@register(
+    "x66_edit_distance_join_d2",
+    "WITH c AS (SELECT c_custkey, c_name FROM customer"
+    " WHERE c_mktsegment = 'BUILDING') "
+    "SELECT a.c_custkey AS id_a, b.c_custkey AS id_b, "
+    " CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist "
+    "FROM c a JOIN c b ON a.c_custkey < b.c_custkey "
+    "WHERE levenshtein(a.c_name, b.c_name) <= 2",
+    "string similarity join at edit distance 2: q-gram prefix-filter "
+    "blocking (q*d+1 rarest (gram, occurrence) labels per name, ED-Join "
+    "recipe) + bounded-levenshtein verify, vs the oracle's quadratic "
+    "all-pairs join -- the d>=2 regime where the x53 deletion "
+    "neighborhood would cost O(L^2) signatures per string.  Scoped to "
+    "one market segment because serial-numbered template names make the "
+    "TRUE d<=2 answer quadratic (4M pairs at sf0.1 unscoped) -- a "
+    "result-size property of the test corpus, not of the algorithm",
+)
+def x66_edit_join_d2(spark, sf_dir) -> DataFrame:
+    c = t(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    return edit_distance_join(c, "c_name", "c_custkey", threshold=2)
 
 
 @register(

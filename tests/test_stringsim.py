@@ -73,18 +73,95 @@ def test_edit_join_is_complete_vs_quadratic_reference(spark):
     assert got == want
 
 
-def test_edit_join_rejects_unsupported_threshold(spark):
-    import pytest
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
 
-    df = spark.createDataFrame([Row(id=1, s="a")])
-    with pytest.raises(NotImplementedError):
-        edit_distance_join(df, "s", "id", threshold=2)
+
+def _jd(spark, names, d):
+    df = spark.createDataFrame(
+        [Row(id=i, s=s) for i, s in enumerate(names)]
+    )
+    return {
+        (r.id_a, r.id_b): r.dist
+        for r in edit_distance_join(df, "s", "id", threshold=d).collect()
+    }
+
+
+def _brute(names, d):
+    return {
+        (i, j): _lev(names[i], names[j])
+        for i in range(len(names))
+        for j in range(i + 1, len(names))
+        if _lev(names[i], names[j]) <= d
+    }
+
+
+def test_edit_join_d2_exact_vs_quadratic_reference(spark):
+    """The q-gram prefix-filter path must be EXACT at d=2: the
+    occurrence-index labeling and the short-string pool are the two
+    places a subtle miss would hide (repeated grams, strings below the
+    pigeonhole bound), so the corpus mixes both with a low-entropy
+    alphabet that maximizes gram collisions."""
+    rng = random.Random(23)
+    names = [
+        "".join(rng.choice("ab0") for _ in range(rng.randint(1, 9)))
+        for _ in range(70)
+    ]
+    names += ["", "a", "0000", "00000", "ab00ab", "template0001",
+              "template0012", "template9999"]
+    assert _jd(spark, names, 2) == _brute(names, 2)
+
+
+def test_edit_join_d3_exact_vs_quadratic_reference(spark):
+    rng = random.Random(31)
+    names = [
+        "".join(rng.choice("xy") for _ in range(rng.randint(2, 12)))
+        for _ in range(50)
+    ]
+    assert _jd(spark, names, 3) == _brute(names, 3)
+
+
+def test_edit_join_d2_repeated_gram_occurrences(spark):
+    """Occurrence-index labels: '0000000' vs '0000' is distance 3 (out),
+    '000000' vs '0000' is distance 2 (in); all-same-gram strings are the
+    worst case for a set-semantics prefix filter, which would dedupe the
+    labels and lose the count information."""
+    names = ["0000", "00000", "000000", "0000000", "00100100", "00010010"]
+    assert _jd(spark, names, 2) == _brute(names, 2)
+
+
+def test_edit_join_d2_sig_count_cap_valve(spark):
+    """Skew valve at d=2: a serial-numbered template column concentrates
+    candidates into hot (gram, occurrence) labels; the cap must bound
+    the cohort, never invent a pair, and keep pairs that relate through
+    rare labels."""
+    rows = [Row(id=i, s=f"template{i:04d}") for i in range(80)]
+    rows += [Row(id=200, s="unique-abcdef"), Row(id=201, s="unique-abcdXY")]
+    df = spark.createDataFrame(rows)
+
+    exact = edit_distance_join(df, "s", "id", threshold=2)
+    capped = edit_distance_join(df, "s", "id", threshold=2, sig_count_cap=5)
+    exact_pairs = {(r.id_a, r.id_b) for r in exact.collect()}
+    capped_pairs = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert len(exact_pairs) > 100  # the template cohort is quadratic
+    assert capped_pairs <= exact_pairs  # a subset, never an invention
+    assert (200, 201) in capped_pairs  # rare-label pair survives
+    assert len(capped_pairs) < len(exact_pairs) / 2
 
 
 def test_edit_join_plan_is_equi_join_only(spark, oracle_dir):
-    p = plan(REGISTRY["x53_edit_distance_join"].fn(spark, oracle_dir))
-    assert "CartesianProduct" not in p
-    assert "BroadcastNestedLoopJoin" not in p
+    for name in ("x53_edit_distance_join", "x66_edit_distance_join_d2"):
+        p = plan(REGISTRY[name].fn(spark, oracle_dir))
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
 
 
 def test_sig_count_cap_bounds_templated_blowup(spark):
