@@ -342,6 +342,42 @@ def x16_sessions(spark, sf_dir) -> DataFrame:
     return sessionize_batch(t(spark, sf_dir, "events"))
 
 
+_X65_SEQ = iter(range(1, 1 << 30))
+
+
+@register(
+    "x65_streaming_hourly_parity",
+    "SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start, "
+    f"event_type, COUNT(*) AS c, {DSUM('value')} AS v "
+    "FROM events GROUP BY 1, 2",
+    "STREAMING path driver-proof: the watermarked tumbling-window rollup "
+    "executed as a real Structured Streaming query (availableNow trigger, "
+    "complete-output memory sink) and compared against the same batch SQL "
+    "oracle as x15.  Complete mode emits every window at termination "
+    "regardless of watermark progress, which is what makes the streamed "
+    "result deterministic and oracle-comparable; the append-mode/watermark "
+    "semantics are pinned separately in tests/test_streaming.py.  The "
+    "memory sink is the test-scale harness -- a deployment writes append "
+    "mode to a real sink with state bounded to open windows",
+)
+def x65_streaming_hourly(spark, sf_dir) -> DataFrame:
+    # unique query name per invocation: bench and the driver both run a
+    # registry callable several times in one session
+    name = f"x65_hourly_{next(_X65_SEQ)}"
+    q = (
+        streaming_hourly_rollup(read_event_stream(spark, sf_dir))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("x65 streaming query did not terminate in 300s")
+    return spark.table(name)
+
+
 def user_profile_dim(events: DataFrame) -> DataFrame:
     """Static per-user profile snapshot from historical events (the
     feature-store side of a stream enrichment): lifetime event count and

@@ -108,6 +108,21 @@ SHOWCASE: list[tuple[str, str]] = [
         "materializes once, offsets explode map-side, slices stay in "
         "whole-stage codegen.",
     ),
+    (
+        "x50_keep_best_per_cluster",
+        "Canonical-doc prune: per-cluster argmax is a HashAggregate with "
+        "map-side partial combine (max(struct(q, -id)) + count), NOT a "
+        "rank window -- a degenerate one-giant-cluster input cannot "
+        "funnel a key through a single task.",
+    ),
+    (
+        "x66_edit_distance_join_d2",
+        "Edit-distance join at d=2: q-gram prefix-filter blocking is a "
+        "pure equi-join on (gram, occurrence) labels with a broadcast "
+        "gram-frequency table; short-string pool joins on exploded "
+        "length keys; no CartesianProduct or BroadcastNestedLoopJoin "
+        "anywhere; verify is bounded levenshtein on candidates only.",
+    ),
 ]
 
 

@@ -242,6 +242,66 @@ def test_keep_best_text_never_enters_the_cluster_window(spark, oracle_dir):
             assert "text" not in ln
 
 
+def test_keep_best_survives_one_giant_cluster(spark):
+    """Degenerate threshold: a threshold low enough (or a corpus
+    adversarial enough) collapses the whole corpus into ONE component.
+    A rank window over cluster_id would funnel every row through a
+    single task; keep_best must instead reduce via partially-combined
+    aggregation so per-task input stays bounded however large a cluster
+    grows (the r4 verdict's one unprotected hot key)."""
+    from conecta_spark.operators.cluster import keep_best_per_cluster
+
+    n = 50_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("some reasonable document text number "),
+            F.col("id").cast("string"),
+        ).alias("text"),
+    )
+    giant = docs.select("doc_id", F.lit(0).alias("cluster_id"))
+    out = keep_best_per_cluster(docs, giant)
+
+    p = plan(out)
+    assert "Window" not in p, "rank window funnels the giant cluster"
+    assert "partial" in p.lower(), "reduction must combine map-side"
+
+    rows = out.collect()
+    assert len(rows) == 1
+    assert rows[0].n_members == n
+    # every text scores identically here, so the lowest id wins the tie
+    assert rows[0].kept_doc == 0
+
+
+def test_keep_best_non_numeric_ids_match_numeric_semantics(spark):
+    """The string-id fallback (max-q + tie join-back + min-id) must pick
+    the same winners as the numeric single-aggregate path."""
+    from conecta_spark.operators.cluster import keep_best_per_cluster
+
+    good = ("the quick brown fox jumps over the lazy dog again and " * 8)
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id="d1", text="!!!"),
+            Row(doc_id="d2", text=good),
+            Row(doc_id="d7", text=good),
+            Row(doc_id="d5", text=good),
+        ]
+    )
+    clusters = spark.createDataFrame(
+        [
+            Row(doc_id="d1", cluster_id="c1"),
+            Row(doc_id="d2", cluster_id="c1"),
+            Row(doc_id="d5", cluster_id="c5"),
+            Row(doc_id="d7", cluster_id="c5"),
+        ]
+    )
+    out = {
+        r.cluster_id: (r.kept_doc, r.n_members)
+        for r in keep_best_per_cluster(docs, clusters).collect()
+    }
+    assert out == {"c1": ("d2", 2), "c5": ("d5", 2)}
+
+
 # -- span_hashes materialization (quadratic-regression pin) ------------------
 
 
