@@ -19,14 +19,16 @@ module switches schemes to q-gram PREFIX filtering (the ED-Join family,
 Xiao/Wang/Lin VLDB'08; Gravano et al. VLDB'01 for the count bound):
 one edit destroys at most q of a string's L-q+1 positional q-grams, so
 strings within distance d share all but q*d grams -- and by the classic
-prefix-filtering principle, their q*d+1 globally-RAREST grams must
-intersect.  Candidate generation is again a pure equi-join, on the
-(gram, occurrence-index) labels of each string's q*d+1 rarest grams,
-plus a length band |len_a - len_b| <= d; an exact levenshtein verify
-closes the loop.  Occurrence-index labeling keeps the guarantee exact
-for strings with repeated grams ("0000" holds "00" three times; the
-k-th occurrences pair up), proven by the hypothesis test against the
-brute-force all-pairs model in tests/test_stringsim.py.
+prefix-filtering principle (in its j=2 generalization), their q*d+2
+globally-RAREST grams must share at least TWO members.  Candidate
+generation is again a pure equi-join, on PAIRS of (gram,
+occurrence-index) labels from each string's q*d+2 rarest grams, plus a
+length band |len_a - len_b| <= d; an exact levenshtein verify closes
+the loop.  Occurrence-index labeling keeps the guarantee exact for
+strings with repeated grams ("0000" holds "00" three times; the k-th
+occurrences pair up), proven by the brute-force-model tests in
+tests/test_stringsim.py; pair keys keep candidate counts tracking the
+true answer instead of the square of a hot gram's cohort.
 
 Scale notes (100 TB): signatures are fixed small multiples of string
 length and shuffle as (signature-hash, id) pairs; the verify join
@@ -165,15 +167,18 @@ def edit_distance_join_qgram(
     ``threshold``, via q-gram prefix filtering (ED-Join family): one
     edit destroys at most q of a string's L-q+1 positional q-grams, so
     strings within distance d share all but q*d (gram, occurrence-index)
-    labels -- and by the prefix-filtering principle their q*d+1 rarest
-    labels (under a global frequency order) must intersect.  Candidate
-    generation is an equi-join on those labels plus a |len_a - len_b|
-    <= d band; exact ``levenshtein(a, b, threshold)`` verifies.
+    labels -- and by the prefix-filtering principle in its j=2
+    generalization, their q*d+2 rarest labels (under a global frequency
+    order) must share at least TWO members.  Candidate generation is an
+    equi-join on the C(q*d+2, 2) PAIRS of prefix labels plus a
+    |len_a - len_b| <= d band; exact ``levenshtein(a, b, threshold)``
+    verifies.
 
-    Strings with fewer than q*d+1 grams (length <= q*d+q-1) fall outside
-    the pigeonhole guarantee and route through a bounded length-banded
-    pool instead: short x near-short is quadratic only in the count of
-    sub-(q*d+q-1+d)-char strings, a corpus-constant-bounded set.
+    Strings with fewer than q*d+2 grams (length <= q*d+q) fall outside
+    the two-shared-labels guarantee and route through a bounded
+    length-banded pool instead: short x near-short is quadratic only in
+    the count of sub-(q*d+q+d)-char strings, a corpus-constant-bounded
+    set.
 
     No positional filter on the label join: with repeated grams the
     shared prefix label need not be the transcript-matched occurrence,
@@ -183,17 +188,69 @@ def edit_distance_join_qgram(
     Scale notes (100 TB): the gram relation is L skinny rows per string
     built map-side; the global frequency table is the q-gram vocabulary
     (<= |alphabet|^q, broadcast-sized); prefix selection is one
-    per-string window (single shuffle on id); the label join shuffles
-    q*d+1 rows per string.  Hot labels concentrate candidates exactly
-    like d=1 signatures -- same ``sig_count_cap`` valve, same trade
-    (pairs related ONLY through a capped label are missed; default None
-    stays exact).  Identical templated strings share every label, but
-    their cohort is genuinely part of the quadratic answer."""
+    per-string window (single shuffle on id); the label-pair join
+    shuffles C(q*d+2, 2) rows per string (15 at d=2).  Pair keys are why
+    cohorts stay small: a single hot rare gram no longer forms a cohort
+    -- only strings sharing BOTH grams of a pair collide, so candidate
+    counts track the true answer (measured across corpus scales in
+    scale_bench.py).  Residual hot pair-keys get the same
+    ``sig_count_cap`` valve as d=1 signatures, same trade (pairs related
+    ONLY through a capped key are missed; default None stays exact).
+    Identical templated strings share every label pair, but their cohort
+    is genuinely part of the quadratic answer."""
+    s, cands = _qgram_candidates(
+        df, string_col, id_col, threshold, q, sig_count_cap
+    )
+    d = threshold
+    sa2, sb2 = s.alias("va"), s.alias("vb")
+    return (
+        cands.join(sa2, F.col("id_a") == F.col("va.id"))
+        .join(sb2, F.col("id_b") == F.col("vb.id"))
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein(
+                F.col("va.s"), F.col("vb.s"), threshold=d
+            ).alias("dist"),
+        )
+        .where(F.col("dist") >= 0)  # bounded levenshtein: -1 means > d
+    )
+
+
+def _qgram_candidates(
+    df: DataFrame,
+    string_col: str,
+    id_col: str,
+    threshold: int,
+    q: int,
+    sig_count_cap: int | None,
+):
+    """Blocking stage of the q-gram scheme: returns ``(s, cands)`` where
+    ``s`` is the normalized (id, s, len) relation and ``cands`` the
+    DISTINCT (id_a, id_b) candidate pairs awaiting verification.  Split
+    out so scale_bench.py can meter blocking precision (candidates vs
+    verified) without a second pipeline."""
     if threshold < 1:
         raise ValueError("threshold must be >= 1")
     d = threshold
-    pref_len = q * d + 1
-    short_max = q * d + q - 1  # fewer than pref_len grams below this
+    # PAIR-label prefixes: the single-label bound (q*d+1 rarest labels
+    # share >= 1) puts every string holding one hot rare gram into one
+    # cohort, and cohort sizes grow linearly with the corpus -- so
+    # candidate pairs grow quadratically on templated data.  The
+    # prefix-filtering generalization fixes the asymptotics: with
+    # overlap >= t, prefixes of size |A|-t+2 share >= TWO labels (any
+    # shared label <= both prefix maxima lies in both prefixes), so
+    # strings within distance d share a PAIR of labels among their
+    # q*d+2 rarest -- and a pair-key cohort is only the strings sharing
+    # BOTH rare grams.  On the uniform serial-number corpus the two
+    # schemes produce identical candidate sets (pairs sharing one digit
+    # gram share two; measured 2,935,481 = 2,935,481 at sf0.1); the win
+    # is on heterogeneous corpora, where a hot rare gram's cohort holds
+    # unrelated strings that no second shared gram confirms.  Join-row
+    # cost is C(q*d+2, 2) keys per string (15 at d=2) vs q*d+1 (5),
+    # runtime measured equal.  Growth metered in scale_bench.py.
+    pref_len = q * d + 2
+    short_max = q * d + q  # fewer than pref_len grams at or below this
     from pyspark.sql import Window
 
     s = df.select(
@@ -209,7 +266,7 @@ def edit_distance_join_qgram(
     freq = occ.groupBy("g").agg(F.count(F.lit(1)).alias("gf"))
     # gram vocabulary <= |alphabet|^q: broadcast so frequency attachment
     # stays map-side and the only gram-relation shuffle is the ranking
-    prefix = (
+    labels = (
         occ.join(F.broadcast(freq), "g")
         .withColumn(
             "rn",
@@ -218,25 +275,38 @@ def edit_distance_join_qgram(
             ),
         )
         .where(F.col("rn") <= pref_len)
-        .select("id", "len", "g", "k")
+        .groupBy("id", "len")
+        .agg(F.array_sort(F.collect_list(F.struct("g", "k"))).alias("ls"))
+    )
+    # all 2-subsets of the pref_len labels, built map-side (the lambda
+    # runs once per string over a (q*d+2)-element array -- interpreted,
+    # but bounded by d and q, not by data)
+    prefix = labels.select(
+        "id",
+        "len",
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(1, size(ls) - 1), i -> "
+                "transform(sequence(i + 1, size(ls)), j -> "
+                "struct(element_at(ls, i) AS p1, element_at(ls, j) AS p2))))"
+            )
+        ).alias("pp"),
         # both self-join sides would replan the gram pipeline (AQE never
         # reuses exchanges across them -- the x07/x53 lesson)
-        .persist()
-    )
+    ).persist()
     if sig_count_cap is not None:
         ok = (
-            prefix.groupBy("g", "k")
+            prefix.groupBy("pp")
             .agg(F.count(F.lit(1)).alias("__c"))
             .where(F.col("__c") <= sig_count_cap)
-            .select("g", "k")
+            .select("pp")
         )
-        prefix = prefix.join(ok, ["g", "k"])
+        prefix = prefix.join(ok, ["pp"])
     a, b = prefix.alias("a"), prefix.alias("b")
     cands_long = (
         a.join(
             b,
-            (F.col("a.g") == F.col("b.g"))
-            & (F.col("a.k") == F.col("b.k"))
+            (F.col("a.pp") == F.col("b.pp"))
             & (F.col("a.id") < F.col("b.id"))
             & (F.abs(F.col("a.len") - F.col("b.len")) <= d),
         )
@@ -268,19 +338,7 @@ def edit_distance_join_qgram(
         )
     )
     cands = cands_long.unionByName(cands_short).distinct()
-    sa2, sb2 = s.alias("va"), s.alias("vb")
-    return (
-        cands.join(sa2, F.col("id_a") == F.col("va.id"))
-        .join(sb2, F.col("id_b") == F.col("vb.id"))
-        .select(
-            "id_a",
-            "id_b",
-            F.levenshtein(
-                F.col("va.s"), F.col("vb.s"), threshold=d
-            ).alias("dist"),
-        )
-        .where(F.col("dist") >= 0)  # bounded levenshtein: -1 means > d
-    )
+    return s, cands
 
 
 @register(

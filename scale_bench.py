@@ -236,6 +236,52 @@ def main() -> None:
     finally:
         shutil.rmtree(work2, ignore_errors=True)
 
+    # -- edit-distance join (x66) blocking precision across scales --------
+    #
+    # Replicas carry a 3-char per-replica tag ("CusAAA#...") so
+    # cross-replica name pairs sit at distance >= 3 > d=2: the TRUE
+    # answer grows exactly k-fold.  The claim measured here is
+    # output-sensitivity: candidate pairs from the pair-label prefix
+    # blocking must track the verified answer (bounded cand/verified
+    # overhead), not the square of a hot rare-gram cohort.  On the
+    # id-dense serial-number corpus the true answer itself is
+    # superlinear in corpus density -- which is why the factor compared
+    # is candidates VS verified, not candidates vs k.
+    from conecta_spark.operators import stringsim
+
+    cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .where(F.col("c_custkey") <= 3000)  # dense serials make the TRUE
+        # answer quadratic in corpus density; bound the base so the x4
+        # sweep measures blocking precision, not raw output volume
+        .select("c_custkey", "c_name")
+    )
+    edres: dict[str, dict] = {}
+    tags = ["AAA", "BBB", "CCC", "DDD"]
+    for k in (1, 2, 4):
+        rep = spark.range(k).select(F.col("id").alias("rep"))
+        tag = F.lit(tags[0])
+        for i in range(1, k):
+            tag = F.when(F.col("rep") == i, F.lit(tags[i])).otherwise(tag)
+        corpus = cust.crossJoin(rep).select(
+            (F.col("c_custkey") + F.col("rep") * 100_000_000).alias("id"),
+            F.concat(
+                F.lit("Cus"), tag, F.expr("substring(c_name, 9)")
+            ).alias("s"),
+        )
+        _, cands = stringsim._qgram_candidates(corpus, "s", "id", 2, 2, None)
+        n_cand = cands.count()
+        verified = stringsim.edit_distance_join(
+            corpus, "s", "id", threshold=2
+        ).count()
+        edres[f"x{k}"] = {
+            "n_strings": corpus.count(),
+            "cand_pairs": int(n_cand),
+            "verified_pairs": int(verified),
+            "cand_per_verified": round(n_cand / max(verified, 1), 2),
+        }
+        print(f"editjoin x{k}: {edres[f'x{k}']}", file=sys.stderr)
+
     r1, r4 = results["x1"], results["x4"]
     s1, s4 = semres["x1"], semres["x4"]
     out = {
@@ -255,6 +301,23 @@ def main() -> None:
             "cell_pairs": round(s4["cell_pairs"] / max(s1["cell_pairs"], 1), 2),
             "max_cell": round(s4["max_cell"] / max(s1["max_cell"], 1), 2),
             "dups": round(s4["dups"] / max(s1["dups"], 1), 2),
+        },
+        "editjoin_per_scale": edres,
+        "editjoin_factor_x4": {
+            "cand_pairs": round(
+                edres["x4"]["cand_pairs"]
+                / max(edres["x1"]["cand_pairs"], 1),
+                2,
+            ),
+            "verified_pairs": round(
+                edres["x4"]["verified_pairs"]
+                / max(edres["x1"]["verified_pairs"], 1),
+                2,
+            ),
+            "cand_per_verified_x1_vs_x4": [
+                edres["x1"]["cand_per_verified"],
+                edres["x4"]["cand_per_verified"],
+            ],
         },
     }
     print(json.dumps(out, separators=(",", ":")))
