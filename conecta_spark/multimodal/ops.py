@@ -85,18 +85,24 @@ def _fake_decode(payload: bytes) -> tuple[int, int, str, bytes]:
 
 
 def decode_images(df: DataFrame, payload_col: str = "payload",
-                  id_col: str = "doc_id") -> DataFrame:
+                  id_col: str = "doc_id", codec: str = "auto") -> DataFrame:
     """Decode image payloads to (width, height, format, n_pixels, thumb) via
     mapInPandas -- Arrow-batched, no per-row Python round trips.
 
-    Uses Pillow when importable; otherwise the deterministic fake codec
-    (this container has no image libraries)."""
-    try:
-        from PIL import Image  # noqa: F401
-
-        use_real = True
-    except ImportError:
+    ``codec="auto"`` uses Pillow when importable, else the deterministic
+    fake codec (this container has no image libraries); ``codec="fake"``
+    pins the fake codec regardless -- the registry entry x18 does this so
+    its DuckDB oracle (which mirrors the fake codec's byte arithmetic in
+    SQL) stays correct even on a host where PIL exists."""
+    if codec == "fake":
         use_real = False
+    else:
+        try:
+            from PIL import Image  # noqa: F401
+
+            use_real = True
+        except ImportError:
+            use_real = False
 
     def decode_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import io
@@ -292,15 +298,38 @@ def x17_payload_stats(spark, sf_dir) -> DataFrame:
 
 @register(
     "x18_multimodal_decode",
-    None,  # mapInPandas codec plumbing -> rows-only check (deterministic)
-    "image-decode plumbing via Arrow-batched mapInPandas (fake codec)",
+    # The fake codec is pure byte arithmetic over the UTF-8 payload, so
+    # (like x45) the WHOLE mapInPandas pipeline is oracle-checkable: the
+    # SQL mirrors width/height (first/last byte mod 240) and the cycled
+    # 16-byte thumbnail via ASCII codepoints -- exact for this corpus.
+    # Was rows-only through round 4; the codec pin (codec="fake") makes
+    # the oracle stable even where PIL exists.
+    "WITH p AS (SELECT doc_id, text, length(text) AS n FROM documents) "
+    "SELECT doc_id, "
+    " CASE WHEN n = 0 THEN 0"
+    "  ELSE 16 + ascii(substr(text, 1, 1)) % 240 END AS width, "
+    " CASE WHEN n = 0 THEN 0"
+    "  ELSE 16 + ascii(substr(text, n, 1)) % 240 END AS height, "
+    " CASE WHEN n = 0 THEN 'empty' ELSE 'fake' END AS format, "
+    " CAST(CASE WHEN n = 0 THEN 0"
+    "  ELSE (16 + ascii(substr(text, 1, 1)) % 240)"
+    "   * (16 + ascii(substr(text, n, 1)) % 240) END AS BIGINT)"
+    "  AS n_pixels, "
+    " CASE WHEN n = 0 THEN ''"
+    "  ELSE upper(hex(substr(repeat(text, CAST(16 / n AS INT) + 1),"
+    "   1, 16))) END AS thumb_hex "
+    "FROM p",
+    "image-decode plumbing via Arrow-batched mapInPandas (fake codec, "
+    "pinned; oracle mirrors the byte arithmetic in SQL)",
 )
 def x18_decode(spark, sf_dir) -> DataFrame:
     d = attach_payloads(t(spark, sf_dir, "documents"))
     # Registry boundary: the driver canonicalizer only handles scalar
     # columns, so hex the binary thumb (tests/test_registry_schema.py).
-    return decode_images(d).withColumn("thumb_hex", F.hex("thumb")).drop(
-        "thumb"
+    return (
+        decode_images(d, codec="fake")
+        .withColumn("thumb_hex", F.hex("thumb"))
+        .drop("thumb")
     )
 
 

@@ -418,7 +418,10 @@ def _load_extensions() -> None:
 # Everything demoted below slot 50 has a green r3/r4 driver row and stays
 # locally oracle-checked every test run; those rows stand.
 _CORE_SMOKE = ("q01", "q02", "q12")
-_FIX_PROOFS = ("x56",)
+# x56: r4 red from the oracle HUGEINT bug, CAST fix needs a green row.
+# x18: rows-only through r4, oracle added in r5 (fake codec pinned +
+# SQL twin of its byte arithmetic) -- the upgrade needs a hash-green row.
+_FIX_PROOFS = ("x56", "x18")
 _REGRESSION_SENTINELS = ("x16",)
 _NEVER_DRIVER_RUN = (
     "q52", "q53", "q54", "q55", "q56", "q57", "q58", "q59",

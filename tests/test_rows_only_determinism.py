@@ -27,4 +27,4 @@ def test_rows_only_query_is_deterministic(name, spark, oracle_dir):
     a = _multiset(REGISTRY[name].fn(spark, oracle_dir))
     b = _multiset(REGISTRY[name].fn(spark, oracle_dir))
     assert a == b, f"{name} differs between two runs in one session"
-    assert sum(a.values()) > 0 or name.startswith("x18"), name
+    assert sum(a.values()) > 0, name
