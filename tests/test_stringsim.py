@@ -157,6 +157,28 @@ def test_edit_join_d2_sig_count_cap_valve(spark):
     assert len(capped_pairs) < len(exact_pairs) / 2
 
 
+def test_edit_join_property_exact_on_random_corpora(spark):
+    """Hypothesis sweep: the blocking scheme (pair-label prefixes, short
+    pool, occurrence labeling) must equal the brute-force model on
+    arbitrary small corpora -- low-entropy alphabets maximize gram
+    collisions and duplicate grams, the two places a subtle miss hides."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    corpus = st.lists(
+        st.text(alphabet="ab0", min_size=0, max_size=8),
+        min_size=2,
+        max_size=14,
+    )
+
+    @given(names=corpus, d=st.integers(min_value=2, max_value=3))
+    @settings(max_examples=10, deadline=None)
+    def check(names, d):
+        assert _jd(spark, names, d) == _brute(names, d)
+
+    check()
+
+
 def test_edit_join_plan_is_equi_join_only(spark, oracle_dir):
     for name in ("x53_edit_distance_join", "x66_edit_distance_join_d2"):
         p = plan(REGISTRY[name].fn(spark, oracle_dir))
