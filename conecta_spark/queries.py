@@ -427,15 +427,15 @@ _NEVER_DRIVER_RUN = (
     "q52", "q53", "q54", "q55", "q56", "q57", "q58", "q59",
     "q60", "q61", "q62", "q63", "x64",
 )
-_NEW_THIS_ROUND = ("x65", "x66", "x67")
+_NEW_THIS_ROUND = ("x65", "x66", "q64", "q65", "q66", "q67", "q68")
 _OLDEST_GREEN_R1 = (
     "q17", "q18", "q19", "q20", "q21", "q22", "q23", "q25", "q26",
     "q27", "q28", "q29", "q30", "q31", "q32", "q33", "q34", "q36",
     "q38", "q39",
 )
-_FLAGSHIP_REFRESH = (
-    "x05", "x07", "x08", "x26", "x10", "x11", "x12", "x24", "x30",
-)
+# trimmed to fit q64-q68 inside the 50-slot window; the dropped five
+# (x10/x11/x12/x24/x30) keep their green r3 rows and stay locally swept
+_FLAGSHIP_REFRESH = ("x05", "x07", "x08", "x26")
 _WINDOW = (
     _CORE_SMOKE + _FIX_PROOFS + _REGRESSION_SENTINELS + _NEVER_DRIVER_RUN
     + _NEW_THIS_ROUND + _OLDEST_GREEN_R1 + _FLAGSHIP_REFRESH

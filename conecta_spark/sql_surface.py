@@ -1231,3 +1231,158 @@ def q63(spark, sf_dir) -> DataFrame:
         " CAST(o_totalprice / 1000.0 AS INT) AS price_k "
         "FROM orders WHERE o_orderkey <= 500"
     )
+
+
+@register(
+    "q64_ignore_nulls_navigation",
+    # DuckDB's parser (this version) lacks IGNORE NULLS, so the oracle
+    # derives the semantics from first principles: the next non-null is
+    # the head of the filtered forward window list, the previous one the
+    # tail of the filtered backward list.  That makes this a genuine
+    # cross-check of Spark's IGNORE NULLS implementation, not a syntax
+    # echo.
+    "WITH o AS (SELECT o_custkey, o_orderkey,"
+    " CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_totalprice END AS p"
+    " FROM orders) "
+    "SELECT o_custkey, o_orderkey, p, "
+    " list_filter(list(p) OVER (PARTITION BY o_custkey ORDER BY o_orderkey"
+    "  ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING),"
+    "  v -> v IS NOT NULL)[1] AS next_p, "
+    " list_filter(list(p) OVER (PARTITION BY o_custkey ORDER BY o_orderkey"
+    "  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),"
+    "  v -> v IS NOT NULL)[-1] AS prev_p "
+    "FROM o",
+    "IGNORE NULLS navigation: lead/lag skipping null gaps per customer, "
+    "oracle-checked against a first-principles windowed-list emulation "
+    "(the sparse-event carry-forward shape: last known price, next "
+    "reading)",
+)
+def q64(spark, sf_dir) -> DataFrame:
+    catalog(spark, sf_dir)
+    return spark.sql(
+        "WITH o AS (SELECT o_custkey, o_orderkey,"
+        " CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_totalprice END AS p"
+        " FROM orders) "
+        "SELECT o_custkey, o_orderkey, p, "
+        " lead(p, 1) IGNORE NULLS OVER (PARTITION BY o_custkey"
+        "  ORDER BY o_orderkey) AS next_p, "
+        " lag(p, 1) IGNORE NULLS OVER (PARTITION BY o_custkey"
+        "  ORDER BY o_orderkey) AS prev_p "
+        "FROM o"
+    )
+
+
+@register(
+    "q65_grouping_functions",
+    "SELECT o_orderpriority, o_orderstatus, "
+    " CAST(GROUPING(o_orderpriority) AS INT) AS g_pri, "
+    " CAST(GROUPING(o_orderstatus) AS INT) AS g_st, "
+    " CAST(GROUPING_ID(o_orderpriority, o_orderstatus) AS BIGINT) AS gid, "
+    " COUNT(*) AS c "
+    "FROM orders GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),"
+    " (o_orderpriority), (o_orderstatus), ())",
+    "GROUPING()/GROUPING_ID() over grouping sets: distinguishes a real "
+    "NULL group key from a superaggregate row, and pins the bit order "
+    "(first argument = most significant) as identical across engines",
+)
+def q65(spark, sf_dir) -> DataFrame:
+    catalog(spark, sf_dir)
+    return spark.sql(
+        "SELECT o_orderpriority, o_orderstatus, "
+        " CAST(grouping(o_orderpriority) AS INT) AS g_pri, "
+        " CAST(grouping(o_orderstatus) AS INT) AS g_st, "
+        " CAST(grouping_id(o_orderpriority, o_orderstatus) AS BIGINT)"
+        "  AS gid, "
+        " COUNT(*) AS c "
+        "FROM orders GROUP BY GROUPING SETS"
+        " ((o_orderpriority, o_orderstatus), (o_orderpriority),"
+        "  (o_orderstatus), ())"
+    )
+
+
+@register(
+    "q66_date_arithmetic",
+    # parity corners pinned: both engines clamp month addition to the
+    # shorter month's end (Jan 31 + 1 month = Feb 28/29), truncate weeks
+    # to ISO Monday, and count day differences as signed whole days.
+    # DuckDB date+interval yields TIMESTAMP and date_trunc('week', DATE)
+    # yields DATE -- both cast to the Spark output type explicitly.
+    "SELECT o_orderkey, o_orderdate, "
+    " last_day(o_orderdate) AS month_end, "
+    " CAST(date_trunc('week', o_orderdate) AS TIMESTAMP) AS week_start, "
+    " CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter_start, "
+    " CAST(o_orderdate + INTERVAL 1 MONTH AS DATE) AS plus_month, "
+    " CAST(date_diff('day', o_orderdate, DATE '1998-12-31') AS INT)"
+    "  AS days_to_end "
+    "FROM orders WHERE o_orderkey <= 2000",
+    "date arithmetic matrix: end-of-month clamping, ISO week / quarter "
+    "truncation, signed day differences -- the calendar semantics every "
+    "retention/cohort query depends on, pinned identical cross-engine",
+)
+def q66(spark, sf_dir) -> DataFrame:
+    catalog(spark, sf_dir)
+    return spark.sql(
+        "SELECT o_orderkey, o_orderdate, "
+        " last_day(o_orderdate) AS month_end, "
+        " date_trunc('week', o_orderdate) AS week_start, "
+        " CAST(date_trunc('quarter', o_orderdate) AS DATE)"
+        "  AS quarter_start, "
+        " CAST(o_orderdate + INTERVAL '1' MONTH AS DATE) AS plus_month, "
+        " datediff(DATE '1998-12-31', o_orderdate) AS days_to_end "
+        "FROM orders WHERE o_orderkey <= 2000"
+    )
+
+
+@register(
+    "q67_regexp_matrix",
+    # Spark regexp_replace replaces ALL matches by default; DuckDB needs
+    # the explicit 'g' flag.  DuckDB has no regexp_count -- emulated via
+    # length delta.  Patterns stay in the Java-regex/RE2 common subset.
+    "SELECT p_partkey, "
+    " regexp_extract(p_name, '([a-z]+)', 1) AS first_word, "
+    " regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled, "
+    " CAST(regexp_matches(p_name, '^[a-z]+ ') AS INT) AS starts_word, "
+    " CAST(length(p_name) - length(regexp_replace(p_name, ' ', '', 'g'))"
+    "  AS BIGINT) AS n_spaces "
+    "FROM part",
+    "regexp matrix: group extraction, global replace (Spark's default "
+    "vs DuckDB's 'g' flag -- a silent single-replace bug if unstated), "
+    "anchored match as boolean, and match counting",
+)
+def q67(spark, sf_dir) -> DataFrame:
+    catalog(spark, sf_dir)
+    return spark.sql(
+        "SELECT p_partkey, "
+        " regexp_extract(p_name, '([a-z]+)', 1) AS first_word, "
+        " regexp_replace(p_name, '[aeiou]', '_') AS devoweled, "
+        " CAST(p_name RLIKE '^[a-z]+ ' AS INT) AS starts_word, "
+        " CAST(regexp_count(p_name, ' ') AS BIGINT) AS n_spaces "
+        "FROM part"
+    )
+
+
+@register(
+    "q68_map_struct_access",
+    # DuckDB map extraction returns a single-element LIST (this
+    # version); [1] unwraps it.  A missing key is NULL in Spark
+    # (non-ANSI element_at) -- made explicit on the oracle side.
+    "SELECT c_custkey, "
+    " map(['seg','nat'], [c_mktsegment, CAST(c_nationkey AS VARCHAR)])"
+    "  ['seg'][1] AS seg, "
+    " {'k': c_custkey, 'bal': c_acctbal}.bal AS bal, "
+    " CAST(NULL AS DOUBLE) AS missing_key "
+    "FROM customer",
+    "map/struct access: per-row map construction + key lookup, struct "
+    "field extraction, and missing-key semantics (NULL, not error) -- "
+    "the property-bag shape metadata columns use",
+)
+def q68(spark, sf_dir) -> DataFrame:
+    catalog(spark, sf_dir)
+    return spark.sql(
+        "SELECT c_custkey, "
+        " element_at(map('seg', c_mktsegment,"
+        "  'nat', CAST(c_nationkey AS STRING)), 'seg') AS seg, "
+        " named_struct('k', c_custkey, 'bal', c_acctbal).bal AS bal, "
+        " element_at(map('a', c_acctbal * 2), 'missing') AS missing_key "
+        "FROM customer"
+    )
