@@ -1364,8 +1364,11 @@ def q67(spark, sf_dir) -> DataFrame:
 @register(
     "q68_map_struct_access",
     # DuckDB map extraction returns a single-element LIST (this
-    # version); [1] unwraps it.  A missing key is NULL in Spark
-    # (non-ANSI element_at) -- made explicit on the oracle side.
+    # version); [1] unwraps it.  Missing-key lookup uses Spark's
+    # try_element_at, which returns NULL under BOTH ANSI modes --
+    # element_at throws under ANSI (the Spark 4 default), and the
+    # driver's session config is not ours to pin.  Made explicit on the
+    # oracle side.
     "SELECT c_custkey, "
     " map(['seg','nat'], [c_mktsegment, CAST(c_nationkey AS VARCHAR)])"
     "  ['seg'][1] AS seg, "
@@ -1383,6 +1386,7 @@ def q68(spark, sf_dir) -> DataFrame:
         " element_at(map('seg', c_mktsegment,"
         "  'nat', CAST(c_nationkey AS STRING)), 'seg') AS seg, "
         " named_struct('k', c_custkey, 'bal', c_acctbal).bal AS bal, "
-        " element_at(map('a', c_acctbal * 2), 'missing') AS missing_key "
+        " try_element_at(map('a', c_acctbal * 2), 'missing')"
+        "  AS missing_key "
         "FROM customer"
     )
