@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -104,7 +105,7 @@ def main() -> None:
                 if attempt >= 3 and min(runs) > 0.8 * min(runs[:-1]):
                     break
             timed = sorted(runs[1:])  # run 1 is warm-up
-            timings[name] = round(timed[len(timed) // 2], 4)
+            timings[name] = round(statistics.median(timed), 4)
             minima[name] = round(min(runs), 4)
             all_runs[name] = [round(r, 4) for r in runs]
         except Exception as e:  # never let one query kill the whole bench

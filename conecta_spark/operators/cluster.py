@@ -282,9 +282,13 @@ def keep_best_per_cluster(
     # non-numeric ids: max-q + members aggregate, join back on the (few)
     # tied rows, min-id aggregate -- three partial-combining shuffles,
     # still no per-key task funnel
+    # eager localCheckpoint, not persist(): both the tops aggregate and
+    # the tie-break join read this relation, and a persist() here would
+    # leak CacheManager entries across repeated invocations in one
+    # session (the checkpointed RDD is GC-released with the DataFrame)
     scored = scored.select(
         "cluster_id", F.col(id_col).alias("__id"), "q"
-    ).persist()
+    ).localCheckpoint(eager=True)
     tops = scored.groupBy("cluster_id").agg(
         F.max("q").alias("kept_quality"),
         F.count(F.lit(1)).alias("n_members"),

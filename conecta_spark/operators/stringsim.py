@@ -292,8 +292,12 @@ def _qgram_candidates(
             )
         ).alias("pp"),
         # both self-join sides would replan the gram pipeline (AQE never
-        # reuses exchanges across them -- the x07/x53 lesson)
-    ).persist()
+        # reuses exchanges across them -- the x07/x53 lesson); eager
+        # localCheckpoint instead of persist() so the cached blocks are
+        # released when this DataFrame is GC'd (persist() entries live in
+        # the CacheManager for the session -- bench reruns each entry up
+        # to 6x and would accumulate them)
+    ).localCheckpoint(eager=True)
     if sig_count_cap is not None:
         ok = (
             prefix.groupBy("pp")

@@ -21,7 +21,20 @@ _load_extensions()
 
 from .oracle_utils import assert_numeric_kinds_match, duckdb_con
 
-_ORACLED = [n for n, q in REGISTRY.items() if q.oracle is not None]
+# Entries whose fn() EXECUTES jobs at build time (x65 runs a full
+# availableNow streaming query; the cluster entries run the counts /
+# bounded collects inside connected_components).  This audit is meant to
+# be a cheap bind-plus-plan pass, so exclude them here -- their dtype
+# parity is still covered by driver_twin.py's executing sweep.
+_EAGER = {
+    "x26_dedup_clusters",
+    "x50_keep_best_per_cluster",
+    "x65_streaming_hourly_parity",
+}
+
+_ORACLED = [
+    n for n, q in REGISTRY.items() if q.oracle is not None and n not in _EAGER
+]
 
 
 @pytest.fixture(scope="module")
@@ -34,5 +47,7 @@ def con(sf_dir):
 @pytest.mark.parametrize("name", _ORACLED)
 def test_oracle_output_types(name, spark, sf_dir, con):
     qd = REGISTRY[name]
-    df = qd.fn(spark, sf_dir)  # builds the plan; nothing executes
+    # Builds the plan only for the lazy entries audited here (_EAGER
+    # lists the callables that run jobs at build time and are excluded).
+    df = qd.fn(spark, sf_dir)
     assert_numeric_kinds_match(name, df, con, qd.oracle)

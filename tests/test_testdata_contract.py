@@ -101,3 +101,26 @@ def test_events_ts_unit_documented():
     t = pq.read_schema(path).field("ts").type
     assert pa.types.is_timestamp(t)
     assert t.unit in ("us", "ns", "ms"), t
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01", "sf0.1"])
+def test_documents_text_is_ascii(sf):
+    """x18's multimodal oracle equates characters with UTF-8 bytes
+    (DuckDB ascii()/length() vs the fake codec's byte arithmetic).  That
+    is exact only while documents.text is pure ASCII; a regenerated
+    corpus containing any multi-byte character would silently break the
+    driver row.  Pin the assumption where the other corpus checks live."""
+    import pyarrow.compute as pc
+
+    path = os.path.join(TESTDATA, sf, "documents.parquet")
+    if not os.path.exists(path):
+        pytest.skip(f"{path} absent in this deployment")
+    text = pq.read_table(path, columns=["text"])["text"]
+    chars = pc.utf8_length(text)
+    octets = pc.binary_length(text.cast(pa.binary()))
+    bad = pc.sum(pc.cast(pc.not_equal(chars, octets), pa.int64())).as_py()
+    assert not bad, (
+        f"{sf}/documents.text: {bad} rows contain multi-byte characters; "
+        "x18's byte==char oracle (multimodal/ops.py) is no longer exact -- "
+        "rewrite it in octet terms before shipping a driver row"
+    )
