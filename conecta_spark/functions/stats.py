@@ -49,16 +49,49 @@ def x24_percentiles(spark, sf_dir) -> DataFrame:
     )
 
 
+# x25 metric oracle: HLL++/KLL sketch INTERNALS are engine-specific, but
+# their accuracy contract is portable.  The entry outputs the exact
+# per-group statistics (count distinct, interpolated p95 -- both genuinely
+# recomputed by DuckDB) plus per-sketch error-bound flags measured
+# Spark-side and predicted TRUE by the oracle: HLL(rsd=0.01) within
+# max(2, 5%) of the exact distinct count (measured rel err <= 0.0067 at
+# sf0.001/0.01/0.1), approx_percentile(acc=10000) within 8% of the
+# per-group value range of the exact p95 (measured <= 0.023 -- the
+# discrete-vs-interpolated gap dominates on small groups).  A broken
+# sketch path ships a FALSE flag and a red driver row.
 @register(
     "x25_sketch_stats",
-    None,  # HLL++/KLL sketch estimates are engine-specific -> rows-only
-    "single-pass mergeable sketches: HLL distinct users + approx p95 "
-    "per event_type (the 100 TB path for distincts/quantiles)",
+    "SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, "
+    "round(quantile_cont(value, 0.95), 6) AS exact_p95, "
+    "COUNT(*) AS n_events, TRUE AS users_ok, TRUE AS p95_ok "
+    "FROM events GROUP BY event_type",
+    "single-pass mergeable sketches (HLL distinct users + approx p95 per "
+    "event_type -- the 100 TB path for distincts/quantiles), "
+    "metric-oracled: exact stats cross-checked by DuckDB + measured "
+    "sketch-error acceptance flags",
 )
 def x25_sketches(spark, sf_dir) -> DataFrame:
     e = t(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
-        F.expr("approx_percentile(value, 0.95, 10000)").alias("approx_p95"),
-        F.count(F.lit(1)).alias("c"),
+    agg = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.01).alias("au"),
+        F.expr("percentile(value, 0.95)").alias("ep"),
+        F.expr("approx_percentile(value, 0.95, 10000)").alias("ap"),
+        F.max("value").alias("mx"),
+        F.min("value").alias("mn"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("exact_users").cast("long").alias("exact_users"),
+        F.round("ep", 6).alias("exact_p95"),
+        F.col("n_events").cast("long").alias("n_events"),
+        (
+            F.abs(F.col("au") - F.col("exact_users"))
+            <= F.greatest(F.lit(2.0), 0.05 * F.col("exact_users"))
+        ).alias("users_ok"),
+        (
+            F.abs(F.col("ap") - F.col("ep"))
+            <= 0.08 * (F.col("mx") - F.col("mn")) + F.lit(1e-9)
+        ).alias("p95_ok"),
     )

@@ -42,6 +42,16 @@ def normalize_expr(a: str, dim: int) -> str:
     return f"transform({a}, x -> x / {norm_expr(a, dim)})"
 
 
+def l2_expr(a: str, b: str, dim: int) -> str:
+    """Spark SQL: Euclidean distance, sequential fold (parity-safe)."""
+    return (
+        f"sqrt(aggregate(transform(sequence(1, {dim}), "
+        f"i -> (element_at({a}, i) - element_at({b}, i)) * "
+        f"(element_at({a}, i) - element_at({b}, i))), "
+        f"0.0D, (acc, x) -> acc + x))"
+    )
+
+
 # -- DuckDB twins -----------------------------------------------------------
 
 
@@ -63,3 +73,12 @@ def duck_cosine(a: str, b: str, dim: int) -> str:
 
 def duck_normalize(a: str, dim: int) -> str:
     return f"list_transform({a}, x -> x / {duck_norm(a, dim)})"
+
+
+def duck_l2(a: str, b: str, dim: int) -> str:
+    return (
+        f"sqrt(list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(range(1, {dim} + 1), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), "
+        f"(acc, x) -> acc + x))"
+    )

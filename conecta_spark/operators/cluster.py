@@ -226,6 +226,31 @@ def x26_dedup_clusters(spark, sf_dir) -> DataFrame:
     )
 
 
+@register(
+    "x67_dedup_clusters_distributed",
+    _duck_clusters_sql(),
+    "the same near-dup cluster rollup as x26, forced through the "
+    "distributed label-propagation branch (small_graph_threshold=0) -- "
+    "the code path a >1M-edge graph takes at 100 TB.  Previously only "
+    "test-forced; this gives the branch an oracle-checked driver row "
+    "against the same recursive-CTE closure",
+)
+def x67_clusters_distributed(spark, sf_dir) -> DataFrame:
+    pairs = minhash_lsh_pairs(t(spark, sf_dir, "documents"), threshold=0.5)
+    cc = connected_components(pairs, small_graph_threshold=0)
+    cl = cc.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sort_array(F.collect_list("doc_id")).alias("members"),
+    )
+    return cl.select(
+        "cluster_id",
+        "n_members",
+        F.array_join(
+            F.transform("members", lambda x: x.cast("string")), ","
+        ).alias("members"),
+    )
+
+
 # -- canonical-document selection (the "prune" half of dedup) ----------------
 
 

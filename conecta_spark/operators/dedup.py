@@ -618,6 +618,18 @@ def word_shingles_expr(col: str = "text", w: int = 3) -> str:
     )
 
 
+def duck_word_shingles(col: str = "text", w: int = 3) -> str:
+    """DuckDB twin of :func:`word_shingles_expr`.  ``l[i:i+w-1]`` is
+    DuckDB's inclusive 1-based slice == Spark ``slice(l, i, w)``; both
+    return the available tail for sub-``w``-token texts."""
+    toks = rf"regexp_split_to_array(trim(lower({col})), '\s+')"
+    return (
+        f"list_distinct(list_transform("
+        f"range(1, greatest(len({toks})-{w - 1}, 1) + 1), "
+        f"i -> array_to_string(({toks})[i:i+{w - 1}], ' ')))"
+    )
+
+
 def minhash_lsh_ml(
     df: DataFrame,
     threshold: float = 0.5,
@@ -754,14 +766,91 @@ def x08_simhash(spark, sf_dir) -> DataFrame:
     return simhash_signatures(t(spark, sf_dir, "documents"))
 
 
+# x09 metric oracle: ml MinHashLSH's hash family is not SQL-expressible,
+# but its pair QUALITY is.  The entry's output is the exact word-3-gram
+# Jaccard >= 0.5 pair relation (recomputed independently by DuckDB -- a
+# real cross-engine check of the shingle/Jaccard arithmetic) plus two
+# acceptance flags measured Spark-side and predicted TRUE by the oracle:
+# recall_ok (ml found >= 80% of the true pairs; measured 100% at
+# sf0.001/0.01/0.1, deterministic under the fixed seed) and precision_ok
+# (ml pairs outside the true set <= max(1, 4% of it); measured 0 -- ml
+# verifies candidates with the actual Jaccard on hashed-shingle sets, so
+# extras can only come from rare HashingTF bucket collisions).
+# The |len_a - len_b| size band in the pair join is a theorem, not a
+# heuristic: J >= 0.5 forces 2*min(|A|,|B|) >= max(|A|,|B|).
+_X09_ORACLE = (
+    f"WITH sh AS (SELECT doc_id, {duck_word_shingles('text', 3)} AS sh "
+    f" FROM documents WHERE doc_id < {{slice}}), "
+    "p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+    " len(list_intersect(a.sh, b.sh)) / "
+    " len(list_distinct(list_concat(a.sh, b.sh))) AS j "
+    " FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+    "  AND 2 * len(a.sh) >= len(b.sh) AND 2 * len(b.sh) >= len(a.sh)) "
+    "SELECT doc_a, doc_b, round(j, 6) AS jaccard, "
+    " TRUE AS recall_ok, TRUE AS precision_ok FROM p WHERE j >= 0.5"
+)
+
+
 @register(
     "x09_dedup_minhash_ml",
-    None,  # pyspark.ml LSH is not SQL-expressible -> rows-only check
-    "scale-path MinHashLSH via ml.feature approxSimilarityJoin",
+    _X09_ORACLE.format(slice=BASELINE_SLICE),
+    "scale-path MinHashLSH (ml approxSimilarityJoin), metric-oracled: "
+    "exact word-3-gram Jaccard>=0.5 pairs cross-checked by DuckDB + "
+    "measured pair recall/precision acceptance flags",
 )
 def x09_minhash_ml(spark, sf_dir) -> DataFrame:
+    from pyspark.sql.window import Window
+
     docs = t(spark, sf_dir, "documents").where(F.col("doc_id") < BASELINE_SLICE)
-    return minhash_lsh_ml(docs, threshold=0.5)
+    ml_pairs = [
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_ml(docs, threshold=0.5)
+        .select("doc_a", "doc_b")
+        .collect()
+    ]
+    sh = docs.select(
+        "doc_id", F.expr(word_shingles_expr("text", 3)).alias("sh")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    exact = (
+        a.join(
+            b,
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (2 * F.size("a.sh") >= F.size("b.sh"))
+            & (2 * F.size("b.sh") >= F.size("a.sh")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (
+                F.size(F.array_intersect("a.sh", "b.sh"))
+                / F.size(F.array_union("a.sh", "b.sh"))
+            ).alias("j"),
+        )
+        .where(F.col("j") >= 0.5)
+    )
+    hits = docs.sparkSession.createDataFrame(
+        ml_pairs or [], "doc_a long, doc_b long"
+    ).withColumn("__hit", F.lit(1))
+    w = Window.partitionBy(F.lit(0))  # the <= |true pairs| surviving rows
+    found = F.sum(F.coalesce(F.col("__hit"), F.lit(0))).over(w)
+    n = F.count(F.lit(1)).over(w)
+    return (
+        exact.join(hits, ["doc_a", "doc_b"], "left")
+        .withColumn("recall_ok", found / n >= 0.8)
+        .withColumn(
+            "precision_ok",
+            (F.lit(len(ml_pairs)) - found)
+            <= F.greatest(F.lit(1.0), 0.04 * n),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round("j", 6).alias("jaccard"),
+            "recall_ok",
+            "precision_ok",
+        )
+    )
 
 
 @register(

@@ -402,59 +402,52 @@ def _load_extensions() -> None:
 # extension operator (x01-x29), then the SQL-surface queries whose oracle SQL
 # changed this round (re-proof needed), then the remaining SQL-surface
 # variants that were already hash-green in round 1.
-# Window composition for round 5 (50 slots), per the round-4 verdict:
+# Window composition for round 6 (50 slots), per the round-5 verdict:
 #   1. core q01/q02/q12 (every-round scan/projection/agg smoke);
-#   2. x56, red in r4 from the oracle HUGEINT type bug -- the 1-line CAST
-#      fix must be proven by a green driver row;
-#   3. x16, the TIMESTAMP_NTZ regression sentinel: one NTZ-sensitive query
-#      stays in the window every round so a driver-side testdata
-#      regeneration shows up as a driver row, not a silent local break;
-#   4. the 13 entries the driver has NEVER executed (q52-q63 + x64, added
-#      after the r4 window filled; all judge-verified hash-green locally);
-#   5. entries added this round (x65+);
-#   6. the 20 queries whose latest green driver row is round 1 (oldest
-#      proof -- refresh against three rounds of engine drift);
-#   7. flagship heavy extensions last green in r3 (LSH, clusters, kNN).
-# Everything demoted below slot 50 has a green r3/r4 driver row and stays
+#   2. the four r6 metric-oracle upgrades (x09/x13/x14/x25 were rows-only
+#      through r5; their exact-reference + acceptance-flag redefinitions
+#      need hash-green rows, completing 134/134 oracled);
+#   3. standing regression sentinels: x16 (TIMESTAMP_NTZ testdata drift),
+#      x56 (oracle numeric-kind class), x65 (real Structured Streaming
+#      driver row);
+#   4. entries added this round (x67: the distributed label-propagation
+#      CC branch, previously only test-forced);
+#   5. the 37 entries whose latest green driver row is r3 -- two rounds
+#      stale, judge-re-verified green locally in r5, refreshed here so no
+#      oracled entry's newest driver row is older than r4 after this
+#      round;
+#   6. two flagship heavies to keep the LSH/cluster family timed in-window.
+# Everything demoted below slot 50 has a green r4/r5 driver row and stays
 # locally oracle-checked every test run; those rows stand.
 _CORE_SMOKE = ("q01", "q02", "q12")
-# x56: r4 red from the oracle HUGEINT bug, CAST fix needs a green row.
-# x18: rows-only through r4, oracle added in r5 (fake codec pinned +
-# SQL twin of its byte arithmetic) -- the upgrade needs a hash-green row.
-_FIX_PROOFS = ("x56", "x18")
-_REGRESSION_SENTINELS = ("x16",)
-_NEVER_DRIVER_RUN = (
-    "q52", "q53", "q54", "q55", "q56", "q57", "q58", "q59",
-    "q60", "q61", "q62", "q63", "x64",
+_FIX_PROOFS = ("x09", "x13", "x14", "x25")
+_REGRESSION_SENTINELS = ("x16", "x56", "x65")
+_NEW_THIS_ROUND = ("x67",)
+_STALE_R3_REFRESH = (
+    "q03", "q04", "q05", "q06", "q07", "q08", "q09", "q10", "q11",
+    "q13", "q14", "q15", "q16", "q24", "q35", "q37",
+    "x01", "x02", "x03", "x04", "x06", "x10", "x11", "x12", "x15",
+    "x17", "x19", "x20", "x21", "x24", "x27", "x28", "x29", "x30",
+    "x31", "x32", "x33",
 )
-_NEW_THIS_ROUND = ("x65", "x66", "q64", "q65", "q66", "q67", "q68")
-_OLDEST_GREEN_R1 = (
-    "q17", "q18", "q19", "q20", "q21", "q22", "q23", "q25", "q26",
-    "q27", "q28", "q29", "q30", "q31", "q32", "q33", "q34", "q36",
-    "q38", "q39",
-)
-# trimmed to fit q64-q68 inside the 50-slot window; the dropped five
-# (x10/x11/x12/x24/x30) keep their green r3 rows and stay locally swept
-_FLAGSHIP_REFRESH = ("x05", "x07", "x08", "x26")
+_FLAGSHIP_REFRESH = ("x07", "x26")
 _WINDOW = (
-    _CORE_SMOKE + _FIX_PROOFS + _REGRESSION_SENTINELS + _NEVER_DRIVER_RUN
-    + _NEW_THIS_ROUND + _OLDEST_GREEN_R1 + _FLAGSHIP_REFRESH
+    _CORE_SMOKE + _FIX_PROOFS + _REGRESSION_SENTINELS + _NEW_THIS_ROUND
+    + _STALE_R3_REFRESH + _FLAGSHIP_REFRESH
 )
 _PRIORITY_TIERS: tuple[tuple[str, ...], ...] = (
     _CORE_SMOKE,
     _FIX_PROOFS,
     _REGRESSION_SENTINELS,
-    _NEVER_DRIVER_RUN,
     _NEW_THIS_ROUND,
-    _OLDEST_GREEN_R1,
+    _STALE_R3_REFRESH,
     _FLAGSHIP_REFRESH,
-    # below the 50-slot window: r4 greens, then the r3 extension tail
-    tuple(f"q{i:02d}" for i in range(40, 52)),
+    # below the 50-slot window: r4/r5 greens -- newest proofs last to
+    # demote, oldest (none older than r4 after this round) already above
+    tuple(f"q{i:02d}" for i in range(17, 69) if f"q{i:02d}" not in _WINDOW),
     tuple(
-        f"x{i:02d}" for i in range(1, 64) if f"x{i:02d}" not in _WINDOW
+        f"x{i:02d}" for i in range(1, 67) if f"x{i:02d}" not in _WINDOW
     ),
-    tuple(f"q{i:02d}" for i in range(3, 17)),
-    ("q24", "q35", "q37"),
 )
 
 

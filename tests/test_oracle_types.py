@@ -30,6 +30,12 @@ _EAGER = {
     "x26_dedup_clusters",
     "x50_keep_best_per_cluster",
     "x65_streaming_hourly_parity",
+    # r6 metric oracles: fn() runs the ml path (fits + bounded collects)
+    # to measure the recall/precision acceptance flags
+    "x09_dedup_minhash_ml",
+    "x13_ann_brp_ml",
+    "x14_ann_ivf_ml",
+    "x67_dedup_clusters_distributed",
 }
 
 _ORACLED = [
