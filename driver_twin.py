@@ -29,9 +29,8 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-    from tests.oracle_utils import duckdb_con
+    from tests.oracle_utils import duckdb_con, iter_registry, pandas_compare
 
-    import __spark_entry__ as entry
     from conecta_spark.session import get_session
 
     spark = get_session(
@@ -43,41 +42,21 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb_con(sf_dir)
-    qs, oracles = entry.queries(), entry.oracle_sql()
-    names = list(qs) if os.environ.get("DRIVER_TWIN_ALL") else list(qs)[:50]
-
-    def canon(df):
-        for c in df.columns:
-            if df[c].dtype.kind == "f":
-                df[c] = df[c].round(6)
-        return (
-            df.astype(str).sort_values(list(df.columns)).reset_index(drop=True)
-        )
+    reg = iter_registry()
+    if not os.environ.get("DRIVER_TWIN_ALL"):
+        reg = reg[:50]
 
     green, rows_only, bad = 0, 0, []
-    for name in names:
+    for name, qd in reg:
         try:
-            sdf = qs[name](spark, sf_dir).toPandas()
-            if name not in oracles:
+            sdf = qd.fn(spark, sf_dir).toPandas()
+            if qd.oracle is None:
                 assert len(sdf) >= 0
                 rows_only += 1
                 print(f"rows-only {name} ({len(sdf)})", file=sys.stderr)
                 continue
-            ddf = con.sql(oracles[name]).df()
-            problems = []
-            if len(sdf) != len(ddf):
-                problems.append(f"rows {len(sdf)} vs {len(ddf)}")
-            if sorted(sdf.columns) != sorted(ddf.columns):
-                problems.append("columns")
-            else:
-                s = sdf[sorted(sdf.columns)].copy()
-                d = ddf[sorted(ddf.columns)].copy()
-                for c in s.columns:
-                    ks, kd = s[c].dtype.kind, d[c].dtype.kind
-                    if ks != kd and not {ks, kd} <= {"O", "M"}:
-                        problems.append(f"dtype {c}: {ks} vs {kd}")
-                if not problems and not canon(s).equals(canon(d)):
-                    problems.append("values")
+            ddf = con.sql(qd.oracle).df()
+            problems = pandas_compare(sdf, ddf)
             if problems:
                 bad.append({"name": name, "problems": problems})
                 print(f"FAIL {name}: {problems}", file=sys.stderr)
@@ -91,7 +70,7 @@ def main() -> None:
         json.dumps(
             {
                 "sf_dir": sf_dir,
-                "checked": len(names),
+                "checked": len(reg),
                 "green": green,
                 "rows_only": rows_only,
                 "bad": bad,

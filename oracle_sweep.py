@@ -23,9 +23,8 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from tests.oracle_utils import assert_match, duckdb_con
+    from tests.oracle_utils import assert_match, duckdb_con, iter_registry
 
-    from conecta_spark.queries import REGISTRY, _load_extensions
     from conecta_spark.session import get_session
 
     # Oracles that are THEMSELVES deliberate quadratic baselines (the
@@ -39,7 +38,7 @@ def main() -> None:
         ).split(",")
     )
 
-    _load_extensions()
+    reg = iter_registry()
     spark = get_session(
         app_name="conecta-spark-oracle-sweep",
         master=f"local[{cpus}]",
@@ -53,7 +52,7 @@ def main() -> None:
     con = duckdb_con(sf_dir)
 
     passed, rows_only, failed = 0, 0, []
-    for name, qd in REGISTRY.items():
+    for name, qd in reg:
         try:
             spark.catalog.clearCache()
             df = qd.fn(spark, sf_dir)
@@ -72,7 +71,7 @@ def main() -> None:
         json.dumps(
             {
                 "sf_dir": sf_dir,
-                "checked": len(REGISTRY),
+                "checked": len(reg),
                 "passed": passed,
                 "rows_only": rows_only,
                 "failed": failed,

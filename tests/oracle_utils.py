@@ -134,6 +134,55 @@ def assert_numeric_kinds_match(name: str, spark_df, con, oracle: str):
             )
 
 
+# --- the driver's own comparison semantics, shared by every gate -----------
+#
+# driver_twin.py (window gate), oracle_sweep.py (10x sweep), and
+# tests/test_oracle_types.py (static dtype audit) must all agree with the
+# driver about iteration order and pandas-level canonicalization; factored
+# here so they cannot drift independently (r5 verdict task 8).
+
+
+def iter_registry():
+    """Yield (name, QueryDef) in the DRIVER's iteration order -- the order
+    ``__spark_entry__.queries()`` emits, whose first 50 entries are the
+    CORRECTNESS window."""
+    from conecta_spark.queries import REGISTRY, _ordered
+
+    return [(q.name, REGISTRY[q.name]) for q in _ordered()]
+
+
+def pandas_canon(df):
+    """The driver's frame canonicalization: floats rounded to 6dp, every
+    cell stringified, rows sorted."""
+    df = df.copy()
+    for c in df.columns:
+        if df[c].dtype.kind == "f":
+            df[c] = df[c].round(6)
+    return df.astype(str).sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def pandas_compare(sdf, ddf) -> list[str]:
+    """Driver-faithful pandas-level compare: row count, column set, dtype
+    KIND per column (int-vs-float divergence hashes differently even when
+    values match), then canonicalized values.  Returns problems, [] if
+    green."""
+    problems = []
+    if len(sdf) != len(ddf):
+        problems.append(f"rows {len(sdf)} vs {len(ddf)}")
+    if sorted(sdf.columns) != sorted(ddf.columns):
+        problems.append("columns")
+        return problems
+    s = sdf[sorted(sdf.columns)].copy()
+    d = ddf[sorted(ddf.columns)].copy()
+    for c in s.columns:
+        ks, kd = s[c].dtype.kind, d[c].dtype.kind
+        if ks != kd and not {ks, kd} <= {"O", "M"}:
+            problems.append(f"dtype {c}: {ks} vs {kd}")
+    if not problems and not pandas_canon(s).equals(pandas_canon(d)):
+        problems.append("values")
+    return problems
+
+
 def assert_match(name: str, spark_df, con, oracle: str):
     assert_numeric_kinds_match(name, spark_df, con, oracle)
     s_cols, s_rows = spark_result(spark_df)

@@ -15,11 +15,13 @@ from __future__ import annotations
 
 import pytest
 
-from conecta_spark.queries import REGISTRY, _load_extensions
+from conecta_spark.queries import REGISTRY
 
-_load_extensions()
-
-from .oracle_utils import assert_numeric_kinds_match, duckdb_con
+from .oracle_utils import (
+    assert_numeric_kinds_match,
+    duckdb_con,
+    iter_registry,
+)
 
 # Entries whose fn() EXECUTES jobs at build time (x65 runs a full
 # availableNow streaming query; the cluster entries run the counts /
@@ -39,7 +41,9 @@ _EAGER = {
 }
 
 _ORACLED = [
-    n for n, q in REGISTRY.items() if q.oracle is not None and n not in _EAGER
+    n
+    for n, q in iter_registry()
+    if q.oracle is not None and n not in _EAGER
 ]
 
 
