@@ -114,6 +114,53 @@ def main() -> None:
             minima[name] = -1.0
     total = round(sum(v for v in timings.values() if v >= 0), 4)
     total_min = round(sum(v for v in minima.values() if v >= 0), 4)
+    emit_result(timings, total, total_min, sf, all_runs)
+
+
+def render_json_line(
+    timings: dict, total: float, total_min: float, sf, budget: int = 1900
+) -> str:
+    """Render the driver-facing JSON line within ``budget`` chars.
+
+    Progressive degradation: full 4dp per-query values, then 2dp, then
+    1dp; as a last resort the per-query map keeps only the slowest
+    entries (plus an "omitted" count) -- the line must PARSE inside the
+    driver's ~2000-char stdout tail no matter how the registry grows."""
+    short = {n.split("_", 1)[0]: v for n, v in timings.items()}
+    assert len(short) == len(timings), "registry prefixes must stay unique"
+
+    def emit(q: dict, extra: dict | None = None) -> str:
+        payload = {
+            "metric": "total_query_wall_seconds",
+            "value": total,
+            "unit": "sec",
+            "stat": "median",
+            "value_min": total_min,
+            "queries": q,
+            "sf": float(sf),
+        }
+        if extra:
+            payload.update(extra)
+        return json.dumps(payload, separators=(",", ":"))
+
+    for ndigits in (4, 2, 1):
+        line = emit({k: round(v, ndigits) for k, v in short.items()})
+        if len(line) <= budget:
+            return line
+    ranked = sorted(short.items(), key=lambda kv: -kv[1])
+    keep = len(ranked)
+    while keep > 1:
+        line = emit(
+            {k: round(v, 1) for k, v in ranked[:keep]},
+            {"omitted": len(ranked) - keep},
+        )
+        if len(line) <= budget:
+            return line
+        keep -= max(1, keep // 10)
+    return emit({}, {"omitted": len(ranked)})
+
+
+def emit_result(timings, total, total_min, sf, all_runs) -> None:
     # The driver records only the LAST 2000 chars of stdout and tries to
     # parse the JSON line out of it -- with 86 full-name queries the line is
     # ~3 KB and has been truncated (BENCH_r01..r03 all show parsed: null).
@@ -121,26 +168,7 @@ def main() -> None:
     # the contract's own example form) and emit compact separators so the
     # whole line fits the capture window; the full-name map goes to stderr
     # for humans.
-    short = {n.split("_", 1)[0]: v for n, v in timings.items()}
-    assert len(short) == len(timings), "registry prefixes must stay unique"
-
-    def emit(q: dict) -> str:
-        return json.dumps(
-            {
-                "metric": "total_query_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "stat": "median",
-                "value_min": total_min,
-                "queries": q,
-                "sf": float(sf),
-            },
-            separators=(",", ":"),
-        )
-
-    line = emit(short)
-    if len(line) > 1900:  # stay inside the window even if the registry grows
-        line = emit({k: round(v, 2) for k, v in short.items()})
+    line = render_json_line(timings, total, total_min, sf)
     print(json.dumps({"query_names": sorted(timings)}), file=sys.stderr)
     print(json.dumps({"all_runs": all_runs}), file=sys.stderr)
     print(line)

@@ -20,6 +20,9 @@ common cause of small-file pathology in long-lived datasets.
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -139,29 +142,69 @@ def upsert_parquet(
     current dataset once; with both sides bucketed on the key it is
     shuffle-free.
 
-    Atomicity contract, stated plainly: each parquet write is job-atomic
-    (Spark's commit protocol), and the swap is two renames -- a reader
-    racing the swap can see the old version or fail on a missing
-    directory for the instant between renames, and a crash between them
-    requires restoring from the staged copy (which is never deleted until
-    the swap completes).  That is the honest ceiling without a
-    transaction log; pipelines needing concurrent-reader isolation should
-    front this with a table format, and everything above (the merge
-    dataflow) carries over unchanged.
+    Crash-safety contract: each parquet write is job-atomic (Spark's
+    commit protocol, ``_SUCCESS`` marks completion), and the swap is two
+    renames.  A crash at ANY point leaves the dataset recoverable, and
+    :func:`recover_upsert` -- run automatically at the start of every
+    call -- restores the invariant "``path`` holds exactly one complete
+    version": a half-written staging dir (no ``_SUCCESS``) is discarded
+    and the current table stands; a crash between the two renames rolls
+    FORWARD (the staged version is complete and already the committed
+    intent) or, if staging never completed, rolls BACK to the retired
+    copy, which is never deleted until the swap has fully completed.  A
+    reader racing the swap itself can still observe a missing directory
+    for the instant between renames and must retry -- that (not torn
+    data) is the honest ceiling without a transaction log; pipelines
+    needing concurrent-reader isolation should front this with a table
+    format, and everything above (the merge dataflow) carries over
+    unchanged.
     """
-    import os
-    import shutil
-
     keys = list(key_cols)
+    recover_upsert(path)
     if not os.path.exists(path):
         write_parquet(updates, path, target_mb=target_mb)
         return
     current = spark.read.parquet(path)
     merged = current.join(updates, keys, "left_anti").unionByName(updates)
-    staged = path.rstrip("/") + ".__staging__"
-    retired = path.rstrip("/") + ".__retired__"
+    staged, retired = _upsert_side_dirs(path)
     write_parquet(merged, staged, target_mb=target_mb)
     shutil.rmtree(retired, ignore_errors=True)
     os.rename(path, retired)
     os.rename(staged, path)
     shutil.rmtree(retired, ignore_errors=True)
+
+
+def _upsert_side_dirs(path: str) -> tuple[str, str]:
+    base = path.rstrip("/")
+    return base + ".__staging__", base + ".__retired__"
+
+
+def recover_upsert(path: str) -> str:
+    """Restore the rewrite-and-swap invariant after a crash; idempotent,
+    pure directory surgery (no Spark job).  Returns what it did:
+
+    * ``"clean"`` -- ``path`` exists; any stale staging/retired dirs from
+      an interrupted earlier call are swept.
+    * ``"rolled_forward"`` -- ``path`` was missing but staging carries a
+      complete (``_SUCCESS``-marked) new version: promote it.  The crash
+      happened between the two swap renames; the upsert that staged it
+      is thereby completed.
+    * ``"rolled_back"`` -- ``path`` missing, staging absent/incomplete,
+      retired copy present: restore the pre-upsert version.
+    * ``"missing"`` -- nothing to recover (first write never happened).
+    """
+    staged, retired = _upsert_side_dirs(path)
+    if os.path.exists(path):
+        shutil.rmtree(staged, ignore_errors=True)
+        shutil.rmtree(retired, ignore_errors=True)
+        return "clean"
+    if os.path.exists(os.path.join(staged, "_SUCCESS")):
+        os.rename(staged, path)
+        shutil.rmtree(retired, ignore_errors=True)
+        return "rolled_forward"
+    if os.path.exists(retired):
+        os.rename(retired, path)
+        shutil.rmtree(staged, ignore_errors=True)
+        return "rolled_back"
+    shutil.rmtree(staged, ignore_errors=True)
+    return "missing"

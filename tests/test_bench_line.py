@@ -1,0 +1,61 @@
+"""Budget guard for bench.py's driver-facing JSON line.
+
+The driver keeps only the LAST ~2000 chars of bench stdout and parses the
+JSON line out of it; at 134 registry entries the 4dp line measured 1.86 KB
+-- one growth round from truncating (BENCH_r01..r03 shipped parsed:null
+exactly this way).  Render the line at synthetic registry sizes past
+today's and assert every tier of the degradation ladder stays inside the
+window and parses.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import pytest
+
+import bench
+from conecta_spark.queries import REGISTRY, _load_extensions
+
+_load_extensions()
+
+
+def _synthetic(n: int) -> dict:
+    # worst-case realistic shapes: 4-digit-second heavies, long tails
+    return {
+        f"x{i:02d}_some_operator_name_{i}": 1000.1234 if i % 7 == 0 else 12.3456
+        for i in range(n)
+    }
+
+
+@pytest.mark.parametrize("n", [50, 135, 150, 200, 400])
+def test_line_fits_and_parses(n):
+    timings = _synthetic(n)
+    line = bench.render_json_line(timings, 9999.1234, 9999.1234, "0.1")
+    assert len(line) <= 1900, (n, len(line))
+    parsed = json.loads(line)
+    assert parsed["metric"] == "total_query_wall_seconds"
+    assert parsed["value"] == 9999.1234
+    # per-query coverage only degrades, never vanishes, until the map
+    # genuinely cannot fit
+    assert len(parsed["queries"]) + parsed.get("omitted", 0) == n
+
+
+def test_current_registry_fits_at_full_precision_or_2dp():
+    """Today's real registry must fit without the omission fallback."""
+    timings = {name: 123.4567 for name in REGISTRY}
+    line = bench.render_json_line(timings, 9999.1234, 9999.1234, "0.1")
+    parsed = json.loads(line)
+    assert len(line) <= 1900
+    assert "omitted" not in parsed
+    assert len(parsed["queries"]) == len(REGISTRY)
+
+
+def test_registry_prefixes_unique():
+    """The compact line keys queries by prefix; a collision would drop
+    a timing silently."""
+    prefixes = [n.split("_", 1)[0] for n in REGISTRY]
+    assert len(set(prefixes)) == len(prefixes)

@@ -164,3 +164,131 @@ def test_upsert_parquet_replaces_by_key_and_carries_rest(
 
     assert not os.path.exists(path + ".__staging__")
     assert not os.path.exists(path + ".__retired__")
+
+
+# -- crash-safe upsert: failure injection across every swap window ----------
+
+
+def _mk_table(spark, path, rows):
+    from conecta_spark.sources.sinks import upsert_parquet
+
+    df = spark.createDataFrame(rows, "k long, v string")
+    upsert_parquet(spark, path, df, ("k",))
+    return df
+
+
+def _read_kv(spark, path):
+    from conecta_spark.sources.sinks import read_back
+
+    return {(r.k, r.v) for r in read_back(spark, path).collect()}
+
+
+def test_upsert_crash_between_renames_rolls_forward(
+    spark, tmp_path_factory, monkeypatch
+):
+    """Crash after `path` was retired but before staging was promoted:
+    the staged version is complete (_SUCCESS), so the next call completes
+    the interrupted upsert -- a reader then sees the NEW table, never a
+    torn one."""
+    from conecta_spark.sources import sinks
+
+    path = str(tmp_path_factory.mktemp("crash") / "tbl")
+    _mk_table(spark, path, [(1, "a"), (2, "b")])
+    updates = spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string")
+
+    real_rename = sinks.os.rename
+    calls = {"n": 0}
+
+    def exploding_rename(src, dst):
+        real_rename(src, dst)
+        calls["n"] += 1
+        if calls["n"] == 1:  # crash right after path -> retired
+            raise RuntimeError("injected crash between swap renames")
+
+    monkeypatch.setattr(sinks.os, "rename", exploding_rename)
+    with pytest.raises(RuntimeError, match="injected"):
+        sinks.upsert_parquet(spark, path, updates, ("k",))
+    monkeypatch.setattr(sinks.os, "rename", real_rename)
+
+    assert not os.path.exists(path)  # the crash window, honestly missing
+    assert sinks.recover_upsert(path) == "rolled_forward"
+    assert _read_kv(spark, path) == {(1, "a"), (2, "B"), (3, "c")}
+    # idempotent: a second recover is a no-op
+    assert sinks.recover_upsert(path) == "clean"
+
+
+def test_upsert_crash_during_staging_write_keeps_old_table(
+    spark, tmp_path_factory
+):
+    """A staging dir without _SUCCESS (write died mid-job) must be
+    discarded; the current table stands and the next upsert reruns
+    cleanly."""
+    from conecta_spark.sources import sinks
+
+    path = str(tmp_path_factory.mktemp("crash2") / "tbl")
+    _mk_table(spark, path, [(1, "a"), (2, "b")])
+    staged, _ = sinks._upsert_side_dirs(path)
+    os.makedirs(staged)
+    with open(os.path.join(staged, "part-00000.parquet"), "wb") as f:
+        f.write(b"torn half-written bytes")  # no _SUCCESS marker
+
+    assert sinks.recover_upsert(path) == "clean"
+    assert not os.path.exists(staged)
+    assert _read_kv(spark, path) == {(1, "a"), (2, "b")}
+
+    updates = spark.createDataFrame([(2, "B")], "k long, v string")
+    sinks.upsert_parquet(spark, path, updates, ("k",))
+    assert _read_kv(spark, path) == {(1, "a"), (2, "B")}
+
+
+def test_upsert_crash_with_incomplete_staging_rolls_back(
+    spark, tmp_path_factory
+):
+    """Pathological double fault: path already retired AND staging has no
+    _SUCCESS.  Recovery restores the retired (pre-upsert) version -- the
+    reader sees the complete OLD table, not data loss."""
+    from conecta_spark.sources import sinks
+
+    path = str(tmp_path_factory.mktemp("crash3") / "tbl")
+    _mk_table(spark, path, [(1, "a"), (2, "b")])
+    staged, retired = sinks._upsert_side_dirs(path)
+    os.rename(path, retired)  # simulate crash after the first rename
+    os.makedirs(staged)       # ... with staging torn (no _SUCCESS)
+
+    assert sinks.recover_upsert(path) == "rolled_back"
+    assert _read_kv(spark, path) == {(1, "a"), (2, "b")}
+
+
+def test_upsert_reader_never_sees_torn_data(spark, tmp_path_factory):
+    """Every recovery outcome yields either the complete old or complete
+    new version; sweep all injection points and assert the read-back set
+    is always one of the two."""
+    from conecta_spark.sources import sinks
+
+    old = {(1, "a"), (2, "b")}
+    new = {(1, "a"), (2, "B"), (3, "c")}
+    for crash_at in (1, 2):
+        path = str(
+            tmp_path_factory.mktemp(f"crash_sweep{crash_at}") / "tbl"
+        )
+        _mk_table(spark, path, [(1, "a"), (2, "b")])
+        updates = spark.createDataFrame(
+            [(2, "B"), (3, "c")], "k long, v string"
+        )
+        real_rename = os.rename
+        calls = {"n": 0}
+
+        def exploding(src, dst, _real=real_rename, _calls=calls, _at=crash_at):
+            _real(src, dst)
+            _calls["n"] += 1
+            if _calls["n"] == _at:
+                raise RuntimeError("injected")
+
+        sinks.os.rename = exploding
+        try:
+            with pytest.raises(RuntimeError, match="injected"):
+                sinks.upsert_parquet(spark, path, updates, ("k",))
+        finally:
+            sinks.os.rename = real_rename
+        sinks.recover_upsert(path)
+        assert _read_kv(spark, path) in (old, new), crash_at
