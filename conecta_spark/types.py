@@ -218,11 +218,49 @@ def decode_geo_binary(col: str, pg_type: str) -> Column:
     return udf(F.col(col))
 
 
+class UnsupportedPgTypeError(ValueError):
+    """A result column's Postgres type is outside the bridge's mapping.
+
+    The reference PANICS with only the type OID (postgres.rs:642); the
+    SURVEY 1.3 contract here is a clean error that lists EVERY offending
+    column with its reported type and what to do about it."""
+
+    def __init__(self, offenders: dict[str, str]):
+        self.offenders = dict(offenders)
+        cols = ", ".join(f"{c} ({t})" for c, t in sorted(offenders.items()))
+        super().__init__(
+            f"unbridgeable Postgres type(s) in result: {cols}. "
+            "Cast the column in SQL (e.g. ::text), extend PG_TO_SPARK, "
+            "or open the source with type_bridge=False to take the raw "
+            "JDBC representation."
+        )
+
+
+def bridgeable_pg_types() -> set[str]:
+    """Every normalized pg type name the bridge knows how to land."""
+    return (
+        set(PG_TO_SPARK) | set(REFERENCE_UNSUPPORTED) | set(GEO_PARSERS)
+    )
+
+
 def apply_pg_casts(df: DataFrame, column_pg_types: dict[str, str]) -> DataFrame:
     """Post-read cast layer for a JDBC-loaded DataFrame: given the original
     Postgres type per column (as the reference records in
     ``Column.original_type_repr``, schema.rs:144-165), normalize to the
-    engine's mapping -- geo text -> array<double>, time -> us bigint."""
+    engine's mapping -- geo text -> array<double>, time -> us bigint.
+
+    Columns whose reported type is outside the bridge's matrix raise
+    :class:`UnsupportedPgTypeError` naming all of them at once -- the
+    clean-error half of the SURVEY 1.3 contract (the reference panics
+    with a bare OID instead)."""
+    known = bridgeable_pg_types()
+    offenders = {
+        name: pg_type
+        for name, pg_type in column_pg_types.items()
+        if name in df.columns and pg_type.lower() not in known
+    }
+    if offenders:
+        raise UnsupportedPgTypeError(offenders)
     for name, pg_type in column_pg_types.items():
         if name not in df.columns:
             continue

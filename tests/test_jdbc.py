@@ -133,3 +133,37 @@ def test_read_partitioned_reference_predicate_set(spark, geo_frame):
     # and the introspection plan carries the same bounds in its SQL
     for q, p in zip(plan.data_queries, preds):
         assert p in q
+
+
+def test_unbridgeable_pg_type_raises_listing_every_column(spark, geo_frame):
+    """SURVEY 1.3 contract: where the reference panics with a bare type
+    OID (postgres.rs:642), the bridge raises a clean error naming EVERY
+    column it cannot bridge and what to do about it."""
+    from conecta_spark.types import UnsupportedPgTypeError
+
+    src = StubJDBC(
+        spark,
+        {"*": geo_frame},
+        types_map={"pt": "mood_enum", "t": "tsrange", "name": "text"},
+    )
+    with pytest.raises(UnsupportedPgTypeError) as ei:
+        src.query("select * from tbl")
+    assert ei.value.offenders == {"pt": "mood_enum", "t": "tsrange"}
+    msg = str(ei.value)
+    assert "pt (mood_enum)" in msg and "t (tsrange)" in msg
+    assert "type_bridge=False" in msg  # the actionable escape hatch
+
+    # and the escape hatch really is one: raw representation comes back
+    src.type_bridge = False
+    assert src.query("select * from tbl").collect() == geo_frame.collect()
+
+
+def test_reference_unsupported_types_bridge_cleanly(spark, geo_frame):
+    """NUMERIC/TIMESTAMPTZ/JSON etc. panic in the reference but are
+    native here -- the bridge must accept them, not list them."""
+    src = StubJDBC(
+        spark,
+        {"*": geo_frame},
+        types_map={"pt": "numeric", "t": "timestamptz", "name": "jsonb"},
+    )
+    assert src.query("select * from tbl").count() == 1
