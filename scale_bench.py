@@ -1,22 +1,33 @@
 #!/usr/bin/env python
-"""Scale-growth measurement: does the LSH dedup family's WORK grow
-linearly with corpus size?
+"""Scale-growth measurement for the flagship heavy operators: does their
+WORK grow linearly with corpus size, measured out to 10x?
 
 A plan that looks right at sf0.1 can still hide superlinear work (the
 classic failure: LSH candidate pairs growing quadratically inside dup
 cohorts).  Wall time on a shared host is too noisy to prove scaling at
 this corpus size, so the primary metrics here are deterministic work
-counts -- band-bucket maxima, candidate pairs, verified pairs -- which are
-exact functions of the data.  Time is reported as a secondary signal
-(min of 3, steady state).
+counts -- band-bucket maxima, candidate pairs, verified pairs, cell
+populations -- which are exact functions of the data.  Time is reported
+as a secondary signal (min of 3, steady state).  For every metric the
+output carries a fitted growth exponent: the least-squares slope of
+log(metric) vs log(k) over k in {1, 2, 4, 10} -- ~1.0 is linear, and the
+10x rung means the exponents are measured, not extrapolated, across a
+full decade.
 
 Corpus construction: the sf0.1 documents are replicated k times with id
-offsets and a per-replica vowel rotation of the text.  Rotation changes
-~2 of every 5 characters, so every 5-gram shingle differs across
-replicas: each replica keeps the original's internal duplicate structure
-but replicas never near-collide.  A scale-correct pipeline therefore does
-exactly k times the 1x work; a bucket-degenerate one shows pair counts
-growing faster than k.
+offsets and a per-replica ROTATION of a 10-letter alphabet
+("aeiousrtln"): a bijective letter permutation, so each replica keeps
+the original's internal duplicate structure EXACTLY (equal texts stay
+equal, shingle sets map bijectively) while any shingle containing one of
+those ten frequent letters differs across replicas -- replicas never
+near-collide.  A scale-correct pipeline therefore does exactly k times
+the 1x work; a bucket-degenerate one shows pair counts growing faster
+than k.  Embedding replicas are component rotations (orthogonal: within-
+replica cosines bit-identical, cross-replica cosines scrambled).
+
+Covered: x07 (MinHash LSH), x26 (connected components), x50 (keep-best),
+x54 (semantic dedup), x55 (decontamination, fixed benchmark set), x66
+(edit-distance join d=2).
 
 Run: python scale_bench.py  (one JSON line to stdout).
 """
@@ -24,6 +35,7 @@ Run: python scale_bench.py  (one JSON line to stdout).
 from __future__ import annotations
 
 import json
+import math
 import os
 import shutil
 import sys
@@ -31,11 +43,25 @@ import tempfile
 import time
 
 
-VOWELS = "aeiou"
+ALPHA = "aeiousrtln"  # 10 distinct rotations -> supports k up to 10
+KS = (1, 2, 4, 10)
 
 
-def _rotations(k: int) -> list[str]:
-    return [VOWELS[i % 5:] + VOWELS[: i % 5] for i in range(k)]
+def _fit_exponent(points: dict) -> float:
+    """Least-squares slope of log(v) vs log(k) -- the growth exponent."""
+    xy = [
+        (math.log(k), math.log(v))
+        for k, v in points.items()
+        if v and v > 0 and k > 0
+    ]
+    if len(xy) < 2:
+        return float("nan")
+    n = len(xy)
+    sx = sum(x for x, _ in xy)
+    sy = sum(y for _, y in xy)
+    sxx = sum(x * x for x, _ in xy)
+    sxy = sum(x * y for x, y in xy)
+    return round((n * sxy - sx * sy) / (n * sxx - sx * sx), 2)
 
 
 def main() -> None:
@@ -63,14 +89,13 @@ def main() -> None:
 
     def build(k: int) -> str:
         path = f"{work}/docs_x{k}"
-        rots = _rotations(k)
         rep = spark.range(k).select(F.col("id").alias("rep"))
         rot_text = F.col("text")
-        for i, r in enumerate(rots):
-            if i:
-                rot_text = F.when(
-                    F.col("rep") == i, F.translate(F.col("text"), VOWELS, r)
-                ).otherwise(rot_text)
+        for i in range(1, k):
+            rot = ALPHA[i:] + ALPHA[:i]
+            rot_text = F.when(
+                F.col("rep") == i, F.translate(F.col("text"), ALPHA, rot)
+            ).otherwise(rot_text)
         (
             base.crossJoin(rep)
             .select(
@@ -88,7 +113,7 @@ def main() -> None:
 
     from pyspark import StorageLevel
 
-    from conecta_spark.operators import dedup
+    from conecta_spark.operators import cluster, dedup
 
     def lsh_work(docs) -> dict:
         """Deterministic work counts of the x07 pipeline on ``docs``."""
@@ -147,20 +172,51 @@ def main() -> None:
         for b in batches:
             yield b
 
-    run(spark.range(int(cpus) * 4, numPartitions=int(cpus)).mapInPandas(_warm, "id long"))
+    run(
+        spark.range(int(cpus) * 4, numPartitions=int(cpus)).mapInPandas(
+            _warm, "id long"
+        )
+    )
 
+    def timed(thunk, reps: int = 3) -> float:
+        best = None
+        for _ in range(reps):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            thunk()
+            best = min(best or 1e9, time.perf_counter() - t0)
+        return round(best, 2)
+
+    # -- x07 LSH + x26 connected components + x50 keep-best --------------
     results: dict[str, dict] = {}
     try:
-        for k in (1, 2, 4):
+        for k in KS:
             docs = spark.read.parquet(build(k))
             stats = lsh_work(docs)
-            best = None
-            for _ in range(3):
-                spark.catalog.clearCache()
-                t0 = time.perf_counter()
-                run(dedup.minhash_lsh_pairs(docs))
-                best = min(best or 1e9, time.perf_counter() - t0)
-            stats["lsh_seconds"] = round(best, 2)
+            stats["lsh_seconds"] = timed(
+                lambda: run(dedup.minhash_lsh_pairs(docs))
+            )
+            pairs = dedup.minhash_lsh_pairs(docs).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            stats["n_pairs"] = pairs.count()
+            cc = cluster.connected_components(pairs)
+            stats["n_clustered_docs"] = cc.count()
+            stats["n_clusters"] = (
+                cc.select("cluster_id").distinct().count()
+            )
+            stats["cc_seconds"] = timed(
+                lambda: run(cluster.connected_components(pairs)), 2
+            )
+            cc_p = cluster.connected_components(pairs).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            cc_p.count()
+            stats["keep_best_seconds"] = timed(
+                lambda: run(cluster.keep_best_per_cluster(docs, cc_p)), 2
+            )
+            cc_p.unpersist()
+            pairs.unpersist()
             results[f"x{k}"] = stats
             print(f"x{k}: {stats}", file=sys.stderr)
     finally:
@@ -182,9 +238,10 @@ def main() -> None:
 
     emb_base = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     semres: dict[str, dict] = {}
+    decres: dict[str, dict] = {}
     work2 = tempfile.mkdtemp(prefix="scale_bench_emb_")
     try:
-        for k in (1, 2, 4):
+        for k in KS:
             rep = spark.range(k).select(F.col("id").alias("rep"))
             rolled = F.col("embedding")
             for i in range(1, k):
@@ -203,12 +260,14 @@ def main() -> None:
                     (F.col("vec_id") * k + F.col("rep")).alias("vec_id"),
                     rolled.alias("embedding"),
                     "label",
+                    "rep",
                 )
                 .repartition(int(cpus))
                 .write.mode("overwrite")
                 .parquet(path)
             )
-            docs = spark.read.parquet(path)
+            full = spark.read.parquet(path)
+            docs = full.drop("rep")
             cells = k * 8
             census = simsearch.centroid_assign(docs, k=cells).select(
                 "centroid_id", "n_assigned"
@@ -233,6 +292,32 @@ def main() -> None:
                 "dups": int(dups),
             }
             print(f"semdedup x{k}: {semres[f'x{k}']}", file=sys.stderr)
+
+            # -- x55 decontamination: FIXED benchmark set, growing corpus.
+            # Production shape: the eval benchmark does not grow with the
+            # corpus.  Keep only replica 0's label-9 rows as the bench
+            # side; the corpus side is every replica's label<>9 rows, so
+            # the broadcast matrix is constant and total work is one scan
+            # of the growing corpus (exponent ~1).
+            dec_in = full.where(
+                (F.col("label") != 9) | (F.col("rep") == 0)
+            ).drop("rep")
+            n_corpus = dec_in.where(F.col("label") != 9).count()
+            hits = simsearch.semantic_contamination(
+                dec_in, bench_label=9, threshold=0.40
+            )
+            decres[f"x{k}"] = {
+                "corpus_rows": n_corpus,
+                "hits": hits.count(),
+                "decontam_seconds": timed(
+                    lambda: run(
+                        simsearch.semantic_contamination(
+                            dec_in, bench_label=9, threshold=0.40
+                        )
+                    )
+                ),
+            }
+            print(f"decontam x{k}: {decres[f'x{k}']}", file=sys.stderr)
     finally:
         shutil.rmtree(work2, ignore_errors=True)
 
@@ -257,8 +342,8 @@ def main() -> None:
         .select("c_custkey", "c_name")
     )
     edres: dict[str, dict] = {}
-    tags = ["AAA", "BBB", "CCC", "DDD"]
-    for k in (1, 2, 4):
+    tags = ["AAA", "BBB", "CCC", "DDD", "EEE", "FFF", "GGG", "HHH", "III", "JJJ"]
+    for k in KS:
         rep = spark.range(k).select(F.col("id").alias("rep"))
         tag = F.lit(tags[0])
         for i in range(1, k):
@@ -282,43 +367,43 @@ def main() -> None:
         }
         print(f"editjoin x{k}: {edres[f'x{k}']}", file=sys.stderr)
 
-    r1, r4 = results["x1"], results["x4"]
-    s1, s4 = semres["x1"], semres["x4"]
+    def exponents(per_scale: dict, keys: tuple) -> dict:
+        return {
+            m: _fit_exponent(
+                {k: per_scale[f"x{k}"][m] for k in KS if f"x{k}" in per_scale}
+            )
+            for m in keys
+        }
+
     out = {
-        "metric": "scale_growth",
+        "metric": "scale_growth_10x",
         "base_docs": n_base,
+        "ks": list(KS),
         "per_scale": results,
-        "work_factor_x4": {
-            "cand_pairs": round(r4["cand_pairs"] / max(r1["cand_pairs"], 1), 2),
-            "verified_pairs": round(
-                r4["verified_pairs"] / max(r1["verified_pairs"], 1), 2
+        "lsh_exponents": exponents(
+            results,
+            (
+                "cand_pairs",
+                "verified_pairs",
+                "n_pairs",
+                "lsh_seconds",
+                "cc_seconds",
+                "keep_best_seconds",
+                "n_clusters",
             ),
-            "max_bucket": round(r4["max_bucket"] / max(r1["max_bucket"], 1), 2),
-        },
-        "time_factor_x4": round(r4["lsh_seconds"] / r1["lsh_seconds"], 2),
+        ),
         "semdedup_per_scale": semres,
-        "semdedup_factor_x4": {
-            "cell_pairs": round(s4["cell_pairs"] / max(s1["cell_pairs"], 1), 2),
-            "max_cell": round(s4["max_cell"] / max(s1["max_cell"], 1), 2),
-            "dups": round(s4["dups"] / max(s1["dups"], 1), 2),
-        },
+        "semdedup_exponents": exponents(
+            semres, ("cell_pairs", "max_cell", "dups")
+        ),
+        "decontam_per_scale": decres,
+        "decontam_exponents": exponents(
+            decres, ("corpus_rows", "hits", "decontam_seconds")
+        ),
         "editjoin_per_scale": edres,
-        "editjoin_factor_x4": {
-            "cand_pairs": round(
-                edres["x4"]["cand_pairs"]
-                / max(edres["x1"]["cand_pairs"], 1),
-                2,
-            ),
-            "verified_pairs": round(
-                edres["x4"]["verified_pairs"]
-                / max(edres["x1"]["verified_pairs"], 1),
-                2,
-            ),
-            "cand_per_verified_x1_vs_x4": [
-                edres["x1"]["cand_per_verified"],
-                edres["x4"]["cand_per_verified"],
-            ],
-        },
+        "editjoin_exponents": exponents(
+            edres, ("cand_pairs", "verified_pairs")
+        ),
     }
     print(json.dumps(out, separators=(",", ":")))
 

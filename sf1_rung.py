@@ -1,0 +1,162 @@
+#!/usr/bin/env python
+"""The 10x scale rung: build an SF1 dataset (6M-row lineitem -- the
+reference's exact SF1 row count, BASELINE.md:17) and time the headline
+queries on it.
+
+The driver ships sf0.001/0.01/0.1 only, so SF1 is derived here by 10-fold
+replication of sf0.1 with per-replica decorrelation, preserving schema,
+per-table distributions, and join integrity:
+
+* fact/dim keys get a per-replica offset (joins stay 1:N exactly as at
+  sf0.1 -- each replica is a self-contained star);
+* documents.text goes through a per-replica bijective letter permutation
+  (rotation of a 10-letter alphabet): within-replica duplicate structure
+  is preserved exactly, cross-replica shingle overlap vanishes;
+* embeddings are component-rotated (orthogonal transform: within-replica
+  cosines bit-identical, cross-replica cosines scrambled).
+
+Output dir: ./testdata_sf1 (gitignored, ~150 MB).  One JSON line to
+stdout with median-of-warm-runs timings for q01/q02/q05/q12 at SF1.
+
+Run: python sf1_rung.py            (builds if absent, then times)
+     python sf1_rung.py --rebuild  (force rebuild)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+K = 10
+OFF = 100_000_000
+ALPHA = "aeiousrtln"  # 10 frequent letters -> 10 distinct rotations
+SF1_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "testdata_sf1")
+TIMED = ("q01_full_scan", "q02_projection", "q05_min_max_metadata", "q12_groupby_agg")
+
+
+def build(spark, src_dir: str) -> None:
+    from pyspark.sql import functions as F
+
+    os.makedirs(SF1_DIR, exist_ok=True)
+    rep = spark.range(K).select(F.col("id").alias("rep"))
+
+    def replicate(name, key_cols=(), n_files=8, transform=None):
+        df = spark.read.parquet(f"{src_dir}/{name}.parquet")
+        out = df.crossJoin(rep)
+        for c in key_cols:
+            dt = df.schema[c].dataType.simpleString()
+            out = out.withColumn(
+                c, (F.col(c) + F.col("rep") * OFF).cast(dt)
+            )
+        if transform is not None:
+            out = transform(out)
+        (
+            out.drop("rep")
+            .repartition(n_files)
+            .write.mode("overwrite")
+            .parquet(f"{SF1_DIR}/{name}.parquet")
+        )
+
+    def rotate_text(out):
+        expr = F.col("text")
+        for i in range(1, K):
+            rot = ALPHA[i:] + ALPHA[:i]
+            expr = F.when(
+                F.col("rep") == i, F.translate(F.col("text"), ALPHA, rot)
+            ).otherwise(expr)
+        return out.withColumn("text", expr)
+
+    def roll_vec(out):
+        expr = F.col("embedding")
+        for i in range(1, K):
+            r = (i * 7) % 64
+            expr = F.when(
+                F.col("rep") == i,
+                F.expr(
+                    f"concat(slice(embedding, {r + 1}, {64 - r}), "
+                    f"slice(embedding, 1, {r}))"
+                ).cast(out.schema["embedding"].dataType.simpleString()),
+            ).otherwise(expr)
+        return out.withColumn("embedding", expr)
+
+    replicate("lineitem", ("l_orderkey", "l_partkey", "l_suppkey"), 32)
+    replicate("orders", ("o_orderkey", "o_custkey"), 16)
+    replicate("customer", ("c_custkey",), 4)
+    replicate("part", ("p_partkey",), 4)
+    replicate("supplier", ("s_suppkey",), 2)
+    replicate("events", ("event_id", "user_id"), 16)
+    replicate("documents", ("doc_id",), 4, transform=rotate_text)
+    replicate("embeddings", ("vec_id",), 4, transform=roll_vec)
+    for small in ("nation", "region"):
+        df = spark.read.parquet(f"{src_dir}/{small}.parquet")
+        df.coalesce(1).write.mode("overwrite").parquet(
+            f"{SF1_DIR}/{small}.parquet"
+        )
+
+
+def main() -> None:
+    src_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from conecta_spark.queries import REGISTRY, _load_extensions
+    from conecta_spark.session import get_session
+
+    _load_extensions()
+    spark = get_session(
+        app_name="conecta-spark-sf1",
+        master=f"local[{cpus}]",
+        extra_conf={
+            "spark.sql.shuffle.partitions": cpus,
+            "spark.ui.enabled": "false",
+            "spark.driver.memory": "24g",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    marker = os.path.join(SF1_DIR, "lineitem.parquet", "_SUCCESS")
+    if "--rebuild" in sys.argv or not os.path.exists(marker):
+        t0 = time.perf_counter()
+        build(spark, src_dir)
+        print(
+            f"built SF1 in {time.perf_counter() - t0:.1f}s", file=sys.stderr
+        )
+
+    n_lineitem = spark.read.parquet(f"{SF1_DIR}/lineitem.parquet").count()
+
+    def run(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    timings = {}
+    for name in TIMED:
+        fn = REGISTRY[name].fn
+        runs = []
+        for _ in range(5):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            run(fn(spark, SF1_DIR))
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(sorted(runs[1:])), 3)
+        print(f"{name}: median {timings[name]}s runs={runs}", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "sf1_rung",
+                "lineitem_rows": n_lineitem,
+                "timings_sec": timings,
+                "reference_sf1_scan_sec": 1.796,  # BASELINE.md:17
+                "scan_vs_reference": round(
+                    timings["q01_full_scan"] / 1.796, 2
+                ),
+            },
+            separators=(",", ":"),
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
