@@ -20,10 +20,15 @@ offsets and a per-replica ROTATION of a 10-letter alphabet
 the original's internal duplicate structure EXACTLY (equal texts stay
 equal, shingle sets map bijectively) while any shingle containing one of
 those ten frequent letters differs across replicas -- replicas never
-near-collide.  A scale-correct pipeline therefore does exactly k times
-the 1x work; a bucket-degenerate one shows pair counts growing faster
-than k.  Embedding replicas are component rotations (orthogonal: within-
-replica cosines bit-identical, cross-replica cosines scrambled).
+near-collide at the Jaccard threshold.  A scale-correct pipeline
+therefore VERIFIES exactly k times the 1x pairs.  (Letter-free shingles
+-- digits, punctuation -- are rotation-invariant, so their doc families
+span all k replicas and their raw band-bucket cohorts grow k-fold: raw
+candidate counts fit superlinear BY CONSTRUCTION at large k, and the
+skew filter + size-gated verify absorbing that inflation back to linear
+verified work is precisely the property under test.)  Embedding
+replicas are component rotations (orthogonal: within-replica cosines
+bit-identical, cross-replica cosines scrambled).
 
 Covered: x07 (MinHash LSH), x26 (connected components), x50 (keep-best),
 x54 (semantic dedup), x55 (decontamination, fixed benchmark set), x66

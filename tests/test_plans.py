@@ -210,3 +210,28 @@ def test_corpus_pipeline_two_shuffles_no_python(spark, sf):
     p = plan(REGISTRY["x37_corpus_pipeline"].fn(spark, sf))
     assert node_count(p, "Exchange") == 2
     assert "Python" not in p
+
+
+def test_ann_metric_panel_broadcasts_and_never_cartesians(spark, sf):
+    """x13/x14's exact-reference half: the 5-query panel joins the corpus
+    as a BROADCAST nested loop (panel side is 5 rows), never a
+    CartesianProduct, and the per-query ranking window partitions on
+    query_id (no single-partition global window)."""
+    from conecta_spark.operators.simsearch import _exact_topk_panel
+    from conecta_spark.queries import t
+
+    p = plan(_exact_topk_panel(t(spark, sf, "embeddings"), "l2"))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
+def test_x09_exact_pairs_size_band_in_join(spark, sf):
+    """x09's exact-reference half is the deliberate quadratic baseline
+    (broadcast nested loop over the bounded slice) -- but it must be the
+    BROADCAST form, and the theorem-based size band must sit in the join
+    condition, not a post-filter."""
+    qd = REGISTRY["x09_dedup_minhash_ml"]
+    df = qd.fn(spark, sf)
+    p = plan(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p
