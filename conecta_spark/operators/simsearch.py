@@ -583,6 +583,19 @@ def _with_recall_flag(
     )
 
 
+def _present_panel_ids(df: DataFrame) -> list[int]:
+    """The panel ids that actually exist as valid vectors -- pathological
+    corpora (missing/NaN query vectors) degrade the panel, never crash
+    the ml path (same contract as the empty-input guards)."""
+    return sorted(
+        r[0]
+        for r in valid_vectors(df)
+        .where(F.col("vec_id").isin(*ANN_QUERY_IDS))
+        .select("vec_id")
+        .collect()
+    )
+
+
 _DUCK_PANEL = (
     "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
     "q AS (SELECT vec_id AS query_id, v AS qv FROM e "
@@ -611,7 +624,7 @@ def x13_brp_ml(spark, sf_dir) -> DataFrame:
             .select("vec_id")
             .collect()
         ]
-        for qid in ANN_QUERY_IDS
+        for qid in _present_panel_ids(emb)
     }
     return _with_recall_flag(_exact_topk_panel(emb, "l2"), ann, 0.6)
 
@@ -644,7 +657,7 @@ def x14_ivf_ml(spark, sf_dir) -> DataFrame:
                 .select("vec_id")
                 .collect()
             ]
-            for qid in ANN_QUERY_IDS
+            for qid in _present_panel_ids(emb)
         }
     finally:
         index.unpersist()
