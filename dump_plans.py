@@ -121,7 +121,12 @@ SHOWCASE: list[tuple[str, str]] = [
         "pure equi-join on (gram, occurrence) labels with a broadcast "
         "gram-frequency table; short-string pool joins on exploded "
         "length keys; no CartesianProduct or BroadcastNestedLoopJoin "
-        "anywhere; verify is bounded levenshtein on candidates only.",
+        "anywhere; verify is bounded levenshtein on candidates only.  "
+        "The `Scan ExistingRDD` leaves are the prefix-label relation "
+        "materialized by the eager localCheckpoint (r6: replaces the "
+        "leaking persist); its upstream pipeline -- gram explode, "
+        "broadcast frequency attach, per-string ranking window -- runs "
+        "once at build time and is pinned by tests/test_stringsim.py.",
     ),
 ]
 
