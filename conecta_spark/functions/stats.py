@@ -72,8 +72,13 @@ def x24_percentiles(spark, sf_dir) -> DataFrame:
 )
 def x25_sketches(spark, sf_dir) -> DataFrame:
     e = t(spark, sf_dir, "events")
-    agg = e.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("exact_users"),
+    # Two aggregation passes joined on the 5-row group key, NOT one: a
+    # distinct aggregate in the same Aggregate as the sketches forces
+    # Catalyst's Expand-based multi-phase plan, which drags the KLL/HLL
+    # sketch buffers through the expanded row stream (measured 3.6-5.5 s
+    # at sf0.1 vs 0.2 s per single-purpose pass).  Separated, each pass
+    # is a single partial-combining aggregate and the join is broadcast.
+    sk = e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.01).alias("au"),
         F.expr("percentile(value, 0.95)").alias("ep"),
         F.expr("approx_percentile(value, 0.95, 10000)").alias("ap"),
@@ -81,6 +86,10 @@ def x25_sketches(spark, sf_dir) -> DataFrame:
         F.min("value").alias("mn"),
         F.count(F.lit(1)).alias("n_events"),
     )
+    ex = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    agg = sk.join(F.broadcast(ex), "event_type")
     return agg.select(
         "event_type",
         F.col("exact_users").cast("long").alias("exact_users"),

@@ -778,6 +778,14 @@ def x08_simhash(spark, sf_dir) -> DataFrame:
 # extras can only come from rare HashingTF bucket collisions).
 # The |len_a - len_b| size band in the pair join is a theorem, not a
 # heuristic: J >= 0.5 forces 2*min(|A|,|B|) >= max(|A|,|B|).
+#
+# The acceptance corpus is the first X09_SLICE docs -- the ENTIRE sf0.01
+# correctness-gate corpus (500 docs), so the driver row is a full-corpus
+# check there; at bench scale it bounds the deliberately-quadratic exact
+# reference (the same reasoning as BASELINE_SLICE, but tighter because
+# the unblocked word-shingle BNLJ costs ~25x x06's lang+length-blocked
+# form: 2000 docs measured 97 s at sf0.1, 500 docs ~6 s).
+X09_SLICE = 500
 _X09_ORACLE = (
     f"WITH sh AS (SELECT doc_id, {duck_word_shingles('text', 3)} AS sh "
     f" FROM documents WHERE doc_id < {{slice}}), "
@@ -793,7 +801,7 @@ _X09_ORACLE = (
 
 @register(
     "x09_dedup_minhash_ml",
-    _X09_ORACLE.format(slice=BASELINE_SLICE),
+    _X09_ORACLE.format(slice=X09_SLICE),
     "scale-path MinHashLSH (ml approxSimilarityJoin), metric-oracled: "
     "exact word-3-gram Jaccard>=0.5 pairs cross-checked by DuckDB + "
     "measured pair recall/precision acceptance flags",
@@ -801,7 +809,7 @@ _X09_ORACLE = (
 def x09_minhash_ml(spark, sf_dir) -> DataFrame:
     from pyspark.sql.window import Window
 
-    docs = t(spark, sf_dir, "documents").where(F.col("doc_id") < BASELINE_SLICE)
+    docs = t(spark, sf_dir, "documents").where(F.col("doc_id") < X09_SLICE)
     ml_pairs = [
         (r.doc_a, r.doc_b)
         for r in minhash_lsh_ml(docs, threshold=0.5)
