@@ -48,6 +48,11 @@ from pyspark.sql import functions as F
 
 from ..queries import register, t
 
+#: At most one cached prefix-label relation per session: each
+#: _qgram_candidates call evicts its predecessor's persist (r5 advice --
+#: repeated invocations otherwise accumulate CacheManager entries).
+_LIVE_PREFIX: list = []
+
 
 def _del1_signatures_expr(col: str) -> str:
     """Spark SQL array: ``col`` plus every single-character deletion."""
@@ -230,6 +235,22 @@ def _qgram_candidates(
     DISTINCT (id_a, id_b) candidate pairs awaiting verification.  Split
     out so scale_bench.py can meter blocking precision (candidates vs
     verified) without a second pipeline."""
+    # Generation-over-generation cache hygiene (the connected_components
+    # pattern, r5 advice): evict the PREVIOUS invocation's prefix
+    # relation so repeated calls in one session hold at most one cached
+    # copy.  Two traps measured while landing this: an eager
+    # localCheckpoint self-releases on GC but materializes the relation
+    # as a row-format RDD and blinds AQE for the self-join (1.7s ->
+    # 4.2s); and evicting AFTER the new persist() silently uncaches the
+    # new relation too -- the CacheManager dedupes canonically-equal
+    # plans, so the old entry IS the new entry (1.7s -> 9.4s, both
+    # join sides replanning the gram pipeline).  Evict first, then
+    # persist.
+    while _LIVE_PREFIX:
+        try:
+            _LIVE_PREFIX.pop().unpersist()
+        except Exception:
+            pass
     if threshold < 1:
         raise ValueError("threshold must be >= 1")
     d = threshold
@@ -292,12 +313,9 @@ def _qgram_candidates(
             )
         ).alias("pp"),
         # both self-join sides would replan the gram pipeline (AQE never
-        # reuses exchanges across them -- the x07/x53 lesson); eager
-        # localCheckpoint instead of persist() so the cached blocks are
-        # released when this DataFrame is GC'd (persist() entries live in
-        # the CacheManager for the session -- bench reruns each entry up
-        # to 6x and would accumulate them)
-    ).localCheckpoint(eager=True)
+        # reuses exchanges across them -- the x07/x53 lesson)
+    ).persist()
+    _LIVE_PREFIX.append(prefix)
     if sig_count_cap is not None:
         ok = (
             prefix.groupBy("pp")
