@@ -214,3 +214,63 @@ def test_sig_count_cap_bounds_templated_blowup(spark):
     assert (100, 101) in capped_pairs
     # and the quadratic cohort is actually bounded
     assert len(capped_pairs) < len(exact_pairs) / 2
+
+
+def test_labeled_occurrences_pandas_matches_golden_expr(spark):
+    """The O(L) Arrow-batched labeling must be value-identical to the
+    golden O(L^2) SQL definition (_labeled_grams_expr) it replaced on
+    the hot path -- repeated grams, unicode, and minimum-length strings
+    included."""
+    from pyspark.sql import functions as F
+
+    from conecta_spark.operators.stringsim import (
+        _labeled_grams_expr,
+        _labeled_occurrences_pandas,
+    )
+
+    rows = [
+        (1, "0000000"),       # one gram, many occurrences
+        (2, "abcabcabc"),     # period-3 repeats
+        (3, "ab"),            # exactly q grams at q=2 -> single gram
+        (4, "naïve café"),   # multi-byte codepoints
+        (5, "xyxyxyxyzzz"),
+        (6, "a b a b a"),
+    ]
+    df = (
+        spark.createDataFrame(rows, "id long, s string")
+        .withColumn("len", F.length("s"))
+    )
+    golden = (
+        df.select(
+            "id", "len", F.explode(F.expr(_labeled_grams_expr("s", 2))).alias("gk")
+        )
+        .select("id", "len", F.col("gk.g").alias("g"), F.col("gk.k").alias("k"))
+    )
+    fast = _labeled_occurrences_pandas(df, 2)
+    g = sorted(map(tuple, golden.collect()))
+    f = sorted(map(tuple, fast.collect()))
+    assert g == f
+
+
+def test_gram_backends_agree_end_to_end(spark):
+    """Both gram backends must produce the identical edit-distance join
+    result (the backend only changes WHERE the labeling runs)."""
+    from conecta_spark.operators.stringsim import edit_distance_join_qgram
+
+    rows = [(i, f"Customer#{i:09d}") for i in range(1, 120)] + [
+        (200, "a ridiculously longer string that exercises the gram tail"),
+        (201, "a ridiculously longer string that exercises the gram tai1"),
+    ]
+    df = spark.createDataFrame(rows, "id long, s string")
+    a = sorted(
+        map(tuple, edit_distance_join_qgram(df, "s", "id", 2).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            edit_distance_join_qgram(
+                df, "s", "id", 2, gram_backend="pandas"
+            ).collect(),
+        )
+    )
+    assert a == b and len(a) > 0
