@@ -37,11 +37,11 @@ SF1_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "testdata_sf1
 TIMED = ("q01_full_scan", "q02_projection", "q05_min_max_metadata", "q12_groupby_agg")
 
 
-def build(spark, src_dir: str) -> None:
+def build(spark, src_dir: str, k: int = K, out_dir: str = SF1_DIR) -> None:
     from pyspark.sql import functions as F
 
-    os.makedirs(SF1_DIR, exist_ok=True)
-    rep = spark.range(K).select(F.col("id").alias("rep"))
+    os.makedirs(out_dir, exist_ok=True)
+    rep = spark.range(k).select(F.col("id").alias("rep"))
 
     def replicate(name, key_cols=(), n_files=8, transform=None):
         df = spark.read.parquet(f"{src_dir}/{name}.parquet")
@@ -57,12 +57,12 @@ def build(spark, src_dir: str) -> None:
             out.drop("rep")
             .repartition(n_files)
             .write.mode("overwrite")
-            .parquet(f"{SF1_DIR}/{name}.parquet")
+            .parquet(f"{out_dir}/{name}.parquet")
         )
 
     def rotate_text(out):
         expr = F.col("text")
-        for i in range(1, K):
+        for i in range(1, k):
             rot = ALPHA[i:] + ALPHA[:i]
             expr = F.when(
                 F.col("rep") == i, F.translate(F.col("text"), ALPHA, rot)
@@ -71,7 +71,7 @@ def build(spark, src_dir: str) -> None:
 
     def roll_vec(out):
         expr = F.col("embedding")
-        for i in range(1, K):
+        for i in range(1, k):
             r = (i * 7) % 64
             expr = F.when(
                 F.col("rep") == i,
@@ -93,7 +93,7 @@ def build(spark, src_dir: str) -> None:
     for small in ("nation", "region"):
         df = spark.read.parquet(f"{src_dir}/{small}.parquet")
         df.coalesce(1).write.mode("overwrite").parquet(
-            f"{SF1_DIR}/{small}.parquet"
+            f"{out_dir}/{small}.parquet"
         )
 
 
