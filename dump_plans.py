@@ -122,11 +122,12 @@ SHOWCASE: list[tuple[str, str]] = [
         "gram-frequency table; short-string pool joins on exploded "
         "length keys; no CartesianProduct or BroadcastNestedLoopJoin "
         "anywhere; verify is bounded levenshtein on candidates only.  "
-        "The `Scan ExistingRDD` leaves are the prefix-label relation "
-        "materialized by the eager localCheckpoint (r6: replaces the "
-        "leaking persist); its upstream pipeline -- gram explode, "
-        "broadcast frequency attach, per-string ranking window -- runs "
-        "once at build time and is pinned by tests/test_stringsim.py.",
+        "The InMemoryTableScan leaves are the persisted prefix-label "
+        "relation (one cached copy per session -- each call evicts its "
+        "predecessor's; r6) feeding both self-join sides; its pipeline "
+        "-- gram labeling, broadcast frequency attach, per-string "
+        "ranking window -- is visible in the cached-relation child "
+        "plan and pinned by tests/test_stringsim.py.",
     ),
 ]
 
