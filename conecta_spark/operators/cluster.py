@@ -106,75 +106,69 @@ def connected_components(
             rows, "doc_id long, cluster_id long"
         )
 
-    # Size the per-round shuffles from the MEASURED edge count (already
-    # paid for by the branch decision): a small frontier hashed over the
-    # session's full shuffle width pays per-task scheduler overhead times
-    # partitions times rounds -- measured 6.2s -> 4.6s at 2.5k edges by
-    # narrowing 32 -> 4.  A 100 TB edge list keeps the session width
-    # (n_edges // 25k dominates).  Restored in the finally below.
-    spark = edges.sparkSession
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    parts = max(4, min(int(old_parts), n_edges // 25_000 + 1))
-    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
-
-    try:
-        labels = (
-            sym.select(F.col("u").alias("vertex"))
-            .distinct()
-            .withColumn("label", F.col("vertex"))
+    # Deliberately NOT narrowing spark.sql.shuffle.partitions to the
+    # measured edge count: a quiet-host experiment showed 6.2s -> 4.6s at
+    # 2.5k edges with 4 partitions, but under concurrent load the narrow
+    # stages are hostage to single stragglers (measured bimodal 11s/40s
+    # in the bench), and at production scale (>1M edges, the only time
+    # this branch runs un-forced) the narrowed count equals the session
+    # width anyway.  AQE's partition coalescing handles the reducer side
+    # without shrinking the straggler-hiding map width.
+    labels = (
+        sym.select(F.col("u").alias("vertex"))
+        .distinct()
+        .withColumn("label", F.col("vertex"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    for _ in range(max_iter):
+        # min over self, neighbors' labels, and label's label
+        # (pointer jump)
+        neighbor = sym.join(labels, sym.v == labels.vertex).select(
+            F.col("u").alias("vertex"), "label"
+        )
+        jump = (
+            labels.alias("l1")
+            .join(
+                labels.alias("l2"),
+                F.col("l1.label") == F.col("l2.vertex"),
+            )
+            .select(F.col("l1.vertex").alias("vertex"), F.col("l2.label"))
+        )
+        new_labels = (
+            labels.select("vertex", "label")
+            .union(neighbor)
+            .union(jump)
+            .groupBy("vertex")
+            .agg(F.min("label").alias("label"))
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        for _ in range(max_iter):
-            # min over self, neighbors' labels, and label's label
-            # (pointer jump)
-            neighbor = sym.join(labels, sym.v == labels.vertex).select(
-                F.col("u").alias("vertex"), "label"
-            )
-            jump = (
-                labels.alias("l1")
-                .join(
-                    labels.alias("l2"),
-                    F.col("l1.label") == F.col("l2.vertex"),
-                )
-                .select(F.col("l1.vertex").alias("vertex"), F.col("l2.label"))
-            )
-            new_labels = (
-                labels.select("vertex", "label")
-                .union(neighbor)
-                .union(jump)
-                .groupBy("vertex")
-                .agg(F.min("label").alias("label"))
-                .persist(StorageLevel.MEMORY_AND_DISK)
-            )
-            # Full count (no limit): the action must touch every partition
-            # so new_labels is fully cached before the old generation is
-            # dropped.
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "vertex")
-                .where(F.col("n.label") != F.col("o.label"))
-                .count()
-            )
-            labels.unpersist()
-            labels = new_labels
-            if changed == 0:
-                break
-        else:
-            # max_iter rounds without convergence: labels may still split
-            # true components.  Pointer jumping converges in O(log
-            # diameter) rounds, so hitting this means a pathological graph
-            # -- surface it instead of returning silently-wrong clusters.
-            import logging
+        # Full count (no limit): the action must touch every partition
+        # so new_labels is fully cached before the old generation is
+        # dropped.
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "vertex")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        # max_iter rounds without convergence: labels may still split
+        # true components.  Pointer jumping converges in O(log
+        # diameter) rounds, so hitting this means a pathological graph
+        # -- surface it instead of returning silently-wrong clusters.
+        import logging
 
-            logging.getLogger(__name__).warning(
-                "connected_components: not converged after %d rounds "
-                "(%d labels still changing); components may be split. "
-                "Raise max_iter for high-diameter graphs.",
-                max_iter,
-                changed,
-            )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+        logging.getLogger(__name__).warning(
+            "connected_components: not converged after %d rounds "
+            "(%d labels still changing); components may be split. "
+            "Raise max_iter for high-diameter graphs.",
+            max_iter,
+            changed,
+        )
     sym.unpersist()
     return labels.select(
         F.col("vertex").alias("doc_id"), F.col("label").alias("cluster_id")
