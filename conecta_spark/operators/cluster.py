@@ -120,11 +120,25 @@ def connected_components(
         .withColumn("label", F.col("vertex"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # `labels` is a projection over the cached generation from round 2 on;
+    # unpersisting the projection would be a CacheManager no-op, so the
+    # handle to the actually-persisted relation is kept separately.
+    cached_gen = labels
     for _ in range(max_iter):
         # min over self, neighbors' labels, and label's label
-        # (pointer jump)
+        # (pointer jump).  The self branch is tagged so the aggregate can
+        # carry each vertex's OLD label alongside the new minimum: the
+        # convergence check is then a filter-count over the just-cached
+        # relation -- one job, zero joins -- instead of the extra
+        # shuffle-join-per-round it used to be.  (min(CASE self) is exact:
+        # every vertex has exactly one self row per round.)
+        self_rows = labels.select(
+            "vertex", "label", F.lit(1).alias("is_self")
+        )
         neighbor = sym.join(labels, sym.v == labels.vertex).select(
-            F.col("u").alias("vertex"), "label"
+            F.col("u").alias("vertex"),
+            "label",
+            F.lit(0).alias("is_self"),
         )
         jump = (
             labels.alias("l1")
@@ -132,27 +146,34 @@ def connected_components(
                 labels.alias("l2"),
                 F.col("l1.label") == F.col("l2.vertex"),
             )
-            .select(F.col("l1.vertex").alias("vertex"), F.col("l2.label"))
+            .select(
+                F.col("l1.vertex").alias("vertex"),
+                F.col("l2.label"),
+                F.lit(0).alias("is_self"),
+            )
         )
-        new_labels = (
-            labels.select("vertex", "label")
-            .union(neighbor)
+        new_gen = (
+            self_rows.union(neighbor)
             .union(jump)
             .groupBy("vertex")
-            .agg(F.min("label").alias("label"))
+            .agg(
+                F.min("label").alias("label"),
+                F.min(
+                    F.when(F.col("is_self") == 1, F.col("label"))
+                ).alias("old_label"),
+            )
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         # Full count (no limit): the action must touch every partition
-        # so new_labels is fully cached before the old generation is
-        # dropped.
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "vertex")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+        # so new_gen is fully cached before the old generation is
+        # dropped; the filter makes the same pass double as the
+        # convergence check.
+        changed = new_gen.where(
+            F.col("label") != F.col("old_label")
+        ).count()
+        cached_gen.unpersist()
+        cached_gen = new_gen
+        labels = new_gen.select("vertex", "label")
         if changed == 0:
             break
     else:
