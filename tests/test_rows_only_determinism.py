@@ -1,8 +1,13 @@
-"""Rows-only registry entries (no DuckDB oracle: ml internals, binary
-plumbing, engine-specific sketches) get only a row-count check from the
-driver.  The strongest local substitute is reproducibility: the same query
-twice in one session must return the identical row multiset -- seeded LSH /
-KMeans, no time- or partition-order-dependence.
+"""Determinism of the seeded-ml metric-oracle entries.
+
+Through r5 this file checked the rows-only entries (no DuckDB oracle);
+as of r6 every entry is oracled, and the former rows-only set
+(x09/x13/x14) carries acceptance flags measured against seeded ml paths
+(MinHashLSH, BRP-LSH, KMeans).  Those flags are only trustworthy if the
+ml side is deterministic per corpus: the same query twice in one session
+must return the identical row multiset -- seeded hash families, no time-
+or partition-order-dependence.  A nondeterministic ml path would make a
+driver row flicker red across rounds with no code change.
 """
 
 from __future__ import annotations
@@ -13,7 +18,11 @@ from conecta_spark.queries import REGISTRY, _load_extensions
 
 _load_extensions()
 
-_ROWS_ONLY = [n for n, q in REGISTRY.items() if q.oracle is None]
+_SEEDED_ML = [
+    "x09_dedup_minhash_ml",
+    "x13_ann_brp_ml",
+    "x14_ann_ivf_ml",
+]
 
 
 def _multiset(df):
@@ -22,8 +31,8 @@ def _multiset(df):
     return Counter(tuple(r) for r in df.collect())
 
 
-@pytest.mark.parametrize("name", _ROWS_ONLY)
-def test_rows_only_query_is_deterministic(name, spark, oracle_dir):
+@pytest.mark.parametrize("name", _SEEDED_ML)
+def test_seeded_ml_entry_is_deterministic(name, spark, oracle_dir):
     a = _multiset(REGISTRY[name].fn(spark, oracle_dir))
     b = _multiset(REGISTRY[name].fn(spark, oracle_dir))
     assert a == b, f"{name} differs between two runs in one session"
