@@ -225,13 +225,16 @@ def test_ann_metric_panel_broadcasts_and_never_cartesians(spark, sf):
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
 
 
-def test_x09_exact_pairs_size_band_in_join(spark, sf):
-    """x09's exact-reference half is the deliberate quadratic baseline
-    (broadcast nested loop over the bounded slice) -- but it must be the
-    BROADCAST form, and the theorem-based size band must sit in the join
-    condition, not a post-filter."""
+def test_x09_exact_pairs_inverted_index(spark, sf):
+    """x09's exact-reference half is an inverted-index EQUI-join on the
+    exploded shingle (candidate generation bounded by true shingle
+    co-occurrence, never |docs|^2): no nested-loop operator anywhere,
+    and the per-pair intersection count is a hash/sort aggregate over
+    the join output, not an array-intersect over enumerated pairs."""
     qd = REGISTRY["x09_dedup_minhash_ml"]
     df = qd.fn(spark, sf)
     p = plan(df)
     assert "CartesianProduct" not in p
-    assert "BroadcastNestedLoopJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Join" in p  # the shingle equi-join survives optimization
+    assert "Aggregate" in p  # per-pair shared-shingle count
