@@ -59,8 +59,10 @@ def connected_components(
     * **large graph**: iterative min-label propagation with pointer
       jumping.  Each round takes the min over neighbors' labels AND the
       label's own label (path halving), so rounds ~ log(diameter) rather
-      than diameter; each round is two shuffle-joins of skinny relations,
-      re-persisted generation over generation.
+      than diameter; both hops ride ONE shuffle-join per round (the jump
+      is propagation over synthetic (u -> label(u)) edges unioned into
+      the edge relation map-side), re-persisted generation over
+      generation.
     """
     # Symmetrize in ONE pass over the edge relation (explode of the forward
     # + reversed struct).  A self-union would reference `edges` twice and
@@ -135,26 +137,22 @@ def connected_components(
         self_rows = labels.select(
             "vertex", "label", F.lit(1).alias("is_self")
         )
-        neighbor = sym.join(labels, sym.v == labels.vertex).select(
+        # Neighbor propagation and the pointer jump are ONE join: the jump
+        # "label(label(u))" is neighbor propagation over the synthetic edge
+        # (u -> label(u)), so appending labels-as-edges to sym (map-side
+        # union of two skinny relations) folds both into a single
+        # |E|+|V|-row shuffle join per round -- one fewer |V|-sized
+        # shuffle join than the two-join form it replaces.
+        hop_edges = sym.union(
+            labels.select(F.col("vertex").alias("u"), F.col("label").alias("v"))
+        )
+        neighbor = hop_edges.join(labels, hop_edges.v == labels.vertex).select(
             F.col("u").alias("vertex"),
             "label",
             F.lit(0).alias("is_self"),
         )
-        jump = (
-            labels.alias("l1")
-            .join(
-                labels.alias("l2"),
-                F.col("l1.label") == F.col("l2.vertex"),
-            )
-            .select(
-                F.col("l1.vertex").alias("vertex"),
-                F.col("l2.label"),
-                F.lit(0).alias("is_self"),
-            )
-        )
         new_gen = (
             self_rows.union(neighbor)
-            .union(jump)
             .groupBy("vertex")
             .agg(
                 F.min("label").alias("label"),
