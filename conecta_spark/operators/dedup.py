@@ -1325,3 +1325,96 @@ def source_overlap(
 )
 def x64_overlap(spark, sf_dir) -> DataFrame:
     return source_overlap(t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# n-gram benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def ngram_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-corpus-document benchmark contamination by exact word ``n``-gram
+    overlap -- the GPT-3-style decontamination check (13-grams there; the
+    window is a parameter because the right n tracks document length), the
+    lexical complement of the embedding-space check in
+    ``simsearch.decontaminate``.  A training document sharing even one
+    long exact n-gram with an eval benchmark leaks that benchmark.
+
+    Returns ``(id_col, n_overlap, contaminated)``: the count of the
+    document's DISTINCT n-grams that appear anywhere in the benchmark, and
+    the boolean flag.  Every corpus document gets a row (zero-overlap
+    documents included -- the output is a corpus filter, not a hit list).
+
+    100 TB shape: a benchmark is small by construction (eval sets are
+    thousands of documents), so its distinct-gram set is one
+    ``F.broadcast`` relation; the corpus side explodes grams map-side,
+    hash-joins against the broadcast in the scan stage, and the only
+    shuffle is the skinny ``(doc_id, count)`` partial aggregate.  The
+    left join back to the corpus id list rides the same doc_id
+    partitioning.  Raw text never shuffles.
+    """
+    grams = F.expr(word_shingles_expr(text_col, n))
+    bench_grams = (
+        benchmark.select(F.explode(grams).alias("g")).distinct()
+    )
+    hits = (
+        corpus.select(F.col(id_col), F.explode(grams).alias("g"))
+        .join(F.broadcast(bench_grams), "g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        corpus.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+            (F.coalesce("n_overlap", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+# The registry entry holds out every 97th document as the stand-in
+# benchmark (deterministic, present at all SFs) and decontaminates the
+# rest of the corpus against it: replicas/near-dups of held-out docs are
+# exactly what n-gram decontamination must catch.  n = 5 on this corpus
+# (docs average 54 words): the measured sweet spot where overlap is
+# dup-driven -- 1/2/20 contaminated docs at sf0.01/0.001/0.1 -- while
+# n = 4 collapses into common-phrase noise (727 docs at sf0.1) and
+# n >= 6 finds nothing at the sf0.01 gate.  Real 1000+-word web corpora
+# want the GPT-3 n = 13; it's a parameter.
+_X68_N = 5
+_X68_ORACLE = (
+    f"WITH bg AS (SELECT DISTINCT unnest({duck_word_shingles('text', _X68_N)}) "
+    "   AS g FROM documents WHERE doc_id % 97 = 0), "
+    f"cg AS (SELECT doc_id, unnest({duck_word_shingles('text', _X68_N)}) AS g "
+    "   FROM documents WHERE doc_id % 97 <> 0), "
+    "hits AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap "
+    "   FROM cg JOIN bg USING (g) GROUP BY doc_id) "
+    "SELECT d.doc_id, CAST(COALESCE(h.n_overlap, 0) AS BIGINT) AS n_overlap, "
+    " COALESCE(h.n_overlap, 0) > 0 AS contaminated "
+    "FROM documents d LEFT JOIN hits h USING (doc_id) "
+    "WHERE d.doc_id % 97 <> 0"
+)
+
+
+@register(
+    "x68_ngram_decontaminate",
+    _X68_ORACLE,
+    "lexical benchmark decontamination: word 5-gram overlap of every "
+    "corpus doc against the held-out benchmark slice (doc_id % 97); "
+    "broadcast benchmark grams, one skinny (doc_id, count) shuffle",
+)
+def x68_ngram_decontaminate(spark, sf_dir) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return ngram_decontaminate(
+        docs.where(F.col("doc_id") % 97 != 0),
+        docs.where(F.col("doc_id") % 97 == 0),
+        n=_X68_N,
+    )

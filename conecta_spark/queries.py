@@ -411,18 +411,22 @@ def _load_extensions() -> None:
 #      x56 (oracle numeric-kind class), x65 (real Structured Streaming
 #      driver row);
 #   4. entries added this round (x67: the distributed label-propagation
-#      CC branch, previously only test-forced);
+#      CC branch, previously only test-forced; x68: n-gram benchmark
+#      decontamination -- its slot comes from demoting x26, whose newest
+#      green row is r5 and whose pair-mining cost x07 already times
+#      in-window);
 #   5. the 37 entries whose latest green driver row is r3 -- two rounds
 #      stale, judge-re-verified green locally in r5, refreshed here so no
 #      oracled entry's newest driver row is older than r4 after this
 #      round;
-#   6. two flagship heavies to keep the LSH/cluster family timed in-window.
+#   6. one flagship heavy to keep the LSH family timed in-window (x26
+#      demoted to make room for x68; its r5 row stands).
 # Everything demoted below slot 50 has a green r4/r5 driver row and stays
 # locally oracle-checked every test run; those rows stand.
 _CORE_SMOKE = ("q01", "q02", "q12")
 _FIX_PROOFS = ("x09", "x13", "x14", "x25")
 _REGRESSION_SENTINELS = ("x16", "x56", "x65")
-_NEW_THIS_ROUND = ("x67",)
+_NEW_THIS_ROUND = ("x67", "x68")
 _STALE_R3_REFRESH = (
     "q03", "q04", "q05", "q06", "q07", "q08", "q09", "q10", "q11",
     "q13", "q14", "q15", "q16", "q24", "q35", "q37",
@@ -430,7 +434,7 @@ _STALE_R3_REFRESH = (
     "x17", "x19", "x20", "x21", "x24", "x27", "x28", "x29", "x30",
     "x31", "x32", "x33",
 )
-_FLAGSHIP_REFRESH = ("x07", "x26")
+_FLAGSHIP_REFRESH = ("x07",)
 _WINDOW = (
     _CORE_SMOKE + _FIX_PROOFS + _REGRESSION_SENTINELS + _NEW_THIS_ROUND
     + _STALE_R3_REFRESH + _FLAGSHIP_REFRESH
@@ -446,7 +450,7 @@ _PRIORITY_TIERS: tuple[tuple[str, ...], ...] = (
     # demote, oldest (none older than r4 after this round) already above
     tuple(f"q{i:02d}" for i in range(17, 69) if f"q{i:02d}" not in _WINDOW),
     tuple(
-        f"x{i:02d}" for i in range(1, 67) if f"x{i:02d}" not in _WINDOW
+        f"x{i:02d}" for i in range(1, 69) if f"x{i:02d}" not in _WINDOW
     ),
 )
 

@@ -457,3 +457,57 @@ class TestQuantizationProperty:
             assert all(-127 <= q <= 127 for q in r.qv)
             for x, q in zip(r.embedding, r.qv):
                 assert abs(x - q * r.scale) <= r.scale / 2 + 1e-12
+
+
+class TestNgramDecontaminate:
+    """x68: lexical benchmark decontamination by exact word n-gram
+    overlap (broadcast benchmark grams, skinny count shuffle)."""
+
+    def _frames(self, spark):
+        bench = spark.createDataFrame(
+            [(1000, "the quick brown fox jumps over the lazy dog tonight")],
+            "doc_id long, text string",
+        )
+        corpus = spark.createDataFrame(
+            [
+                # shares the full 10-word span -> many overlapping 5-grams
+                (1, "prefix words the quick brown fox jumps over the lazy dog tonight"),
+                # shares exactly one 5-gram window
+                (2, "zzz quick brown fox jumps over yyy xxx www vvv"),
+                # no overlap
+                (3, "completely different content with no shared windows at all"),
+            ],
+            "doc_id long, text string",
+        )
+        return corpus, bench
+
+    def test_planted_overlap_flags(self, spark):
+        from conecta_spark.operators.dedup import ngram_decontaminate
+
+        corpus, bench = self._frames(spark)
+        out = {
+            r.doc_id: (r.n_overlap, r.contaminated)
+            for r in ngram_decontaminate(corpus, bench, n=5).collect()
+        }
+        assert out[1][1] and out[2][1] and not out[3][1]
+        # doc 1 embeds the full benchmark text: every one of its 5-gram
+        # windows over the shared 10-word span (6 of them) must count
+        assert out[1][0] >= 6
+        assert out[2][0] == 1
+        assert out[3][0] == 0
+
+    def test_every_corpus_doc_gets_a_row(self, spark):
+        from conecta_spark.operators.dedup import ngram_decontaminate
+
+        corpus, bench = self._frames(spark)
+        assert ngram_decontaminate(corpus, bench, n=5).count() == 3
+
+    def test_empty_benchmark_means_clean_corpus(self, spark):
+        from conecta_spark.operators.dedup import ngram_decontaminate
+
+        corpus, bench = self._frames(spark)
+        out = ngram_decontaminate(
+            corpus, bench.where("doc_id < 0"), n=5
+        ).collect()
+        assert len(out) == 3
+        assert all(not r.contaminated and r.n_overlap == 0 for r in out)

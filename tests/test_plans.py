@@ -238,3 +238,13 @@ def test_x09_exact_pairs_inverted_index(spark, sf):
     assert "BroadcastNestedLoopJoin" not in p
     assert "Join" in p  # the shingle equi-join survives optimization
     assert "Aggregate" in p  # per-pair shared-shingle count
+
+
+def test_x68_decontam_broadcasts_benchmark_grams(spark, sf):
+    """x68: the benchmark gram set joins as a BROADCAST hash join (eval
+    sets are small by construction); no nested-loop operator anywhere and
+    the only wide shuffles carry skinny (doc_id, count) rows."""
+    p = plan(REGISTRY["x68_ngram_decontaminate"].fn(spark, sf))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastExchange" in p
