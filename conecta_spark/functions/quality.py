@@ -460,3 +460,146 @@ def _duck_zq() -> str:
 )
 def x63_zq(spark, sf_dir) -> DataFrame:
     return source_quality_norm(t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition signals (Rae et al. 2021, Table A1's repetition family)
+# ---------------------------------------------------------------------------
+
+
+def _raw_grams(col: str, n: int) -> str:
+    """Spark SQL array of ALL word ``n``-grams (duplicates KEPT -- the
+    repetition signals need occurrence counts, unlike the dedup shingles
+    which are distinct sets)."""
+    toks = rf"split(trim(lower({col})), '\\s+')"
+    return (
+        f"transform(sequence(1, greatest(size({toks})-{n - 1}, 1)), "
+        f"i -> array_join(slice({toks}, i, {n}), ' '))"
+    )
+
+
+def _duck_raw_grams(col: str, n: int) -> str:
+    toks = rf"regexp_split_to_array(trim(lower({col})), '\s+')"
+    return (
+        f"list_transform(range(1, greatest(len({toks})-{n - 1}, 1) + 1), "
+        f"i -> array_to_string(({toks})[i:i+{n - 1}], ' '))"
+    )
+
+
+def _top_gram_char_expr(col: str, n: int) -> str:
+    """max over n-grams of count*len(gram) -- the character mass of the
+    most repeated n-gram.  Sorted-run scan, O(w log w) per doc (the same
+    interpreted-eval-friendly trick as gopher_signals' top_count; the
+    run counter peaks exactly at each run's end, so taking the running
+    max of run*len(x) at every step is exact)."""
+    return (
+        f"aggregate(array_sort({_raw_grams(col, n)}), "
+        "named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L), "
+        "(acc, x) -> named_struct("
+        " 'prev', x, "
+        " 'run', IF(x <=> acc.prev, acc.run + 1, 1L), "
+        " 'best', greatest(acc.best, "
+        "   IF(x <=> acc.prev, acc.run + 1, 1L) * length(x))), "
+        "acc -> acc.best)"
+    )
+
+
+def _dup_gram_char_expr(col: str, n: int) -> str:
+    """sum over n-grams occurring more than once of count*len(gram) --
+    the character mass sitting in ANY repeated n-gram.  Each run's
+    contribution is flushed when the run ends (or at finish)."""
+    return (
+        f"aggregate(array_sort({_raw_grams(col, n)}), "
+        "named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'acc', 0L), "
+        "(acc, x) -> named_struct("
+        " 'prev', x, "
+        " 'run', IF(x <=> acc.prev, acc.run + 1, 1L), "
+        " 'acc', acc.acc + IF(x <=> acc.prev, 0L, "
+        "   IF(acc.run > 1, acc.run * length(acc.prev), 0L))), "
+        "acc -> acc.acc + IF(acc.run > 1, acc.run * length(acc.prev), 0L))"
+    )
+
+
+#: Gopher Table A1 thresholds for the signals computed here
+_REP_LIMITS = {"top2": 0.20, "top3": 0.18, "top4": 0.16, "dup5": 0.15}
+
+
+def repetition_signals(col: str = "text") -> list[Column]:
+    """Per-document repetition signals in the Gopher style: the fraction
+    of the document's characters sitting in its most frequent {2,3,4}-gram
+    (``count * len(gram) / len(doc)`` -- the standard approximation; the
+    numerator counts every occurrence) and in ALL 5-grams that occur more
+    than once, plus the Table-A1 keep/drop flag.
+
+    100 TB shape: pure per-row expressions -- ZERO shuffle; the signals
+    materialize in the scan stage of whatever pipeline consumes them.
+    Per-doc cost is O(w log w) interpreted lambda steps (the known
+    higher-order-function trap, same budget as gopher_signals; for
+    multi-thousand-word documents an Arrow-batched variant would follow
+    the stringsim gram_backend precedent)."""
+    tl = f"CAST(greatest(length({col}), 1) AS DOUBLE)"
+    cols = []
+    for name, expr in (
+        ("top2_gram_char_frac", _top_gram_char_expr(col, 2)),
+        ("top3_gram_char_frac", _top_gram_char_expr(col, 3)),
+        ("top4_gram_char_frac", _top_gram_char_expr(col, 4)),
+        ("dup5_gram_char_frac", _dup_gram_char_expr(col, 5)),
+    ):
+        cols.append(F.expr(f"round({expr} / {tl}, 6)").alias(name))
+    passed = (
+        (cols[0] <= _REP_LIMITS["top2"])
+        & (cols[1] <= _REP_LIMITS["top3"])
+        & (cols[2] <= _REP_LIMITS["top4"])
+        & (cols[3] <= _REP_LIMITS["dup5"])
+    ).alias("repetition_pass")
+    return cols + [passed]
+
+
+def _duck_rep_cte(col: str, n: int, kind: str) -> str:
+    """One per-``n`` CTE pair: explode raw grams, group per (doc, gram),
+    then take max(cnt*len) (``kind='top'``) or the cnt>1 sum (``'dup'``)."""
+    agg = (
+        "max(cnt * glen)" if kind == "top"
+        else "COALESCE(SUM(CASE WHEN cnt > 1 THEN cnt * glen END), 0)"
+    )
+    return (
+        f"g{n} AS (SELECT doc_id, unnest({_duck_raw_grams(col, n)}) AS g "
+        f"  FROM documents), "
+        f"c{n} AS (SELECT doc_id, g, count(*) AS cnt, "
+        f"  length(any_value(g)) AS glen FROM g{n} GROUP BY doc_id, g), "
+        f"a{n} AS (SELECT doc_id, {agg} AS mass FROM c{n} GROUP BY doc_id)"
+    )
+
+
+_X69_ORACLE = (
+    "WITH "
+    + ", ".join(
+        _duck_rep_cte("text", n, kind)
+        for n, kind in ((2, "top"), (3, "top"), (4, "top"), (5, "dup"))
+    )
+    + ", tl AS (SELECT doc_id, greatest(length(text), 1)::DOUBLE AS tl"
+    "   FROM documents) "
+    "SELECT tl.doc_id, "
+    " round(a2.mass / tl, 6) AS top2_gram_char_frac, "
+    " round(a3.mass / tl, 6) AS top3_gram_char_frac, "
+    " round(a4.mass / tl, 6) AS top4_gram_char_frac, "
+    " round(a5.mass / tl, 6) AS dup5_gram_char_frac, "
+    " (round(a2.mass / tl, 6) <= 0.20 AND round(a3.mass / tl, 6) <= 0.18 "
+    "  AND round(a4.mass / tl, 6) <= 0.16 "
+    "  AND round(a5.mass / tl, 6) <= 0.15) AS repetition_pass "
+    "FROM tl JOIN a2 USING (doc_id) JOIN a3 USING (doc_id) "
+    " JOIN a4 USING (doc_id) JOIN a5 USING (doc_id)"
+)
+
+
+@register(
+    "x69_gopher_repetition",
+    _X69_ORACLE,
+    "Gopher repetition family: top-{2,3,4}-gram and duplicated-5-gram "
+    "character fractions + Table-A1 keep/drop flag; pure map-side "
+    "expressions, zero shuffle",
+)
+def x69_repetition(spark, sf_dir) -> DataFrame:
+    return t(spark, sf_dir, "documents").select(
+        "doc_id", *repetition_signals("text")
+    )

@@ -412,21 +412,22 @@ def _load_extensions() -> None:
 #      driver row);
 #   4. entries added this round (x67: the distributed label-propagation
 #      CC branch, previously only test-forced; x68: n-gram benchmark
-#      decontamination -- its slot comes from demoting x26, whose newest
-#      green row is r5 and whose pair-mining cost x07 already times
-#      in-window);
+#      decontamination; x69: Gopher repetition signals.  The x68/x69
+#      slots come from demoting x26/x07, whose newest green rows are r5
+#      -- the freshness invariant (nothing older than r4) is unaffected);
 #   5. the 37 entries whose latest green driver row is r3 -- two rounds
 #      stale, judge-re-verified green locally in r5, refreshed here so no
 #      oracled entry's newest driver row is older than r4 after this
 #      round;
-#   6. one flagship heavy to keep the LSH family timed in-window (x26
-#      demoted to make room for x68; its r5 row stands).
+#   6. (retired this round) the flagship-heavy refresh tier: x07/x26
+#      gave up their slots to the new x68/x69 entries; both keep green
+#      r5 rows and stay locally oracle-checked every test run.
 # Everything demoted below slot 50 has a green r4/r5 driver row and stays
 # locally oracle-checked every test run; those rows stand.
 _CORE_SMOKE = ("q01", "q02", "q12")
 _FIX_PROOFS = ("x09", "x13", "x14", "x25")
 _REGRESSION_SENTINELS = ("x16", "x56", "x65")
-_NEW_THIS_ROUND = ("x67", "x68")
+_NEW_THIS_ROUND = ("x67", "x68", "x69")
 _STALE_R3_REFRESH = (
     "q03", "q04", "q05", "q06", "q07", "q08", "q09", "q10", "q11",
     "q13", "q14", "q15", "q16", "q24", "q35", "q37",
@@ -434,10 +435,9 @@ _STALE_R3_REFRESH = (
     "x17", "x19", "x20", "x21", "x24", "x27", "x28", "x29", "x30",
     "x31", "x32", "x33",
 )
-_FLAGSHIP_REFRESH = ("x07",)
 _WINDOW = (
     _CORE_SMOKE + _FIX_PROOFS + _REGRESSION_SENTINELS + _NEW_THIS_ROUND
-    + _STALE_R3_REFRESH + _FLAGSHIP_REFRESH
+    + _STALE_R3_REFRESH
 )
 _PRIORITY_TIERS: tuple[tuple[str, ...], ...] = (
     _CORE_SMOKE,
@@ -445,12 +445,11 @@ _PRIORITY_TIERS: tuple[tuple[str, ...], ...] = (
     _REGRESSION_SENTINELS,
     _NEW_THIS_ROUND,
     _STALE_R3_REFRESH,
-    _FLAGSHIP_REFRESH,
     # below the 50-slot window: r4/r5 greens -- newest proofs last to
     # demote, oldest (none older than r4 after this round) already above
     tuple(f"q{i:02d}" for i in range(17, 69) if f"q{i:02d}" not in _WINDOW),
     tuple(
-        f"x{i:02d}" for i in range(1, 69) if f"x{i:02d}" not in _WINDOW
+        f"x{i:02d}" for i in range(1, 70) if f"x{i:02d}" not in _WINDOW
     ),
 )
 

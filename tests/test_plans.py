@@ -248,3 +248,11 @@ def test_x68_decontam_broadcasts_benchmark_grams(spark, sf):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "BroadcastExchange" in p
+
+
+def test_x69_repetition_is_zero_shuffle_map(spark, sf):
+    """x69: the repetition signals are pure per-row expressions -- no
+    exchange, no Python worker; they ride the scan stage."""
+    p = plan(REGISTRY["x69_gopher_repetition"].fn(spark, sf))
+    assert node_count(p, "Exchange") == 0
+    assert "Python" not in p
