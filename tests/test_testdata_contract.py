@@ -124,3 +124,21 @@ def test_documents_text_is_ascii(sf):
         "x18's byte==char oracle (multimodal/ops.py) is no longer exact -- "
         "rewrite it in octet terms before shipping a driver row"
     )
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01", "sf0.1"])
+def test_documents_text_is_never_null(sf):
+    """x69's DuckDB twin explodes n-grams then INNER-joins per-doc
+    aggregates back, so a NULL-text document would vanish from the
+    oracle while the Spark side still emits its (NULL-signal) row --
+    a row-count mismatch by construction.  x68/x64 filter defensively;
+    x69 relies on the corpus guarantee, so pin it."""
+    path = os.path.join(TESTDATA, sf, "documents.parquet")
+    if not os.path.exists(path):
+        pytest.skip(f"{path} absent in this deployment")
+    text = pq.read_table(path, columns=["text"])["text"]
+    assert text.null_count == 0, (
+        f"{sf}/documents.text: {text.null_count} NULL rows; x69's oracle "
+        "drops them while Spark keeps them -- add an IS NOT NULL filter "
+        "to both sides of x69 before shipping a driver row"
+    )
