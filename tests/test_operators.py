@@ -518,14 +518,14 @@ class TestRepetitionSignals:
     constructed document, map-side-only plan pinned in test_plans."""
 
     def test_hand_computed_fractions(self, spark):
-        from conecta_spark.functions.quality import repetition_signals
+        from conecta_spark.functions.quality import with_repetition_signals
 
         # "ab cd ab cd ab cd xx": 2-grams = [ab cd, cd ab, ab cd, cd ab,
         # ab cd, cd xx] -> top 2-gram "ab cd" occurs 3x, len 5 -> mass 15.
         # len(text) = 20.
         text = "ab cd ab cd ab cd xx"
         df = spark.createDataFrame([(1, text)], "doc_id long, text string")
-        r = df.select("doc_id", *repetition_signals("text")).collect()[0]
+        r = with_repetition_signals(df).collect()[0]
         assert r.top2_gram_char_frac == round(15 / 20, 6)
         # 3-grams: [ab cd ab, cd ab cd, ab cd ab, cd ab cd, ab cd xx]
         # -> top occurs 2x, len 8 -> 16/20
@@ -536,23 +536,23 @@ class TestRepetitionSignals:
         assert not r.repetition_pass  # top2 0.75 >> 0.20
 
     def test_dup_gram_mass_counts_all_occurrences(self, spark):
-        from conecta_spark.functions.quality import repetition_signals
+        from conecta_spark.functions.quality import with_repetition_signals
 
         # 12 tokens = "a b c d e" * 2 + "x y": the 5-gram "a b c d e"
         # occurs twice (positions 1 and 6); dup mass = 2 * 9 = 18.
         text = "a b c d e a b c d e x y"
         df = spark.createDataFrame([(1, text)], "doc_id long, text string")
-        r = df.select("doc_id", *repetition_signals("text")).collect()[0]
+        r = with_repetition_signals(df).collect()[0]
         assert r.dup5_gram_char_frac == round(18 / len(text), 6)
 
     def test_clean_doc_passes(self, spark):
-        from conecta_spark.functions.quality import repetition_signals
+        from conecta_spark.functions.quality import with_repetition_signals
 
         # long enough that a single unrepeated n-gram is a small char
         # fraction (Gopher thresholds assume real-document lengths; a
         # 12-word doc fails top2 at 0.20 on its longest bigram alone)
         text = " ".join(f"word{i:03d}" for i in range(60))
         df = spark.createDataFrame([(1, text)], "doc_id long, text string")
-        r = df.select("doc_id", *repetition_signals("text")).collect()[0]
+        r = with_repetition_signals(df).collect()[0]
         assert r.repetition_pass
         assert r.dup5_gram_char_frac == 0.0

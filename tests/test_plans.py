@@ -256,3 +256,12 @@ def test_x69_repetition_is_zero_shuffle_map(spark, sf):
     p = plan(REGISTRY["x69_gopher_repetition"].fn(spark, sf))
     assert node_count(p, "Exchange") == 0
     assert "Python" not in p
+
+
+def test_x69_tokens_split_once_in_plan(spark, sf):
+    """The staged token projection must survive optimization: exactly one
+    split() in the optimized plan.  If CollapseProject ever starts
+    inlining it back into the four gram lambdas, every element access
+    re-splits the document (measured 7x: 10.6s -> 1.5s at sf0.1)."""
+    p = plan(REGISTRY["x69_gopher_repetition"].fn(spark, sf))
+    assert p.count("split(") == 1, p.count("split(")
