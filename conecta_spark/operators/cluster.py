@@ -116,10 +116,20 @@ def connected_components(
     # this branch runs un-forced) the narrowed count equals the session
     # width anyway.  AQE's partition coalescing handles the reducer side
     # without shrinking the straggler-hiding map width.
+    # Round 0 for free: initialize each vertex's label to min(self,
+    # neighbors) with ONE aggregation over the symmetrized edges (every
+    # vertex has a row in sym).  For shallow components -- the typical
+    # near-dup cluster shape -- this IS the fixpoint, so the loop runs
+    # one confirmation round instead of propagate+confirm; deeper graphs
+    # just start one hop ahead.  Same shuffle key/size as a round's
+    # aggregate, minus the join and union.
     labels = (
-        sym.select(F.col("u").alias("vertex"))
-        .distinct()
-        .withColumn("label", F.col("vertex"))
+        sym.groupBy("u")
+        .agg(F.min("v").alias("__mn"))
+        .select(
+            F.col("u").alias("vertex"),
+            F.least("u", "__mn").alias("label"),
+        )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # `labels` is a projection over the cached generation from round 2 on;
