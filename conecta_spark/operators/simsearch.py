@@ -442,6 +442,63 @@ def ivf_search(
     return _topk_ranked(scored, k, id_col)
 
 
+def ivf_search_batch(
+    index: IVFIndex, query_ids, k: int = 10, n_probe: int = 2
+) -> DataFrame:
+    """Top-k for a PANEL of queries in one Spark job.
+
+    Per-query :func:`ivf_search` costs two driver round trips (probe-vector
+    head + result collect); a 5-query acceptance panel paid 10 sequential
+    jobs of almost pure scheduling latency.  Here the query vectors come
+    back in ONE collect, cell routing stays driver-side against the
+    already-collected centroids (exactly as in :func:`ivf_search`), and the
+    (query_id, qv, cell) probe relation -- |panel| * n_probe rows --
+    broadcasts into a single equi-join on ``cell``.  A corpus row matches a
+    query at most once (it lives in exactly one cell), so candidate sets,
+    scores, and (score desc, id) tie-breaks are identical to the per-query
+    path; parity is pinned in tests/test_round4b_ops.py.
+
+    Missing query ids are skipped (same degrade-don't-crash contract as
+    the panel helpers).  Returns (query_id, vec_id, score, rank<=k)."""
+    import numpy as np
+
+    from pyspark.sql.window import Window
+
+    id_col = index.id_col
+    qrows = (
+        index.assigned.where(F.col(id_col).isin(*query_ids))
+        .select(id_col, "v")
+        .collect()
+    )
+    probe_rows = []
+    for r in qrows:
+        qv = np.array(r.v)
+        dists = [float(np.linalg.norm(qv - c)) for c in index.centers]
+        cells = sorted(range(len(index.centers)), key=lambda i: dists[i])[
+            :n_probe
+        ]
+        probe_rows.append((int(r[0]), [float(x) for x in r.v], cells))
+    spark = index.assigned.sparkSession
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, qv array<double>, cells array<int>"
+    ).select("query_id", "qv", F.explode("cells").alias("cell"))
+    scored = (
+        index.assigned.join(F.broadcast(probes), "cell")
+        .where(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            id_col,
+            F.round(F.expr(cosine_expr("v", "qv", DIM)), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col)
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
 # -- registered queries ------------------------------------------------------
 
 _DUCK_VECS = (
@@ -650,15 +707,16 @@ def x14_ivf_ml(spark, sf_dir) -> DataFrame:
         return _with_recall_flag(_exact_topk_panel(emb, "cosine"), {}, 0.5)
     index = build_ivf_index(emb)
     try:
-        ann = {
-            qid: [
-                r[0]
-                for r in ivf_search(index, qid, k=10, n_probe=8)
-                .select("vec_id")
-                .collect()
-            ]
-            for qid in _present_panel_ids(emb)
-        }
+        # One batched job for the whole panel (the per-query loop paid 10
+        # sequential driver round trips); assigned is built from
+        # valid_vectors, so its panel rows ARE _present_panel_ids.
+        ann: dict = {}
+        for r in (
+            ivf_search_batch(index, ANN_QUERY_IDS, k=10, n_probe=8)
+            .select("query_id", "vec_id")
+            .collect()
+        ):
+            ann.setdefault(r.query_id, []).append(r.vec_id)
     finally:
         index.unpersist()
     return _with_recall_flag(_exact_topk_panel(emb, "cosine"), ann, 0.5)

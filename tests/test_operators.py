@@ -229,6 +229,36 @@ class TestSimsearch:
         finally:
             index.unpersist()
 
+    def test_ivf_search_batch_matches_per_query(self, embeddings):
+        """The one-job panel search must return exactly the per-query
+        results: same candidates (a row lives in one cell, so the probe
+        join cannot duplicate), same scores, same (score desc, id) ranks.
+        Missing panel ids are skipped, not raised."""
+        from conecta_spark.operators.simsearch import (
+            build_ivf_index,
+            ivf_search,
+            ivf_search_batch,
+        )
+
+        index = build_ivf_index(embeddings)
+        try:
+            got: dict = {}
+            for r in ivf_search_batch(
+                index, (0, 7, 10**9), k=10, n_probe=8
+            ).collect():
+                got.setdefault(r.query_id, []).append(
+                    (r.vec_id, r.score, r.rank)
+                )
+            assert set(got) == {0, 7}  # absent id skipped
+            for qid in (0, 7):
+                single = [
+                    (r.vec_id, r.score, r.rank)
+                    for r in ivf_search(index, qid, k=10, n_probe=8).collect()
+                ]
+                assert sorted(got[qid]) == sorted(single)
+        finally:
+            index.unpersist()
+
 
 class TestMultimodal:
     def test_payload_roundtrip(self, spark, docs):
