@@ -330,6 +330,63 @@ def brp_lsh_ml(
     return out.select(id_col, F.col("distCol").alias("l2_dist"))
 
 
+def brp_lsh_ml_panel(
+    df: DataFrame,
+    query_ids,
+    k: int = 10,
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> dict:
+    """``{query_id: [neighbor ids]}`` for a panel, sharing one LSH fit, one
+    cached feature relation, and one key-vector collect across the panel.
+
+    :func:`brp_lsh_ml` refit the model and re-prepared the corpus per
+    query -- 5x the fixed cost for a 5-query acceptance panel.  ml's
+    ``approxNearestNeighbors`` is single-key by API, so that call stays
+    per-query and results are bit-identical to the one-query form (same
+    seeded hyperplanes: the fit is on the same full relation; the query-row
+    exclusion happens in the search dataset exactly as before -- parity
+    pinned in tests/test_operators.py).  Missing ids are skipped."""
+    from pyspark import StorageLevel
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    feat = valid_vectors(df, vec_col, id_col).select(
+        F.col(id_col), array_to_vector(F.col(vec_col)).alias("features")
+    )
+    if feat.isEmpty():
+        return {}
+    feat = feat.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        model = BucketedRandomProjectionLSH(
+            inputCol="features",
+            outputCol="hashes",
+            bucketLength=bucket_length,
+            numHashTables=num_hash_tables,
+            seed=seed,
+        ).fit(feat)
+        keys = {
+            r[0]: r.features
+            for r in feat.where(F.col(id_col).isin(*query_ids)).collect()
+        }
+        return {
+            qid: [
+                r[0]
+                for r in model.approxNearestNeighbors(
+                    feat.where(F.col(id_col) != qid), keys[qid], k
+                )
+                .select(id_col)
+                .collect()
+            ]
+            for qid in sorted(keys)
+        }
+    finally:
+        feat.unpersist()
+
+
 def ivf_topk(
     df: DataFrame,
     query_id: int = 0,
@@ -674,15 +731,10 @@ _DUCK_PANEL = (
 )
 def x13_brp_ml(spark, sf_dir) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
-    ann = {
-        qid: [
-            r[0]
-            for r in brp_lsh_ml(emb, query_id=qid, k=10)
-            .select("vec_id")
-            .collect()
-        ]
-        for qid in _present_panel_ids(emb)
-    }
+    # One fit + one key collect for the whole panel (brp_lsh_ml_panel);
+    # the panel ids present in the valid-vector relation ARE
+    # _present_panel_ids, so no separate probe job.
+    ann = brp_lsh_ml_panel(emb, ANN_QUERY_IDS, k=10)
     return _with_recall_flag(_exact_topk_panel(emb, "l2"), ann, 0.6)
 
 

@@ -229,6 +229,26 @@ class TestSimsearch:
         finally:
             index.unpersist()
 
+    def test_brp_panel_matches_per_query(self, embeddings):
+        """The shared-fit panel form must return exactly the per-query
+        brp_lsh_ml neighbor lists (same seeded hyperplanes, same search
+        dataset); absent panel ids are skipped."""
+        from conecta_spark.operators.simsearch import (
+            brp_lsh_ml,
+            brp_lsh_ml_panel,
+        )
+
+        got = brp_lsh_ml_panel(embeddings, (0, 7, 10**9), k=10)
+        assert set(got) == {0, 7}
+        for qid in (0, 7):
+            single = [
+                r[0]
+                for r in brp_lsh_ml(embeddings, query_id=qid, k=10)
+                .select("vec_id")
+                .collect()
+            ]
+            assert got[qid] == single
+
     def test_ivf_search_batch_matches_per_query(self, embeddings):
         """The one-job panel search must return exactly the per-query
         results: same candidates (a row lives in one cell, so the probe
