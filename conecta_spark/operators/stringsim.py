@@ -53,6 +53,13 @@ from ..queries import register, t
 #: repeated invocations otherwise accumulate CacheManager entries).
 _LIVE_PREFIX: list = []
 
+#: Same one-slot hygiene for the d=1 deletion-neighborhood signature
+#: relation (edit_distance_join persisted it without eviction -- the
+#: exact leak the r5 advice flagged for the prefix relation).  Separate
+#: slot from _LIVE_PREFIX so a d=1 and a d>=2 join in one session don't
+#: thrash each other's cache.
+_LIVE_DEL1: list = []
+
 
 def _del1_signatures_expr(col: str) -> str:
     """Spark SQL array: ``col`` plus every single-character deletion."""
@@ -97,6 +104,14 @@ def edit_distance_join(
             df, string_col, id_col,
             threshold=threshold, sig_count_cap=sig_count_cap,
         )
+    # Evict-first, then persist (the CacheManager dedupes canonically-
+    # equal plans, so evicting after would uncache the new relation too
+    # -- see _qgram_candidates for both measured traps).
+    while _LIVE_DEL1:
+        try:
+            _LIVE_DEL1.pop().unpersist()
+        except Exception:
+            pass
     sigs = df.select(
         F.col(id_col),
         F.explode(
@@ -107,6 +122,7 @@ def edit_distance_join(
         # the deletion-neighborhood transform is an interpreted lambda
         # worth evaluating once.  Skinny relation: (id, signature).
     ).persist()
+    _LIVE_DEL1.append(sigs)
     if sig_count_cap is not None:
         ok = (
             sigs.groupBy("sig")
