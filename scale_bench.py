@@ -213,6 +213,31 @@ def main() -> None:
             stats["cc_seconds"] = timed(
                 lambda: run(cluster.connected_components(pairs)), 2
             )
+            # The distributed label-propagation branch (what a >1M-edge
+            # graph takes at 100 TB; x67's path) swept at every scale:
+            # the min(self, neighbors) seed makes shallow components
+            # converge in one confirmation round regardless of k, so its
+            # time should track the edge count, not the round count.
+            # Cluster-count equality cross-checks the two branches.
+            cc_dist = cluster.connected_components(
+                pairs, small_graph_threshold=0
+            )
+            stats["n_clusters_distributed"] = (
+                cc_dist.select("cluster_id").distinct().count()
+            )
+            assert stats["n_clusters_distributed"] == stats["n_clusters"], (
+                f"branch divergence at k={k}: union-find "
+                f"{stats['n_clusters']} vs label-prop "
+                f"{stats['n_clusters_distributed']}"
+            )
+            stats["cc_distributed_seconds"] = timed(
+                lambda: run(
+                    cluster.connected_components(
+                        pairs, small_graph_threshold=0
+                    )
+                ),
+                2,
+            )
             cc_p = cluster.connected_components(pairs).persist(
                 StorageLevel.MEMORY_AND_DISK
             )
@@ -393,6 +418,7 @@ def main() -> None:
                 "n_pairs",
                 "lsh_seconds",
                 "cc_seconds",
+                "cc_distributed_seconds",
                 "keep_best_seconds",
                 "n_clusters",
             ),
