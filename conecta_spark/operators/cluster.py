@@ -123,6 +123,18 @@ def connected_components(
     # one confirmation round instead of propagate+confirm; deeper graphs
     # just start one hop ahead.  Same shuffle key/size as a round's
     # aggregate, minus the join and union.
+    # Each generation is an EAGER localCheckpoint, not a persist: a
+    # round's plan references the previous generation three times (self
+    # rows, labels-as-edges, join right side), so an un-truncated lineage
+    # grows 3^rounds copies of the upstream pipeline -- plan ANALYSIS
+    # (not execution; the cache would serve that) OOMed the driver at
+    # ~5 rounds on a 24-vertex chain (tests/test_operators.py
+    # test_connected_components_deep_graph_distributed).  Checkpointing
+    # cuts every round's plan to a constant-size tree over two leaves --
+    # the GraphFrames/GraphX iterative pattern.  The row-format/AQE cost
+    # that ruled localCheckpoint out for the x66 self-join doesn't bite
+    # here: the generation is a terminal skinny relation re-joined once,
+    # and the old snapshots are GC-released with their DataFrames.
     labels = (
         sym.groupBy("u")
         .agg(F.min("v").alias("__mn"))
@@ -130,12 +142,8 @@ def connected_components(
             F.col("u").alias("vertex"),
             F.least("u", "__mn").alias("label"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
-    # `labels` is a projection over the cached generation from round 2 on;
-    # unpersisting the projection would be a CacheManager no-op, so the
-    # handle to the actually-persisted relation is kept separately.
-    cached_gen = labels
     for _ in range(max_iter):
         # min over self, neighbors' labels, and label's label
         # (pointer jump).  The self branch is tagged so the aggregate can
@@ -170,17 +178,13 @@ def connected_components(
                     F.when(F.col("is_self") == 1, F.col("label"))
                 ).alias("old_label"),
             )
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint(eager=True)
         )
-        # Full count (no limit): the action must touch every partition
-        # so new_gen is fully cached before the old generation is
-        # dropped; the filter makes the same pass double as the
-        # convergence check.
+        # The eager checkpoint already materialized every partition; the
+        # convergence check is a cheap filter-count over the snapshot.
         changed = new_gen.where(
             F.col("label") != F.col("old_label")
         ).count()
-        cached_gen.unpersist()
-        cached_gen = new_gen
         labels = new_gen.select("vertex", "label")
         if changed == 0:
             break

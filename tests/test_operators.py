@@ -398,6 +398,30 @@ class TestClusterAndSampling:
         }
         assert got_dist == expect
 
+    def test_connected_components_deep_graph_distributed(self, spark):
+        """Deep structures through the forced label-propagation branch:
+        the min(self, neighbors) seed resolves shallow components in one
+        round, so this pins the MULTI-round path -- a 24-vertex chain
+        whose minimum id sits at one END (worst case for min-label
+        propagation: the label must traverse the full diameter, pointer
+        jumping cuts that to O(log d) rounds) plus a cycle."""
+        from conecta_spark.operators.cluster import connected_components
+
+        # chain 100 > 99 > ... > 77, plus cycle {50, 51, 52}
+        chain = [(100 - i, 100 - i - 1) for i in range(23)]
+        cycle = [(50, 51), (51, 52), (52, 50)]
+        edges = spark.createDataFrame(chain + cycle, ["doc_a", "doc_b"])
+        got = {
+            (r.doc_id, r.cluster_id)
+            for r in connected_components(
+                edges, small_graph_threshold=0
+            ).collect()
+        }
+        expect = {(v, 77) for v in range(77, 101)} | {
+            (50, 50), (51, 50), (52, 50)
+        }
+        assert got == expect
+
     def test_dedup_clusters_contain_planted_dups(self, spark, docs):
         from conecta_spark.operators.cluster import dedup_clusters
 
