@@ -54,6 +54,11 @@ def main() -> None:
             "spark.sql.shuffle.partitions": cpus,
             "spark.ui.enabled": "false",
             "spark.driver.memory": "16g",
+            # JVM unified logging writes [warning][gc,...] lines to STDOUT
+            # (observed: a GCLocker retry warning corrupting a sibling
+            # script's JSON artifact).  The driver parses this script's
+            # stdout tail, so keep the channel clean.
+            "spark.driver.extraJavaOptions": "-Xlog:disable",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")

@@ -84,6 +84,9 @@ def main() -> None:
             "spark.sql.shuffle.partitions": cpus,
             "spark.ui.enabled": "false",
             "spark.driver.memory": "16g",
+            # Keep JVM unified-logging warnings off stdout -- one JSON
+            # line is the contract (a GCLocker warning corrupted it once).
+            "spark.driver.extraJavaOptions": "-Xlog:disable",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
