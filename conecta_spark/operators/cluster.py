@@ -63,7 +63,19 @@ def connected_components(
       is propagation over synthetic (u -> label(u)) edges unioned into
       the edge relation map-side), re-persisted generation over
       generation.
+
+    Fault-tolerance note for the large-graph path: each generation is
+    truncated with ``localCheckpoint`` (executor-local blocks) unless a
+    reliable checkpoint directory is configured on the SparkContext, in
+    which case ``checkpoint()`` is used instead.  localCheckpoint is the
+    right default in local mode and on stable executors, but its blocks
+    die with an executor -- on a real cluster with dynamic allocation or
+    spot instances, set ``spark.sparkContext.setCheckpointDir(...)`` and
+    this loop automatically switches to recoverable snapshots (the
+    GraphX/GraphFrames iterative pattern).
     """
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     # Symmetrize in ONE pass over the edge relation (explode of the forward
     # + reversed struct).  A self-union would reference `edges` twice and
     # re-run the expensive pair-mining pipeline feeding it once per branch
@@ -135,14 +147,21 @@ def connected_components(
     # that ruled localCheckpoint out for the x66 self-join doesn't bite
     # here: the generation is a terminal skinny relation re-joined once,
     # and the old snapshots are GC-released with their DataFrames.
-    labels = (
+    # Reliability: localCheckpoint blocks live only on executors, so an
+    # executor loss mid-loop is unrecoverable (the lineage is gone).  When
+    # the user configured a reliable checkpoint dir, prefer checkpoint()
+    # -- same constant-size-plan effect, survives executor loss.
+    if edges.sparkSession.sparkContext.getCheckpointDir() is not None:
+        _snapshot = lambda df_: df_.checkpoint(eager=True)  # noqa: E731
+    else:
+        _snapshot = lambda df_: df_.localCheckpoint(eager=True)  # noqa: E731
+    labels = _snapshot(
         sym.groupBy("u")
         .agg(F.min("v").alias("__mn"))
         .select(
             F.col("u").alias("vertex"),
             F.least("u", "__mn").alias("label"),
         )
-        .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
         # min over self, neighbors' labels, and label's label
@@ -169,7 +188,7 @@ def connected_components(
             "label",
             F.lit(0).alias("is_self"),
         )
-        new_gen = (
+        new_gen = _snapshot(
             self_rows.union(neighbor)
             .groupBy("vertex")
             .agg(
@@ -178,7 +197,6 @@ def connected_components(
                     F.when(F.col("is_self") == 1, F.col("label"))
                 ).alias("old_label"),
             )
-            .localCheckpoint(eager=True)
         )
         # The eager checkpoint already materialized every partition; the
         # convergence check is a cheap filter-count over the snapshot.
@@ -228,18 +246,20 @@ def dedup_clusters(
     )
 
 
-def _duck_clusters_sql() -> str:
+def _duck_clusters_sql(docs: str = "documents") -> str:
     # Recursive closure: each src reaches every vertex of its component, so
     # grouping reach by src and taking MIN(dst) is exactly min-label
     # propagation's fixpoint.  One outer group-by per component dedups the
     # per-src rows into per-cluster rows.  The edge list is the x07 pipeline
     # verbatim (nested WITH in a derived table), so the oracle checks the
-    # whole pairs->clusters composition end to end.
-    from .dedup import _DUCK_MH_SIGS
+    # whole pairs->clusters composition end to end.  ``docs`` parameterizes
+    # the corpus relation so x67 can run the identical composition over a
+    # bounded slice (see _duck_mh_sigs).
+    from .dedup import _duck_mh_sigs
 
     return (
         "WITH RECURSIVE pairs AS ("
-        f" SELECT doc_a, doc_b FROM ({_DUCK_MH_SIGS}) q),"
+        f" SELECT doc_a, doc_b FROM ({_duck_mh_sigs(docs)}) q),"
         " edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs"
         "  UNION SELECT doc_b, doc_a FROM pairs),"
         " reach(src, dst) AS (SELECT u, u FROM edges"
@@ -272,17 +292,32 @@ def x26_dedup_clusters(spark, sf_dir) -> DataFrame:
     )
 
 
+#: x67's corpus slice.  The entry's SUBJECT is the distributed CC branch,
+#: not pair mining -- but its r6 form re-ran the ENTIRE x07 LSH pipeline
+#: over the full corpus (~3.5 s at sf0.1) that x26 had just mined 0.3 s
+#: earlier in the same bench pass, doubling the most expensive upstream in
+#: the repo to prove a downstream branch.  Bounding the corpus to the first
+#: X67_SLICE docs keeps every correctness gate identical (sf0.001/0.01 have
+#: 500 docs -- the slice IS the corpus there) while the slice's component
+#: structure still exercises multi-member clusters, singleton-free vertex
+#: sets, and >1 propagation round at sf0.1.  Same precedent as X09_SLICE /
+#: BASELINE_SLICE: bounded, labeled, oracle runs the identical slice.
+X67_SLICE = 1000
+
+
 @register(
     "x67_dedup_clusters_distributed",
-    _duck_clusters_sql(),
+    _duck_clusters_sql(f"(SELECT * FROM documents WHERE doc_id < {X67_SLICE})"),
     "the same near-dup cluster rollup as x26, forced through the "
     "distributed label-propagation branch (small_graph_threshold=0) -- "
-    "the code path a >1M-edge graph takes at 100 TB.  Previously only "
-    "test-forced; this gives the branch an oracle-checked driver row "
-    "against the same recursive-CTE closure",
+    "the code path a >1M-edge graph takes at 100 TB -- over a bounded "
+    "corpus slice (the branch is the subject; full-corpus pair mining is "
+    "x26's job).  Oracle: the same recursive-CTE closure over the "
+    "identical slice",
 )
 def x67_clusters_distributed(spark, sf_dir) -> DataFrame:
-    pairs = minhash_lsh_pairs(t(spark, sf_dir, "documents"), threshold=0.5)
+    docs = t(spark, sf_dir, "documents").where(F.col("doc_id") < X67_SLICE)
+    pairs = minhash_lsh_pairs(docs, threshold=0.5)
     cc = connected_components(pairs, small_graph_threshold=0)
     cl = cc.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("n_members"),

@@ -730,30 +730,41 @@ _DUCK_SH_HASHES = (
     f"list_transform({duck_shingles()}, s -> {duck_polyhash('s')})"
 )
 
-_DUCK_MH_SIGS = (
-    f"WITH hashed AS (SELECT doc_id, {_DUCK_SH_HASHES} AS sh FROM documents), "
-    "tok AS (SELECT doc_id, unnest(sh) AS h FROM hashed), "
-    "common AS (SELECT h FROM (SELECT h, COUNT(*) AS c FROM tok GROUP BY h) "
-    " WHERE c > 0.1 * (SELECT COUNT(*) FROM documents)), "
-    "filtered AS (SELECT doc_id, list(h) AS shf FROM tok "
-    " WHERE h NOT IN (SELECT h FROM common) GROUP BY doc_id), "
-    "sigs AS (SELECT doc_id, "
-    f"{duck_minhash('shf')}"
-    " AS mh FROM filtered), "
-    "banded AS (SELECT doc_id, j AS band_idx, "
-    " md5(array_to_string(mh[j*4+1 : j*4+4], '-')) AS band_key "
-    " FROM sigs CROSS JOIN range(0, 4) AS r(j)), "
-    "cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
-    " FROM banded a JOIN banded b ON a.band_idx = b.band_idx "
-    " AND a.band_key = b.band_key AND a.doc_id < b.doc_id) "
-    "SELECT doc_a, doc_b, "
-    " len(list_intersect(sa.sh, sb.sh))::DOUBLE / "
-    " len(list_distinct(list_concat(sa.sh, sb.sh)))::DOUBLE AS jaccard "
-    "FROM cands JOIN hashed sa ON cands.doc_a = sa.doc_id "
-    "JOIN hashed sb ON cands.doc_b = sb.doc_id "
-    "WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE / "
-    " len(list_distinct(list_concat(sa.sh, sb.sh)))::DOUBLE >= 0.5"
-)
+def _duck_mh_sigs(docs: str = "documents") -> str:
+    """The x07 MinHash+LSH pipeline as DuckDB SQL over relation ``docs``.
+
+    Parameterized so consumers can run the identical pipeline over a
+    corpus *slice* (x67 scopes its distributed-CC driver row to a bounded
+    slice).  The document-frequency cutoff is relative to ``docs``'s own
+    row count -- exactly how the Spark side derives ``n_docs`` from its
+    input DataFrame -- so slicing preserves cross-engine parity."""
+    return (
+        f"WITH hashed AS (SELECT doc_id, {_DUCK_SH_HASHES} AS sh FROM {docs}), "
+        "tok AS (SELECT doc_id, unnest(sh) AS h FROM hashed), "
+        "common AS (SELECT h FROM (SELECT h, COUNT(*) AS c FROM tok GROUP BY h) "
+        f" WHERE c > 0.1 * (SELECT COUNT(*) FROM {docs})), "
+        "filtered AS (SELECT doc_id, list(h) AS shf FROM tok "
+        " WHERE h NOT IN (SELECT h FROM common) GROUP BY doc_id), "
+        "sigs AS (SELECT doc_id, "
+        f"{duck_minhash('shf')}"
+        " AS mh FROM filtered), "
+        "banded AS (SELECT doc_id, j AS band_idx, "
+        " md5(array_to_string(mh[j*4+1 : j*4+4], '-')) AS band_key "
+        " FROM sigs CROSS JOIN range(0, 4) AS r(j)), "
+        "cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+        " FROM banded a JOIN banded b ON a.band_idx = b.band_idx "
+        " AND a.band_key = b.band_key AND a.doc_id < b.doc_id) "
+        "SELECT doc_a, doc_b, "
+        " len(list_intersect(sa.sh, sb.sh))::DOUBLE / "
+        " len(list_distinct(list_concat(sa.sh, sb.sh)))::DOUBLE AS jaccard "
+        "FROM cands JOIN hashed sa ON cands.doc_a = sa.doc_id "
+        "JOIN hashed sb ON cands.doc_b = sb.doc_id "
+        "WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE / "
+        " len(list_distinct(list_concat(sa.sh, sb.sh)))::DOUBLE >= 0.5"
+    )
+
+
+_DUCK_MH_SIGS = _duck_mh_sigs()
 
 
 @register(

@@ -34,3 +34,16 @@ def test_oracle_match(name, spark, oracle_dir, con):
 def test_no_oracle_still_runs(name, spark, oracle_dir):
     df = REGISTRY[name].fn(spark, oracle_dir)
     assert df.count() >= 0
+
+
+#: Entries whose green rows were once VACUOUS (x11 greened 0-row-vs-0-row
+#: at every SF through r6 because its threshold sat above the corpus's
+#: entire cosine distribution).  A hash match on empty frames proves
+#: nothing; these entries must produce rows at the correctness-gate SF so
+#: the oracle exercises actual values.
+_MUST_BE_NONEMPTY = ("x11_embed_near_dup",)
+
+
+@pytest.mark.parametrize("name", _MUST_BE_NONEMPTY)
+def test_oracle_exercises_rows(name, spark, oracle_dir):
+    assert REGISTRY[name].fn(spark, oracle_dir).count() > 0
