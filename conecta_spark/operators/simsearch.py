@@ -339,6 +339,7 @@ def brp_lsh_ml_panel(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
+    feat: DataFrame | None = None,
 ) -> dict:
     """``{query_id: [neighbor ids]}`` for a panel, sharing one LSH fit, one
     cached feature relation, and one key-vector collect across the panel.
@@ -349,17 +350,26 @@ def brp_lsh_ml_panel(
     per-query and results are bit-identical to the one-query form (same
     seeded hyperplanes: the fit is on the same full relation; the query-row
     exclusion happens in the search dataset exactly as before -- parity
-    pinned in tests/test_operators.py).  Missing ids are skipped."""
+    pinned in tests/test_operators.py).  Missing ids are skipped.
+
+    ``feat`` short-circuits the prep with an externally-owned, persisted
+    (id, features) relation (the x13/x14 shared _panel_prep cache); its
+    lifetime is then the caller's, not this function's."""
     from pyspark import StorageLevel
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
-    feat = valid_vectors(df, vec_col, id_col).select(
-        F.col(id_col), array_to_vector(F.col(vec_col)).alias("features")
-    )
+    owns_feat = feat is None
+    if owns_feat:
+        feat = valid_vectors(df, vec_col, id_col).select(
+            F.col(id_col), array_to_vector(F.col(vec_col)).alias("features")
+        )
+    else:
+        feat = feat.select(id_col, "features")
     if feat.isEmpty():
         return {}
-    feat = feat.persist(StorageLevel.MEMORY_AND_DISK)
+    if owns_feat:
+        feat = feat.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         model = BucketedRandomProjectionLSH(
             inputCol="features",
@@ -384,7 +394,8 @@ def brp_lsh_ml_panel(
             for qid in sorted(keys)
         }
     finally:
-        feat.unpersist()
+        if owns_feat:
+            feat.unpersist()
 
 
 def ivf_topk(
@@ -435,37 +446,128 @@ class IVFIndex:
         self.assigned.unpersist()
 
 
+#: Coarse-quantizer training-sample cap.  IVF quantizers are trained on a
+#: bounded sample regardless of corpus size (the faiss convention: ~10-100
+#: points per centroid suffice); training distributed KMeans over the FULL
+#: corpus would re-scan 100 TB once per Lloyd iteration to place 16
+#: centroids.  16k points x 64 dims x 8 B = 8 MB on the driver.
+IVF_TRAIN_CAP = 16384
+
+
+def _lloyd_kmeans(X, k: int, seed: int, n_iter: int = 20):
+    """Seeded k-means++ init + Lloyd's iterations, vectorized numpy.
+    ``X`` is (n, d) float64 with n >= 1; returns (min(k, n), d) centroids.
+    Deterministic for a given (X, k, seed): the RNG is seeded and numpy
+    argmin ties break to the lowest index."""
+    import numpy as np
+
+    n = len(X)
+    k = max(1, min(k, n))
+    rng = np.random.RandomState(seed)
+    # k-means++ seeding: each next center sampled ~ squared distance to
+    # the nearest already-chosen center.
+    chosen = [int(rng.randint(n))]
+    d2 = ((X - X[chosen[0]]) ** 2).sum(axis=1)
+    for _ in range(1, k):
+        tot = d2.sum()
+        nxt = (
+            int(rng.choice(n, p=d2 / tot)) if tot > 0 else int(rng.randint(n))
+        )
+        chosen.append(nxt)
+        d2 = np.minimum(d2, ((X - X[nxt]) ** 2).sum(axis=1))
+    C = X[chosen].copy()
+    x2 = (X ** 2).sum(axis=1)
+    for _ in range(n_iter):
+        # argmin_c ||x - c||^2 via the dot form: n x k, never n x k x d
+        D = x2[:, None] - 2.0 * (X @ C.T) + (C ** 2).sum(axis=1)[None, :]
+        cell = D.argmin(axis=1)
+        moved = False
+        for j in range(k):
+            m = cell == j
+            if m.any():
+                nc = X[m].mean(axis=0)
+                if not np.array_equal(nc, C[j]):
+                    C[j] = nc
+                    moved = True
+            # empty cell: keep the old centroid (faiss does the same)
+        if not moved:
+            break
+    return C
+
+
 def build_ivf_index(
     df: DataFrame,
     n_clusters: int = 16,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
+    feat: DataFrame | None = None,
 ) -> IVFIndex:
-    """One KMeans fit + one assignment pass; the assigned corpus persists
-    so every subsequent :func:`ivf_search` is a filter, not a rebuild."""
-    from pyspark import StorageLevel
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    """Sample-trained coarse quantizer + one distributed assignment pass;
+    the assigned corpus persists so every subsequent :func:`ivf_search` is
+    a filter, not a rebuild.
 
-    feat = valid_vectors(df, vec_col, id_col).select(
-        F.col(id_col),
-        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("v"),
-        array_to_vector(F.col(vec_col)).alias("features"),
+    The quantizer trains DRIVER-SIDE on a bounded deterministic sample
+    (:data:`IVF_TRAIN_CAP`, hash-bucket selected, id-ordered) -- the faiss
+    production pattern: centroid quality saturates at a few thousand
+    training points, while a distributed KMeans fit re-scans the full
+    corpus once per iteration (the r6 form spent ~20 Spark jobs placing 16
+    centroids for a 2000-row corpus).  Assignment is one Arrow-batched
+    ``mapInPandas`` pass with the centroid matrix broadcast in the closure
+    (KBs): scan -> numpy argmin -> persist, no shuffle, no ml stage.
+    ``feat`` short-circuits the corpus prep with an already-validated
+    (id, v, ...) relation (the x13/x14 shared _panel_prep cache)."""
+    import numpy as np
+    from pyspark import StorageLevel
+
+    vecs = (
+        feat.select(id_col, "v")
+        if feat is not None
+        else _vectors(df, vec_col, id_col)
     )
-    # KMeans throws when k exceeds the point count; a tiny (or heavily
-    # filtered) corpus just gets a flatter index.
-    n_clusters = max(1, min(n_clusters, feat.count()))
-    km = KMeans(
-        k=n_clusters, seed=seed, featuresCol="features", predictionCol="cell"
+    n = vecs.count()
+    if n == 0:
+        raise ValueError(
+            "build_ivf_index: corpus has no valid vectors "
+            "(callers guard with valid_vectors(...).isEmpty())"
+        )
+    sample = vecs
+    if n > IVF_TRAIN_CAP:
+        # Deterministic, order-independent down-select: keep one xxhash64
+        # bucket in m, sized so the expectation lands near the cap.
+        m = -(-n // IVF_TRAIN_CAP)  # ceil
+        sample = vecs.where(F.pmod(F.xxhash64(F.col(id_col)), F.lit(m)) == 0)
+    # id-ordered collect so the training matrix (and thus the seeded
+    # k-means++ draw) is identical across partition layouts.
+    X = np.array(
+        [r.v for r in sample.orderBy(id_col).select(id_col, "v").collect()],
+        dtype=np.float64,
     )
-    model = km.fit(feat)
-    assigned = (
-        model.transform(feat)
-        .select(id_col, "v", "cell")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    centers = _lloyd_kmeans(X, n_clusters, seed)
+    C = centers.copy()
+    c2 = (C ** 2).sum(axis=1)
+    out_schema = ", ".join(
+        [
+            vecs.schema[id_col].simpleString().replace(":", " "),
+            "v array<double>",
+            "cell int",
+        ]
     )
-    return IVFIndex(assigned, model.clusterCenters(), id_col)
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.array(pdf["v"].tolist(), dtype=np.float64)
+            D = (M ** 2).sum(axis=1)[:, None] - 2.0 * (M @ C.T) + c2[None, :]
+            pdf = pdf[[id_col, "v"]].copy()
+            pdf["cell"] = D.argmin(axis=1).astype("int32")
+            yield pdf
+
+    assigned = vecs.mapInPandas(assign, out_schema).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    return IVFIndex(assigned, [centers[i] for i in range(len(centers))], id_col)
 
 
 def ivf_search(
@@ -644,23 +746,65 @@ def x12_ann_lsh(spark, sf_dir) -> DataFrame:
 #
 # Thresholds come from measured per-query recalls across sf0.001/0.01/0.1
 # (5 queries x 3 SFs): BRP min 0.9 (flag at mean >= 0.6); IVF with
-# n_probe=8 of 16 cells min 0.7, mean >= 0.8 (flag at mean >= 0.5 -- on
-# this isotropic random corpus IVF recall ~ probed-cell coverage, so 8/16
-# cells bounds the expectation near 0.5; clustered real corpora do better).
+# n_probe=8 of 16 cells min 0.7, mean 0.88 at every SF under the
+# sample-trained Lloyd quantizer (flag at mean >= 0.5 -- on this isotropic
+# random corpus IVF recall ~ probed-cell coverage, so 8/16 cells bounds
+# the expectation near 0.5; clustered real corpora do better).
 
 ANN_QUERY_IDS = (0, 1, 2, 3, 4)
 
+#: One-slot cache for the panel-entry prep relation: x13 and x14 each need
+#: the valid-vector corpus twice (exact panel: double-cast arrays; ml path:
+#: ml vectors), so a bench pass re-scanned/filtered/cast the embeddings
+#: table four times.  The prep is computed ONCE per (session, sf_dir) as a
+#: persisted (vec_id, v, features) relation shared by both entries and both
+#: halves.  Eviction follows the repo-wide cache-leak rule: the PREVIOUS
+#: key's relation is unpersisted at the START of the next miss, never after
+#: the new persist (Spark's CacheManager dedupes canonically-equal plans --
+#: unpersist-after would uncache the new entry too).
+_ANN_PREP: list = []
 
-def _exact_topk_panel(df: DataFrame, metric: str, k: int = 10) -> DataFrame:
+
+def _panel_prep(spark, sf_dir: str) -> DataFrame:
+    """(vec_id, v: array<double>, features: ml VectorUDT) over the valid
+    vectors of ``sf_dir``'s embeddings table, persisted and shared across
+    the x13/x14 metric-oracle entries."""
+    from pyspark import StorageLevel
+    from pyspark.ml.functions import array_to_vector
+
+    key = (id(spark), sf_dir)
+    if _ANN_PREP and _ANN_PREP[0][0] == key:
+        return _ANN_PREP[0][1]
+    if _ANN_PREP:
+        _ANN_PREP.pop()[1].unpersist()
+    emb = t(spark, sf_dir, "embeddings")
+    prep = (
+        valid_vectors(emb)
+        .select(
+            F.col("vec_id"),
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+            array_to_vector(F.col("embedding")).alias("features"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _ANN_PREP.append((key, prep))
+    return prep
+
+
+def _exact_topk_panel(
+    df: DataFrame, metric: str, k: int = 10, vecs: DataFrame | None = None
+) -> DataFrame:
     """Exact top-``k`` for the fixed query panel: the cross-engine-checked
     half of the x13/x14 metric oracles.  (query_id, vec_id, <dist>, rank).
 
     Reference path, not the serving path: the per-query window shuffles
     |panel| x |corpus| rows, fine for a fixed 5-query acceptance panel;
-    bulk kNN at scale goes through knn_batch's per-partition top-k."""
+    bulk kNN at scale goes through knn_batch's per-partition top-k.
+    ``vecs`` short-circuits the corpus prep with an already-validated
+    (vec_id, v) relation (the shared _panel_prep cache)."""
     from pyspark.sql.window import Window
 
-    v = _vectors(df)
+    v = vecs.select("vec_id", "v") if vecs is not None else _vectors(df)
     q = v.where(F.col("vec_id").isin(*ANN_QUERY_IDS)).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
@@ -743,9 +887,12 @@ def x13_brp_ml(spark, sf_dir) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     # One fit + one key collect for the whole panel (brp_lsh_ml_panel);
     # the panel ids present in the valid-vector relation ARE
-    # _present_panel_ids, so no separate probe job.
-    ann = brp_lsh_ml_panel(emb, ANN_QUERY_IDS, k=10)
-    return _with_recall_flag(_exact_topk_panel(emb, "l2"), ann, 0.6)
+    # _present_panel_ids, so no separate probe job.  The corpus prep is
+    # the shared _panel_prep relation -- scanned/validated/cast once for
+    # both the ml path and the exact panel, and reused by x14.
+    prep = _panel_prep(spark, sf_dir)
+    ann = brp_lsh_ml_panel(emb, ANN_QUERY_IDS, k=10, feat=prep)
+    return _with_recall_flag(_exact_topk_panel(emb, "l2", vecs=prep), ann, 0.6)
 
 
 @register(
@@ -763,11 +910,14 @@ def x13_brp_ml(spark, sf_dir) -> DataFrame:
 )
 def x14_ivf_ml(spark, sf_dir) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
-    if valid_vectors(emb).isEmpty():
+    prep = _panel_prep(spark, sf_dir)
+    if prep.isEmpty():
         # KMeans.fit throws on zero rows; the exact panel (and so the
         # whole metric relation) is empty for an empty corpus.
-        return _with_recall_flag(_exact_topk_panel(emb, "cosine"), {}, 0.5)
-    index = build_ivf_index(emb)
+        return _with_recall_flag(
+            _exact_topk_panel(emb, "cosine", vecs=prep), {}, 0.5
+        )
+    index = build_ivf_index(emb, feat=prep)
     try:
         # One batched job for the whole panel (the per-query loop paid 10
         # sequential driver round trips); assigned is built from
@@ -781,7 +931,9 @@ def x14_ivf_ml(spark, sf_dir) -> DataFrame:
             ann.setdefault(r.query_id, []).append(r.vec_id)
     finally:
         index.unpersist()
-    return _with_recall_flag(_exact_topk_panel(emb, "cosine"), ann, 0.5)
+    return _with_recall_flag(
+        _exact_topk_panel(emb, "cosine", vecs=prep), ann, 0.5
+    )
 
 
 # -- int8 quantization (scale path for 100 TB ANN) ---------------------------
