@@ -474,17 +474,28 @@ def _raw_grams(toks: str, n: int) -> str:
     pass a MATERIALIZED column reference in hot paths -- interpreted
     lambdas re-evaluate their subexpressions per element, so an inline
     ``split()`` here costs O(w) re-splits per document (measured 7x on
-    the full signal set: 10.6 s -> 1.5 s over 5000 docs at sf0.1)."""
+    the full signal set: 10.6 s -> 1.5 s over 5000 docs at sf0.1).
+
+    Documents shorter than ``n`` tokens have NO n-grams: the array is
+    empty and their repetition mass is 0.  (The r6 form emitted one
+    TRUNCATED gram -- the whole token list -- so a 1-2 word doc scored
+    top2_gram_char_frac ~ 1.0 and was unconditionally flagged; Gopher's
+    repetition thresholds only apply to n-grams that exist.)  The IF
+    guard matters: Spark's ``sequence(1, 0)`` is the DESCENDING [1, 0],
+    not empty."""
     return (
-        f"transform(sequence(1, greatest(size({toks})-{n - 1}, 1)), "
-        f"i -> array_join(slice({toks}, i, {n}), ' '))"
+        f"IF(size({toks}) < {n}, array(), "
+        f"transform(sequence(1, size({toks})-{n - 1}), "
+        f"i -> array_join(slice({toks}, i, {n}), ' ')))"
     )
 
 
 def _duck_raw_grams(col: str, n: int) -> str:
+    # range(1, x) is empty for x <= 1 in DuckDB, so short docs get an
+    # empty gram list here without an explicit guard (mirrors _raw_grams).
     toks = rf"regexp_split_to_array(trim(lower({col})), '\s+')"
     return (
-        f"list_transform(range(1, greatest(len({toks})-{n - 1}, 1) + 1), "
+        f"list_transform(range(1, greatest(len({toks})-{n - 1}, 0) + 1), "
         f"i -> array_to_string(({toks})[i:i+{n - 1}], ' '))"
     )
 
@@ -527,37 +538,130 @@ def _dup_gram_char_expr(toks: str, n: int) -> str:
 _REP_LIMITS = {"top2": 0.20, "top3": 0.18, "top4": 0.16, "dup5": 0.15}
 
 
+#: Mean text length (chars) above which the Arrow-batched mass backend
+#: beats the interpreted-lambda expressions.  The lambdas cost O(w log w)
+#: interpreted steps PER DOCUMENT and never enter whole-stage codegen --
+#: the exact shape that measured 54x slower than pandas at L~2000 in
+#: stringsim before its gram_backend landed.  Crossover measured on this
+#: box: ~54-word (~380-char) docs expr wins; 2000-word docs pandas wins
+#: >5x.  1200 chars (~170 words) splits the measured gap conservatively.
+REP_PANDAS_CUTOVER_CHARS = 1200
+
+
+def _rep_masses_udf():
+    """Arrow-batched pandas UDF: text -> struct of the four integer gram
+    MASSES (top-{2,3,4}-gram and dup-5-gram character mass).  Only the
+    masses cross the Python boundary; the fraction, rounding, and flag
+    stay Spark-side expressions shared with the expr backend, so both
+    backends are bit-identical by construction.
+
+    Tokenization mirrors the SQL ``split(trim(lower(text)), '\\s+')``
+    exactly: lowercase, strip ASCII spaces only (SQL trim), split on the
+    Java-regex ``\\s`` class (ASCII whitespace -- Python's ``\\s`` also
+    matches unicode spaces, which would diverge)."""
+    import re
+    from collections import Counter
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+
+    def masses(text: str):
+        toks = ws.split(text.lower().strip(" ")) if text is not None else []
+        out = []
+        for n, kind in ((2, "top"), (3, "top"), (4, "top"), (5, "dup")):
+            if len(toks) < n:
+                out.append(0)
+                continue
+            counts = Counter(
+                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            )
+            if kind == "top":
+                out.append(max(c * len(g) for g, c in counts.items()))
+            else:
+                out.append(
+                    sum(c * len(g) for g, c in counts.items() if c > 1)
+                )
+        return out
+
+    def rep_masses(s):
+        return pd.DataFrame(
+            [masses(v) for v in s], columns=["m2", "m3", "m4", "m5"]
+        )
+
+    # Non-decorator form (no type hints): the module-wide `from __future__
+    # import annotations` stringifies hints and pyspark's inference cannot
+    # resolve a function-local `pd` -- same pattern as types.py.
+    return pandas_udf(
+        rep_masses, "struct<m2: long, m3: long, m4: long, m5: long>"
+    )
+
+
 def with_repetition_signals(
-    df: DataFrame, text_col: str = "text"
+    df: DataFrame, text_col: str = "text", backend: str = "auto"
 ) -> DataFrame:
     """Append per-document repetition signals in the Gopher style: the
     fraction of the document's characters sitting in its most frequent
     {2,3,4}-gram (``count * len(gram) / len(doc)`` -- the standard
     approximation; the numerator counts every occurrence) and in ALL
     5-grams that occur more than once, plus the Table-A1 keep/drop flag.
+    Documents shorter than ``n`` words carry mass 0 for that ``n`` (no
+    n-gram exists; truncated grams were the r6 bug).
 
-    100 TB shape: pure per-row expressions -- ZERO shuffle; the signals
+    100 TB shape: pure per-row work -- ZERO shuffle; the signals
     materialize in the scan stage of whatever pipeline consumes them.
-    The token split is staged into its own projection so all four gram
-    lambdas reference a cheap column instead of re-splitting per element
-    (10.6 s -> 1.5 s at sf0.1; CollapseProject declines to duplicate the
-    non-cheap split, verified one ``split(`` in the optimized plan --
-    pinned in test_plans).  Per-doc cost is O(w log w) interpreted
-    lambda steps; for multi-thousand-word documents an Arrow-batched
-    variant would follow the stringsim gram_backend precedent."""
-    toks = "__rep_toks"
-    staged = df.withColumn(
-        toks, F.expr(rf"split(trim(lower({text_col})), '\\s+')")
-    )
+    Two backends behind ``backend`` (same contract as stringsim's
+    gram_backend):
+
+    * ``"expr"`` -- JVM SQL-lambda aggregation.  The token split is
+      staged into its own projection so all four gram lambdas reference
+      a cheap column instead of re-splitting per element (10.6 s ->
+      1.5 s at sf0.1; CollapseProject declines to duplicate the
+      non-cheap split, verified one ``split(`` in the optimized plan --
+      pinned in test_plans).  Per-doc cost is O(w log w) INTERPRETED
+      steps: right for short-document corpora.
+    * ``"pandas"`` -- Arrow-batched mass computation (Counter per doc,
+      O(w)); only four int64s per row cross the Python boundary and the
+      frac/round/flag arithmetic stays in the shared Spark expressions,
+      so results are identical.  Wins >5x on multi-thousand-word docs.
+    * ``"auto"`` (default) -- one column-pruned avg(length) probe over
+      ``df`` picks the side of :data:`REP_PANDAS_CUTOVER_CHARS`.
+    """
+    if backend == "auto":
+        mean_len = (
+            df.agg(F.avg(F.length(text_col))).first()[0] or 0.0
+        )
+        backend = (
+            "pandas" if mean_len > REP_PANDAS_CUTOVER_CHARS else "expr"
+        )
     tl = f"CAST(greatest(length({text_col}), 1) AS DOUBLE)"
-    cols = []
-    for name, expr in (
-        ("top2_gram_char_frac", _top_gram_char_expr(toks, 2)),
-        ("top3_gram_char_frac", _top_gram_char_expr(toks, 3)),
-        ("top4_gram_char_frac", _top_gram_char_expr(toks, 4)),
-        ("dup5_gram_char_frac", _dup_gram_char_expr(toks, 5)),
-    ):
-        cols.append(F.expr(f"round({expr} / {tl}, 6)").alias(name))
+    names = (
+        "top2_gram_char_frac",
+        "top3_gram_char_frac",
+        "top4_gram_char_frac",
+        "dup5_gram_char_frac",
+    )
+    if backend == "pandas":
+        staged = df.withColumn("__rep_m", _rep_masses_udf()(F.col(text_col)))
+        mass_exprs = [f"__rep_m.m{n}" for n in (2, 3, 4, 5)]
+    elif backend == "expr":
+        toks = "__rep_toks"
+        staged = df.withColumn(
+            toks, F.expr(rf"split(trim(lower({text_col})), '\\s+')")
+        )
+        mass_exprs = [
+            _top_gram_char_expr(toks, 2),
+            _top_gram_char_expr(toks, 3),
+            _top_gram_char_expr(toks, 4),
+            _dup_gram_char_expr(toks, 5),
+        ]
+    else:
+        raise ValueError(f"unknown backend {backend!r}")
+    cols = [
+        F.expr(f"round({m} / {tl}, 6)").alias(name)
+        for name, m in zip(names, mass_exprs)
+    ]
     passed = (
         (cols[0] <= _REP_LIMITS["top2"])
         & (cols[1] <= _REP_LIMITS["top3"])
@@ -591,16 +695,20 @@ _X69_ORACLE = (
     )
     + ", tl AS (SELECT doc_id, greatest(length(text), 1)::DOUBLE AS tl"
     "   FROM documents) "
+    # LEFT joins + COALESCE: a doc shorter than n words has NO rows in
+    # a{n} (its gram list is empty) and must surface with mass 0, exactly
+    # as the Spark aggregate over an empty array returns its init.
     "SELECT tl.doc_id, "
-    " round(a2.mass / tl, 6) AS top2_gram_char_frac, "
-    " round(a3.mass / tl, 6) AS top3_gram_char_frac, "
-    " round(a4.mass / tl, 6) AS top4_gram_char_frac, "
-    " round(a5.mass / tl, 6) AS dup5_gram_char_frac, "
-    " (round(a2.mass / tl, 6) <= 0.20 AND round(a3.mass / tl, 6) <= 0.18 "
-    "  AND round(a4.mass / tl, 6) <= 0.16 "
-    "  AND round(a5.mass / tl, 6) <= 0.15) AS repetition_pass "
-    "FROM tl JOIN a2 USING (doc_id) JOIN a3 USING (doc_id) "
-    " JOIN a4 USING (doc_id) JOIN a5 USING (doc_id)"
+    " round(COALESCE(a2.mass, 0) / tl, 6) AS top2_gram_char_frac, "
+    " round(COALESCE(a3.mass, 0) / tl, 6) AS top3_gram_char_frac, "
+    " round(COALESCE(a4.mass, 0) / tl, 6) AS top4_gram_char_frac, "
+    " round(COALESCE(a5.mass, 0) / tl, 6) AS dup5_gram_char_frac, "
+    " (round(COALESCE(a2.mass, 0) / tl, 6) <= 0.20 "
+    "  AND round(COALESCE(a3.mass, 0) / tl, 6) <= 0.18 "
+    "  AND round(COALESCE(a4.mass, 0) / tl, 6) <= 0.16 "
+    "  AND round(COALESCE(a5.mass, 0) / tl, 6) <= 0.15) AS repetition_pass "
+    "FROM tl LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id) "
+    " LEFT JOIN a4 USING (doc_id) LEFT JOIN a5 USING (doc_id)"
 )
 
 

@@ -630,3 +630,68 @@ class TestRepetitionSignals:
         r = with_repetition_signals(df).collect()[0]
         assert r.repetition_pass
         assert r.dup5_gram_char_frac == 0.0
+
+    def test_short_docs_have_zero_mass(self, spark):
+        """A doc shorter than n words has NO n-grams: mass 0, not a
+        truncated whole-doc 'gram' (the r6 bug flagged every 1-2 word doc
+        as repetitive with top2_gram_char_frac ~ 1.0)."""
+        from conecta_spark.functions.quality import with_repetition_signals
+
+        df = spark.createDataFrame(
+            [(1, "hello"), (2, "")], "doc_id long, text string"
+        )
+        for be in ("expr", "pandas"):
+            rows = {
+                r.doc_id: r
+                for r in with_repetition_signals(df, backend=be).collect()
+            }
+            for i in (1, 2):
+                assert rows[i].top2_gram_char_frac == 0.0, be
+                assert rows[i].dup5_gram_char_frac == 0.0, be
+                assert rows[i].repetition_pass, be
+
+    def test_backends_identical(self, spark, docs):
+        """The Arrow-batched mass backend must be bit-identical to the
+        SQL-lambda expressions: only integer masses cross the Python
+        boundary; frac/round/flag arithmetic is shared Spark-side."""
+        from conecta_spark.functions.quality import with_repetition_signals
+
+        corpus = docs.select("doc_id", "text").limit(200)
+        a = (
+            with_repetition_signals(corpus, backend="expr")
+            .drop("text").toPandas().sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        b = (
+            with_repetition_signals(corpus, backend="pandas")
+            .drop("text").toPandas().sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert a.equals(b)
+
+    def test_auto_picks_backend_by_doc_length(self, spark, docs):
+        """auto = expr on a short-doc corpus (the interpreted lambdas win;
+        plan carries the single staged split), pandas on long docs (the
+        ArrowEvalPython node appears; measured 7.8x on 2000-word docs)."""
+        from pyspark.sql import functions as F
+
+        from conecta_spark.functions.quality import with_repetition_signals
+
+        short = with_repetition_signals(
+            docs.select("doc_id", "text"), backend="auto"
+        )
+        p = short._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in p
+
+        long_docs = spark.range(20).select(
+            F.col("id").alias("doc_id"),
+            F.expr(
+                "array_join(transform(sequence(1, 400), "
+                "i -> concat('w', CAST(pmod(i * (id + 7), 64) AS INT))), ' ')"
+            ).alias("text"),
+        )
+        lp = (
+            with_repetition_signals(long_docs, backend="auto")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Python" in lp
