@@ -274,3 +274,25 @@ def test_gram_backends_agree_end_to_end(spark):
         )
     )
     assert a == b and len(a) > 0
+
+
+def test_gram_backend_auto_resolution(spark, sf_dir):
+    """auto must pick the measured-crossover side per corpus: expr for
+    key-like strings (customer names, L~18 -- the Arrow toll loses) and
+    pandas for document-length strings (L~2000 -- the O(L^2) interpreted
+    occurrence scan loses 54x).  Pins the default so neither corpus ever
+    silently lands on its slow path."""
+    from pyspark.sql import functions as F
+
+    from conecta_spark.operators.stringsim import _resolve_gram_backend
+    from conecta_spark.queries import t
+
+    names = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("s")
+    ).withColumn("len", F.length("s"))
+    assert _resolve_gram_backend(names) == "expr"
+
+    texts = t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), F.col("text").alias("s")
+    ).withColumn("len", F.length("s"))
+    assert _resolve_gram_backend(texts) == "pandas"
