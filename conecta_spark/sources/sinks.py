@@ -162,7 +162,17 @@ def upsert_parquet(
     keys = list(key_cols)
     recover_upsert(path)
     if not os.path.exists(path):
-        write_parquet(updates, path, target_mb=target_mb)
+        # The FIRST write stages too: writing straight to ``path`` would
+        # leave a torn final directory (no ``_SUCCESS``) if the job dies
+        # mid-write, which recover_upsert's existence check then passes
+        # off as a complete table and later upserts silently merge into.
+        # Staged-then-renamed, a mid-write crash leaves only a staging
+        # dir without ``_SUCCESS`` (swept as "missing") and a crash after
+        # the write rolls forward -- the same guarantees as every
+        # subsequent upsert.
+        staged, _ = _upsert_side_dirs(path)
+        write_parquet(updates, staged, target_mb=target_mb)
+        os.rename(staged, path)
         return
     current = spark.read.parquet(path)
     merged = current.join(updates, keys, "left_anti").unionByName(updates)
@@ -191,7 +201,16 @@ def recover_upsert(path: str) -> str:
       is thereby completed.
     * ``"rolled_back"`` -- ``path`` missing, staging absent/incomplete,
       retired copy present: restore the pre-upsert version.
-    * ``"missing"`` -- nothing to recover (first write never happened).
+    * ``"missing"`` -- nothing to recover (first write never happened,
+      or died mid-write: the first write stages like every other, so its
+      half-written staging dir is swept here and ``path`` never holds a
+      torn version).
+
+    A ``path`` that exists is trusted as-is: every writer in this module
+    reaches it only via an atomic rename of a ``_SUCCESS``-complete
+    staging dir, and a pre-existing dataset the USER placed there (which
+    may legitimately lack ``_SUCCESS`` -- e.g. written with the marker
+    disabled) must not be second-guessed into deletion.
     """
     staged, retired = _upsert_side_dirs(path)
     if os.path.exists(path):

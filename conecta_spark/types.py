@@ -18,11 +18,16 @@ PostgresDialect gets wrong or loses:
   {a,b,c} -> [a,b,c].  Parsing is JVM-side regexp -- no UDFs.  The binary
   *wire* forms (what the reference decodes, postgres.rs:29-290) are covered
   too via :func:`decode_geo_binary` for byte-staged columns.
-* Unsupported-in-reference types (NUMERIC, TIMESTAMPTZ, INTERVAL, JSON,
-  ranges -- which PANIC there, postgres.rs:642) are all native in Spark:
-  DecimalType, TimestampType, DayTimeIntervalType, string+from_json.  We
-  support them instead of panicking; ``REFERENCE_UNSUPPORTED`` documents
-  the divergence.
+* Unsupported-in-reference types (NUMERIC, TIMESTAMPTZ, INTERVAL, JSON --
+  which PANIC there, postgres.rs:642) are all native in Spark:
+  DecimalType, TimestampType, DayTimeIntervalType, string+from_json.
+  Range types (also a reference panic) land in their lossless Postgres
+  text form as strings.  We support them instead of panicking;
+  ``REFERENCE_UNSUPPORTED`` documents the divergence.
+* Genuinely unknown types (custom enums, composites, extensions) raise
+  :class:`UnsupportedPgTypeError` naming every offending column -- the
+  clean-error half of the contract; ``type_bridge=False`` is the
+  all-or-nothing escape hatch.
 """
 
 from __future__ import annotations
@@ -59,6 +64,24 @@ PG_TO_SPARK: dict[str, T.DataType] = {
     "_bool": T.ArrayType(T.BooleanType()),
     "_bytea": T.ArrayType(T.BinaryType()),
     "_uuid": T.ArrayType(T.StringType()),
+    "_varchar": T.ArrayType(T.StringType()),
+    "_bpchar": T.ArrayType(T.StringType()),
+    "_char": T.ArrayType(T.StringType()),
+    "_date": T.ArrayType(T.DateType()),
+    "_timestamp": T.ArrayType(T.TimestampNTZType()),
+    "_numeric": T.ArrayType(T.DecimalType(38, 18)),
+    # system/identifier and network types Spark's JDBC layer lands as-is
+    # (pgjdbc surfaces them via getString/getLong; the r6 bridge rejected
+    # them and broke previously-working reads -- the r7 advice finding)
+    "name": T.StringType(),
+    "oid": T.LongType(),
+    "xml": T.StringType(),
+    "inet": T.StringType(),
+    "cidr": T.StringType(),
+    "macaddr": T.StringType(),
+    "macaddr8": T.StringType(),
+    "money": T.StringType(),
+    "varbit": T.StringType(),
     # geo -> flattened coords
     "point": T.ArrayType(T.DoubleType()),
     "line": T.ArrayType(T.DoubleType()),
@@ -72,6 +95,9 @@ PG_TO_SPARK: dict[str, T.DataType] = {
 }
 
 #: Types the reference panics on (postgres.rs:642) but we support natively.
+#: Ranges land in their Postgres text form (``[lo,hi)``) -- lossless, and
+#: what pgjdbc hands Spark's dialect anyway; parse with substring/split or
+#: cast bounds in SQL when the endpoints are needed typed.
 REFERENCE_UNSUPPORTED: dict[str, T.DataType] = {
     "numeric": T.DecimalType(38, 18),
     "timestamptz": T.TimestampType(),
@@ -79,6 +105,12 @@ REFERENCE_UNSUPPORTED: dict[str, T.DataType] = {
     "interval": T.DayTimeIntervalType(),
     "json": T.StringType(),
     "jsonb": T.StringType(),
+    "int4range": T.StringType(),
+    "int8range": T.StringType(),
+    "numrange": T.StringType(),
+    "tsrange": T.StringType(),
+    "tstzrange": T.StringType(),
+    "daterange": T.StringType(),
 }
 
 

@@ -141,16 +141,20 @@ def test_unbridgeable_pg_type_raises_listing_every_column(spark, geo_frame):
     column it cannot bridge and what to do about it."""
     from conecta_spark.types import UnsupportedPgTypeError
 
+    # offenders are GENUINELY unknown types (custom enum/composite);
+    # ranges moved into the bridge in r7 (they land as lossless pg text,
+    # exactly what pgjdbc hands Spark's dialect) -- rejecting them broke
+    # previously-working reads.
     src = StubJDBC(
         spark,
         {"*": geo_frame},
-        types_map={"pt": "mood_enum", "t": "tsrange", "name": "text"},
+        types_map={"pt": "mood_enum", "t": "inventory_composite", "name": "text"},
     )
     with pytest.raises(UnsupportedPgTypeError) as ei:
         src.query("select * from tbl")
-    assert ei.value.offenders == {"pt": "mood_enum", "t": "tsrange"}
+    assert ei.value.offenders == {"pt": "mood_enum", "t": "inventory_composite"}
     msg = str(ei.value)
-    assert "pt (mood_enum)" in msg and "t (tsrange)" in msg
+    assert "pt (mood_enum)" in msg and "t (inventory_composite)" in msg
     assert "type_bridge=False" in msg  # the actionable escape hatch
 
     # and the escape hatch really is one: raw representation comes back

@@ -241,6 +241,62 @@ def test_upsert_crash_during_staging_write_keeps_old_table(
     assert _read_kv(spark, path) == {(1, "a"), (2, "B")}
 
 
+def test_upsert_first_write_crash_leaves_no_torn_table(
+    spark, tmp_path_factory, monkeypatch
+):
+    """The FIRST write must stage too: if the job dies mid-write there is
+    no final directory at all (a torn one would pass recover_upsert's
+    existence check as 'clean' and later upserts would merge into torn
+    data -- the r6 advice finding).  After recovery the next first write
+    succeeds cleanly."""
+    from conecta_spark.sources import sinks
+
+    path = str(tmp_path_factory.mktemp("crash4") / "tbl")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+
+    def exploding_write(frame, dst, target_mb=None, **kw):
+        os.makedirs(dst)
+        with open(os.path.join(dst, "part-00000.parquet"), "wb") as f:
+            f.write(b"torn half-written bytes")  # no _SUCCESS marker
+        raise RuntimeError("injected crash during first write")
+
+    monkeypatch.setattr(sinks, "write_parquet", exploding_write)
+    with pytest.raises(RuntimeError, match="injected"):
+        sinks.upsert_parquet(spark, path, df, ("k",))
+    monkeypatch.undo()
+
+    assert not os.path.exists(path)  # never a torn final directory
+    assert sinks.recover_upsert(path) == "missing"  # staging swept
+    staged, _ = sinks._upsert_side_dirs(path)
+    assert not os.path.exists(staged)
+
+    sinks.upsert_parquet(spark, path, df, ("k",))
+    assert _read_kv(spark, path) == {(1, "a"), (2, "b")}
+
+
+def test_upsert_first_write_crash_before_promote_rolls_forward(
+    spark, tmp_path_factory, monkeypatch
+):
+    """First write completed staging but died before the rename: the
+    staged version is complete and recover_upsert promotes it."""
+    from conecta_spark.sources import sinks
+
+    path = str(tmp_path_factory.mktemp("crash5") / "tbl")
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+
+    def exploding_rename(src, dst):
+        raise RuntimeError("injected crash before first-write promote")
+
+    monkeypatch.setattr(sinks.os, "rename", exploding_rename)
+    with pytest.raises(RuntimeError, match="injected"):
+        sinks.upsert_parquet(spark, path, df, ("k",))
+    monkeypatch.undo()
+
+    assert not os.path.exists(path)
+    assert sinks.recover_upsert(path) == "rolled_forward"
+    assert _read_kv(spark, path) == {(1, "a")}
+
+
 def test_upsert_crash_with_incomplete_staging_rolls_back(
     spark, tmp_path_factory
 ):
