@@ -402,52 +402,50 @@ def _load_extensions() -> None:
 # extension operator (x01-x29), then the SQL-surface queries whose oracle SQL
 # changed this round (re-proof needed), then the remaining SQL-surface
 # variants that were already hash-green in round 1.
-# Window composition for round 6 (50 slots), per the round-5 verdict:
+# Window composition for round 7 (exactly 50 slots), per the round-6
+# verdict (tasks 3 and 8):
 #   1. core q01/q02/q12 (every-round scan/projection/agg smoke);
-#   2. the four r6 metric-oracle upgrades (x09/x13/x14/x25 were rows-only
-#      through r5; their exact-reference + acceptance-flag redefinitions
-#      need hash-green rows, completing 134/134 oracled);
-#   3. standing regression sentinels: x16 (TIMESTAMP_NTZ testdata drift),
+#   2. standing regression sentinels: x16 (TIMESTAMP_NTZ testdata drift),
 #      x56 (oracle numeric-kind class), x65 (real Structured Streaming
 #      driver row);
-#   4. entries added this round (x67: the distributed label-propagation
-#      CC branch, previously only test-forced; x68: n-gram benchmark
-#      decontamination; x69: Gopher repetition signals.  The x68/x69
-#      slots come from demoting x26/x07, whose newest green rows are r5
-#      -- the freshness invariant (nothing older than r4) is unaffected);
-#   5. the 37 entries whose latest green driver row is r3 -- two rounds
-#      stale, judge-re-verified green locally in r5, refreshed here so no
-#      oracled entry's newest driver row is older than r4 after this
-#      round;
-#   6. (retired this round) the flagship-heavy refresh tier: x07/x26
-#      gave up their slots to the new x68/x69 entries; both keep green
-#      r5 rows and stay locally oracle-checked every test run.
-# Everything demoted below slot 50 has a green r4/r5 driver row and stays
-# locally oracle-checked every test run; those rows stand.
+#   3. x11 re-proof: de-vacuated this round (threshold 0.92 sat above the
+#      corpus's entire cosine distribution, so every prior green row was
+#      a 0-row-vs-0-row match); at 0.35 the driver row finally compares
+#      real similarity values -- this is the round's one slot trade, paid
+#      for by the stale tier being 43 entries, not 44;
+#   4. the 43 entries whose newest green driver row is r4 (histogram
+#      r4:43 / r5:44 / r6:50 coming in) -- refreshed here so the
+#      freshness floor is r5 after this round.
+# 3 + 3 + 1 + 43 = 50.  Everything below slot 50 has a green r5/r6 row
+# and stays locally oracle-checked every test run; that includes the
+# entries whose IMPLEMENTATION changed this round with value-identical
+# sf0.01 output (x67 slice bound > corpus size there, x13/x14 shared
+# prep + sample-trained quantizer, x69 short-doc gram fix: no sub-5-word
+# docs in the corpus), all re-verified by the local driver twin at
+# sf0.01/0.1 and by the judge's whole-registry twin.
 _CORE_SMOKE = ("q01", "q02", "q12")
-_FIX_PROOFS = ("x09", "x13", "x14", "x25")
 _REGRESSION_SENTINELS = ("x16", "x56", "x65")
-_NEW_THIS_ROUND = ("x67", "x68", "x69")
-_STALE_R3_REFRESH = (
-    "q03", "q04", "q05", "q06", "q07", "q08", "q09", "q10", "q11",
-    "q13", "q14", "q15", "q16", "q24", "q35", "q37",
-    "x01", "x02", "x03", "x04", "x06", "x10", "x11", "x12", "x15",
-    "x17", "x19", "x20", "x21", "x24", "x27", "x28", "x29", "x30",
-    "x31", "x32", "x33",
+_DEVACUATED_REPROOF = ("x11",)
+_STALE_R4_REFRESH = (
+    "q40", "q41", "q42", "q43", "q44", "q45", "q46", "q47", "q48",
+    "q49", "q50", "q51",
+    "x22", "x23", "x34", "x35", "x36", "x37", "x38", "x39", "x40",
+    "x41", "x42", "x43", "x44", "x45", "x46", "x47", "x48", "x49",
+    "x50", "x51", "x52", "x53", "x54", "x55", "x57", "x58", "x59",
+    "x60", "x61", "x62", "x63",
 )
 _WINDOW = (
-    _CORE_SMOKE + _FIX_PROOFS + _REGRESSION_SENTINELS + _NEW_THIS_ROUND
-    + _STALE_R3_REFRESH
+    _CORE_SMOKE + _REGRESSION_SENTINELS + _DEVACUATED_REPROOF
+    + _STALE_R4_REFRESH
 )
 _PRIORITY_TIERS: tuple[tuple[str, ...], ...] = (
     _CORE_SMOKE,
-    _FIX_PROOFS,
     _REGRESSION_SENTINELS,
-    _NEW_THIS_ROUND,
-    _STALE_R3_REFRESH,
-    # below the 50-slot window: r4/r5 greens -- newest proofs last to
-    # demote, oldest (none older than r4 after this round) already above
-    tuple(f"q{i:02d}" for i in range(17, 69) if f"q{i:02d}" not in _WINDOW),
+    _DEVACUATED_REPROOF,
+    _STALE_R4_REFRESH,
+    # below the 50-slot window: r5/r6 greens -- newest proofs last to
+    # demote, oldest already above
+    tuple(f"q{i:02d}" for i in range(3, 69) if f"q{i:02d}" not in _WINDOW),
     tuple(
         f"x{i:02d}" for i in range(1, 70) if f"x{i:02d}" not in _WINDOW
     ),
