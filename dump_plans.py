@@ -129,6 +129,46 @@ SHOWCASE: list[tuple[str, str]] = [
         "ranking window -- is visible in the cached-relation child "
         "plan and pinned by tests/test_stringsim.py.",
     ),
+    (
+        "x67_dedup_clusters_distributed",
+        "Distributed connected components, one label-propagation round "
+        "shown: the generation is an EAGER localCheckpoint, so the "
+        "round's plan is a constant-size tree over two leaves (the "
+        "symmetrized edge relation and the previous generation's "
+        "snapshot) no matter how many rounds ran before it.  Without "
+        "the checkpoint the round references the previous generation "
+        "THREE times (self rows, labels-as-edges, join right side) and "
+        "the un-truncated lineage grows 3^rounds copies of the upstream "
+        "pipeline -- plan ANALYSIS, not execution, OOMed the driver at "
+        "~5 rounds on a 24-vertex chain (r6).  Neighbor propagation and "
+        "the pointer jump ride ONE shuffle join per round: the jump is "
+        "propagation over synthetic (u -> label(u)) edges unioned into "
+        "the edge relation map-side.  The convergence check is a "
+        "filter-count over the just-materialized snapshot -- one job, "
+        "zero extra joins.  The entry's corpus is a bounded slice "
+        "(X67_SLICE): the branch under proof is the CC loop, not the "
+        "pair mining x26 already covers at full scale.",
+    ),
+    (
+        "x68_ngram_decontaminate",
+        "Lexical benchmark decontamination: the benchmark side's gram "
+        "set broadcasts; the corpus's grams never shuffle wide -- the "
+        "only corpus-keyed exchange carries the skinny (doc_id, count) "
+        "overlap aggregate.  No CartesianProduct or nested-loop join.",
+    ),
+    (
+        "x69_gopher_repetition",
+        "Gopher repetition family: zero Exchange nodes and no Python "
+        "worker -- all four gram-mass signals are per-row expressions "
+        "riding the scan stage.  The token split is staged into its own "
+        "projection exactly once (one split( in the optimized plan, "
+        "pinned): CollapseProject inlining it back would re-split the "
+        "document once per gram-lambda element access (measured 7x).  "
+        "For long-doc corpora the auto backend swaps the interpreted "
+        "O(w log w) per-doc aggregation for an Arrow-batched mass UDF "
+        "(7.8x at 2000-word docs) -- the frac/round/flag arithmetic is "
+        "shared Spark expressions either way.",
+    ),
 ]
 
 
