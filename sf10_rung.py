@@ -1,0 +1,143 @@
+#!/usr/bin/env python
+"""The 100x scale rung: build an SF10 dataset (60M-row lineitem -- the
+reference's largest PUBLISHED scale, lineitem10x: 91.75 s indexed /
+152.2 s unindexed, BASELINE.md:28-29) and time the headline queries plus
+one dedup heavy on it.
+
+Derivation: the SF1 rung (sf1_rung.py, 10-fold decorrelated replication
+of sf0.1) replicated 10-fold AGAIN with a second, LETTER-DISJOINT
+rotation alphabet.  Permutations over disjoint letter sets commute and
+compose freely, so the 10 x 10 stack yields 100 distinct text
+permutations -- re-using sf1's alphabet would collapse to 10 (rotations
+of one set compose mod 10) and same-rotation replica pairs would share
+every shingle, inflating LSH candidates by construction.  Keys get a
+second-level offset of 1e9 (> the SF1 maximum of ~9.015e8), so every
+replica remains a self-contained star with intact join integrity.
+
+Embedding note: the component-roll decorrelator composes additively mod
+64, so across the 100 replicas some pairs share a total roll; embedding
+ops are not timed at this rung (x07 mines TEXT shingles).
+
+Output dir: ./testdata_sf10 (gitignored, ~1.6 GB).  One JSON line to
+stdout with median-of-warm-runs timings.
+
+Run: python sf10_rung.py            (builds if absent, then times)
+     python sf10_rung.py --rebuild  (force rebuild)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+import sf1_rung
+
+#: Second-level rotation alphabet -- MUST be disjoint from sf1_rung.ALPHA
+#: ("aeiousrtln"), see module docstring.
+ALPHA2 = "bcdfghmpvw"
+OFF2 = 1_000_000_000
+SF10_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "testdata_sf10"
+)
+TIMED = ("q01_full_scan", "q12_groupby_agg", "q05_min_max_metadata")
+HEAVY = "x07_dedup_minhash_lsh"
+
+assert not set(ALPHA2) & set(sf1_rung.ALPHA), "alphabets must be disjoint"
+
+
+def main() -> None:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from conecta_spark.queries import REGISTRY, _load_extensions
+    from conecta_spark.session import get_session
+
+    _load_extensions()
+    spark = get_session(
+        app_name="conecta-spark-sf10",
+        master=f"local[{cpus}]",
+        extra_conf={
+            "spark.sql.shuffle.partitions": str(int(cpus) * 2),
+            "spark.ui.enabled": "false",
+            "spark.driver.memory": "48g",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sf1_marker = os.path.join(sf1_rung.SF1_DIR, "lineitem.parquet", "_SUCCESS")
+    if not os.path.exists(sf1_marker):
+        src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        sf1_rung.build(spark, src)
+
+    marker = os.path.join(SF10_DIR, "lineitem.parquet", "_SUCCESS")
+    if "--rebuild" in sys.argv or not os.path.exists(marker):
+        t0 = time.perf_counter()
+        sf1_rung.build(
+            spark,
+            sf1_rung.SF1_DIR,
+            k=10,
+            out_dir=SF10_DIR,
+            alpha=ALPHA2,
+            off=OFF2,
+            roll_mult=13,
+        )
+        print(
+            f"built SF10 in {time.perf_counter() - t0:.1f}s",
+            file=sys.stderr,
+        )
+
+    n_lineitem = spark.read.parquet(f"{SF10_DIR}/lineitem.parquet").count()
+    n_docs = spark.read.parquet(f"{SF10_DIR}/documents.parquet").count()
+
+    def run(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    timings = {}
+    for name in TIMED:
+        runs = []
+        for _ in range(4):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            run(REGISTRY[name].fn(spark, SF10_DIR))
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(sorted(runs[1:])), 3)
+        print(f"{name}: median {timings[name]}s runs={runs}", file=sys.stderr)
+
+    # The dedup heavy: 2 runs (500k docs; run 1 warms codegen + python
+    # workers), report both -- the point is the ORDER of magnitude vs the
+    # reference's 91.75 s scan at the same row scale.
+    heavy_runs = []
+    for _ in range(2):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        out = REGISTRY[HEAVY].fn(spark, SF10_DIR)
+        n_pairs = out.count()
+        heavy_runs.append(round(time.perf_counter() - t0, 3))
+    timings[HEAVY] = heavy_runs[-1]
+    print(
+        f"{HEAVY}: runs={heavy_runs} pairs={n_pairs}", file=sys.stderr
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "sf10_rung",
+                "lineitem_rows": n_lineitem,
+                "document_rows": n_docs,
+                "timings_sec": timings,
+                "lsh_pairs": n_pairs,
+                "reference_sf10_scan_sec": [91.75, 152.2],
+                "scan_vs_reference_indexed": round(
+                    timings["q01_full_scan"] / 91.75, 4
+                ),
+            },
+            separators=(",", ":"),
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -37,7 +37,22 @@ SF1_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "testdata_sf1
 TIMED = ("q01_full_scan", "q02_projection", "q05_min_max_metadata", "q12_groupby_agg")
 
 
-def build(spark, src_dir: str, k: int = K, out_dir: str = SF1_DIR) -> None:
+def build(
+    spark,
+    src_dir: str,
+    k: int = K,
+    out_dir: str = SF1_DIR,
+    alpha: str = ALPHA,
+    off: int = OFF,
+    roll_mult: int = 7,
+) -> None:
+    """Replicate ``src_dir`` ``k``-fold with per-replica decorrelation.
+
+    ``alpha``/``off``/``roll_mult`` parameterize the decorrelators so a
+    second rung can stack on the first (sf10_rung.py replicates the SF1
+    output with a DISJOINT letter alphabet: letter-disjoint permutations
+    compose to k1*k2 distinct permutations, where re-using one alphabet
+    would collapse to k1 -- rotations of the same set compose mod k1)."""
     from pyspark.sql import functions as F
 
     os.makedirs(out_dir, exist_ok=True)
@@ -49,7 +64,7 @@ def build(spark, src_dir: str, k: int = K, out_dir: str = SF1_DIR) -> None:
         for c in key_cols:
             dt = df.schema[c].dataType.simpleString()
             out = out.withColumn(
-                c, (F.col(c) + F.col("rep") * OFF).cast(dt)
+                c, (F.col(c) + F.col("rep") * off).cast(dt)
             )
         if transform is not None:
             out = transform(out)
@@ -63,16 +78,16 @@ def build(spark, src_dir: str, k: int = K, out_dir: str = SF1_DIR) -> None:
     def rotate_text(out):
         expr = F.col("text")
         for i in range(1, k):
-            rot = ALPHA[i:] + ALPHA[:i]
+            rot = alpha[i % len(alpha):] + alpha[: i % len(alpha)]
             expr = F.when(
-                F.col("rep") == i, F.translate(F.col("text"), ALPHA, rot)
+                F.col("rep") == i, F.translate(F.col("text"), alpha, rot)
             ).otherwise(expr)
         return out.withColumn("text", expr)
 
     def roll_vec(out):
         expr = F.col("embedding")
         for i in range(1, k):
-            r = (i * 7) % 64
+            r = (i * roll_mult) % 64
             expr = F.when(
                 F.col("rep") == i,
                 F.expr(
