@@ -14,6 +14,12 @@ every shingle, inflating LSH candidates by construction.  Keys get a
 second-level offset of 1e9 (> the SF1 maximum of ~9.015e8), so every
 replica remains a self-contained star with intact join integrity.
 
+DIGITS rotate at this level too (``rotate_digits=True``): letter-only
+rotation leaves each doc's numeric tokens identical across its 100
+clones, and those clone families' shared-shingle minhash bands collide
+~100-wide -- the first attempt's candidate relation went quadratic and
+filled 34 GB of shuffle.  See sf1_rung.build's docstring.
+
 Embedding note: the component-roll decorrelator composes additively mod
 64, so across the 100 replicas some pairs share a total roll; embedding
 ops are not timed at this rung (x07 mines TEXT shingles).
@@ -83,6 +89,7 @@ def main() -> None:
             alpha=ALPHA2,
             off=OFF2,
             roll_mult=13,
+            rotate_digits=True,
         )
         print(
             f"built SF10 in {time.perf_counter() - t0:.1f}s",

@@ -37,6 +37,9 @@ SF1_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "testdata_sf1
 TIMED = ("q01_full_scan", "q02_projection", "q05_min_max_metadata", "q12_groupby_agg")
 
 
+DIGITS = "0123456789"
+
+
 def build(
     spark,
     src_dir: str,
@@ -45,6 +48,7 @@ def build(
     alpha: str = ALPHA,
     off: int = OFF,
     roll_mult: int = 7,
+    rotate_digits: bool = False,
 ) -> None:
     """Replicate ``src_dir`` ``k``-fold with per-replica decorrelation.
 
@@ -52,7 +56,18 @@ def build(
     second rung can stack on the first (sf10_rung.py replicates the SF1
     output with a DISJOINT letter alphabet: letter-disjoint permutations
     compose to k1*k2 distinct permutations, where re-using one alphabet
-    would collapse to k1 -- rotations of the same set compose mod k1)."""
+    would collapse to k1 -- rotations of the same set compose mod k1).
+
+    ``rotate_digits`` additionally rotates ``0-9`` by the replica index.
+    Letter-only rotation leaves DIGIT shingles identical across replicas,
+    so each source doc's k clones share their numeric tokens: harmless at
+    k=10 (the documented 1.69x raw-candidate inflation the DF/skew
+    filters absorb), but at the stacked 100 replicas the clone families'
+    shared-shingle minhash bands collide ~100-wide and the candidate
+    relation goes quadratic -- the first SF10 x07 attempt filled 34 GB of
+    shuffle before dying on disk.  Digit rotation breaks the families
+    apart while staying bijective (within-replica duplicate structure is
+    still preserved exactly)."""
     from pyspark.sql import functions as F
 
     os.makedirs(out_dir, exist_ok=True)
@@ -79,8 +94,12 @@ def build(
         expr = F.col("text")
         for i in range(1, k):
             rot = alpha[i % len(alpha):] + alpha[: i % len(alpha)]
+            src, dst = alpha, rot
+            if rotate_digits:
+                drot = DIGITS[i % 10:] + DIGITS[: i % 10]
+                src, dst = alpha + DIGITS, rot + drot
             expr = F.when(
-                F.col("rep") == i, F.translate(F.col("text"), alpha, rot)
+                F.col("rep") == i, F.translate(F.col("text"), src, dst)
             ).otherwise(expr)
         return out.withColumn("text", expr)
 
