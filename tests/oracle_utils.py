@@ -183,7 +183,10 @@ def pandas_compare(sdf, ddf) -> list[str]:
     return problems
 
 
-def assert_match(name: str, spark_df, con, oracle: str):
+def assert_match(name: str, spark_df, con, oracle: str) -> int:
+    """Full cross-engine comparison; returns the matched ROW COUNT so
+    callers can reject vacuous greens (a hash match on two empty frames
+    proves nothing -- x11 shipped six rounds of 0-vs-0 greens that way)."""
     assert_numeric_kinds_match(name, spark_df, con, oracle)
     s_cols, s_rows = spark_result(spark_df)
     d_cols, d_rows = duckdb_result(con, oracle)
@@ -202,3 +205,4 @@ def assert_match(name: str, spark_df, con, oracle: str):
         raise AssertionError(
             f"{name}: value mismatch; first diffs (spark vs duck): {diffs}"
         )
+    return len(s_rows)

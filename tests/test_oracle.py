@@ -19,13 +19,32 @@ def con(oracle_dir):
     c.close()
 
 
+#: Entries ALLOWED to be empty at the gate SF -- each with a reason and a
+#: compensating check.  Everything else must produce rows, or its hash
+#: match compares empty frames and proves nothing (x11 shipped six rounds
+#: of vacuous 0-vs-0 greens before the r6 verdict caught it; a registry
+#: audit found exactly one other empty entry, q21).
+_MAY_BE_EMPTY = {
+    "q21_anti_join": (
+        "every sf0.01 customer happens to have an order; the anti join "
+        "returns 1 row at sf0.1, and the anti+semi partition property is "
+        "pinned by test_anti_semi_partition below"
+    ),
+}
+
+
 @pytest.mark.parametrize(
     "name", [n for n, q in REGISTRY.items() if q.oracle is not None]
 )
 def test_oracle_match(name, spark, oracle_dir, con):
     qd = REGISTRY[name]
     df = qd.fn(spark, oracle_dir)
-    assert_match(name, df, con, qd.oracle)
+    matched_rows = assert_match(name, df, con, qd.oracle)
+    assert matched_rows > 0 or name in _MAY_BE_EMPTY, (
+        f"{name}: oracle matched ZERO rows -- a vacuous green; lower the "
+        "operator's threshold into the corpus's real value band or "
+        "whitelist it here with a reason and a compensating check"
+    )
 
 
 @pytest.mark.parametrize(
@@ -47,3 +66,15 @@ _MUST_BE_NONEMPTY = ("x11_embed_near_dup",)
 @pytest.mark.parametrize("name", _MUST_BE_NONEMPTY)
 def test_oracle_exercises_rows(name, spark, oracle_dir):
     assert REGISTRY[name].fn(spark, oracle_dir).count() > 0
+
+
+def test_anti_semi_partition(spark, oracle_dir):
+    """q21's compensating check: anti and semi joins on the same key
+    partition the left side exactly, so q21's emptiness at this SF is the
+    complement of q22 covering every customer -- the anti join mechanism
+    is exercised even when its answer is empty."""
+    n_anti = REGISTRY["q21_anti_join"].fn(spark, oracle_dir).count()
+    n_semi = REGISTRY["q22_semi_join"].fn(spark, oracle_dir).count()
+    from conecta_spark.queries import t
+
+    assert n_anti + n_semi == t(spark, oracle_dir, "customer").count()
