@@ -292,22 +292,25 @@ def x26_dedup_clusters(spark, sf_dir) -> DataFrame:
     )
 
 
-#: x67's corpus slice.  The entry's SUBJECT is the distributed CC branch,
-#: not pair mining -- but its r6 form re-ran the ENTIRE x07 LSH pipeline
-#: over the full corpus (~3.5 s at sf0.1) that x26 had just mined 0.3 s
-#: earlier in the same bench pass, doubling the most expensive upstream in
-#: the repo to prove a downstream branch.  Bounding the corpus to the first
-#: X67_SLICE docs keeps every correctness gate identical (sf0.001/0.01 have
-#: 500 docs -- the slice IS the corpus there) while the slice's component
-#: structure still exercises multi-member clusters, singleton-free vertex
-#: sets, and >1 propagation round at sf0.1.  Same precedent as X09_SLICE /
-#: BASELINE_SLICE: bounded, labeled, oracle runs the identical slice.
-X67_SLICE = 1000
+#: Corpus slice for the DOWNSTREAM-subject cluster entries (x67, x50).
+#: Each entry's SUBJECT is a stage downstream of pair mining (the
+#: distributed CC branch; the canonical-prune aggregation) -- but their
+#: r6 forms re-ran the ENTIRE x07 LSH pipeline over the full corpus
+#: (~3.5 s each at sf0.1) that x26 had just mined in the same bench pass,
+#: re-proving the repo's most expensive upstream to exercise a cheap
+#: downstream.  Bounding the corpus to the first CC_SLICE docs keeps
+#: every correctness gate identical (sf0.001/0.01 have 500 docs -- the
+#: slice IS the corpus there) while the slice's component structure still
+#: exercises multi-member clusters, quality ties, and >1 propagation
+#: round at sf0.1.  Same precedent as X09_SLICE / BASELINE_SLICE:
+#: bounded, labeled, oracle runs the identical slice.  Full-corpus pair
+#: mining and clustering stay driver-proven through x26.
+CC_SLICE = 1000
 
 
 @register(
     "x67_dedup_clusters_distributed",
-    _duck_clusters_sql(f"(SELECT * FROM documents WHERE doc_id < {X67_SLICE})"),
+    _duck_clusters_sql(f"(SELECT * FROM documents WHERE doc_id < {CC_SLICE})"),
     "the same near-dup cluster rollup as x26, forced through the "
     "distributed label-propagation branch (small_graph_threshold=0) -- "
     "the code path a >1M-edge graph takes at 100 TB -- over a bounded "
@@ -316,7 +319,7 @@ X67_SLICE = 1000
     "identical slice",
 )
 def x67_clusters_distributed(spark, sf_dir) -> DataFrame:
-    docs = t(spark, sf_dir, "documents").where(F.col("doc_id") < X67_SLICE)
+    docs = t(spark, sf_dir, "documents").where(F.col("doc_id") < CC_SLICE)
     pairs = minhash_lsh_pairs(docs, threshold=0.5)
     cc = connected_components(pairs, small_graph_threshold=0)
     cl = cc.groupBy("cluster_id").agg(
@@ -416,14 +419,17 @@ def keep_best_per_cluster(
     )
 
 
-def _duck_keep_best_sql() -> str:
+def _duck_keep_best_sql(docs: str = "documents") -> str:
+    # ``docs`` parameterizes only the pair-mining corpus (see _duck_mh_sigs);
+    # the quality-scoring join stays keyed on the labeled srcs, which are a
+    # subset of the slice by construction.
     from ..functions.text import _duck_quality
 
-    from .dedup import _DUCK_MH_SIGS
+    from .dedup import _duck_mh_sigs
 
     return (
         "WITH RECURSIVE pairs AS ("
-        f" SELECT doc_a, doc_b FROM ({_DUCK_MH_SIGS}) q),"
+        f" SELECT doc_a, doc_b FROM ({_duck_mh_sigs(docs)}) q),"
         " edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs"
         "  UNION SELECT doc_b, doc_a FROM pairs),"
         " reach(src, dst) AS (SELECT u, u FROM edges"
@@ -442,11 +448,13 @@ def _duck_keep_best_sql() -> str:
 
 @register(
     "x50_keep_best_per_cluster",
-    _duck_keep_best_sql(),
+    _duck_keep_best_sql(f"(SELECT * FROM documents WHERE doc_id < {CC_SLICE})"),
     "canonical-doc selection: per near-dup cluster keep the highest-quality "
-    "member (the prune step that produces the deduplicated corpus)",
+    "member (the prune step that produces the deduplicated corpus), over "
+    "the bounded CC_SLICE corpus -- the subject is the skew-immune prune "
+    "aggregation, not the pair mining x26 proves at full scale",
 )
 def x50_keep_best(spark, sf_dir) -> DataFrame:
-    d = t(spark, sf_dir, "documents")
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < CC_SLICE)
     pairs = minhash_lsh_pairs(d)
     return keep_best_per_cluster(d, connected_components(pairs))
