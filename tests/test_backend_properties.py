@@ -1,0 +1,142 @@
+"""Property-based parity for the r7 dual-backend operators.
+
+The pandas backends exist because interpreted SQL lambdas lose 5-50x on
+long strings; they are only safe if they are VALUE-IDENTICAL to the JVM
+expressions on every input, including the whitespace corners where
+Python and Java regex semantics diverge (Python ``\\s`` matches unicode
+whitespace; Java's is ASCII) and the short-document boundary the r6 bug
+lived on.  Hypothesis drives both backends over adversarial strings and
+asserts exact frame equality.
+
+Also pins the sample-trained IVF quantizer's determinism contract:
+same (corpus, k, seed) -> bit-identical centroids and cell assignment,
+independent of partition layout.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+# token characters skew toward repeats so n-gram runs actually occur;
+# whitespace includes every ASCII class the SQL split matches, plus
+# unicode spaces that Python's \s WOULD match and Java's does not --
+# the divergence the pandas tokenizer must not introduce.
+_WS = [" ", "\t", "\n", "\x0b", "\f", "\r", "  ", " \t "]
+_UNICODE_WS = [" ", " "]
+_token = st.text(alphabet="abA1.", min_size=1, max_size=4)
+
+
+@st.composite
+def _docs(draw):
+    n = draw(st.integers(min_value=0, max_value=12))
+    parts = []
+    for _ in range(n):
+        parts.append(draw(_token))
+        parts.append(draw(st.sampled_from(_WS + _UNICODE_WS)))
+    lead = draw(st.sampled_from(["", " ", "\t", " "]))
+    return lead + "".join(parts)
+
+
+class TestRepetitionBackendParity:
+    @settings(max_examples=30, deadline=None)
+    @given(texts=st.lists(_docs(), min_size=1, max_size=8))
+    def test_masses_identical_on_adversarial_whitespace(self, spark, texts):
+        from conecta_spark.functions.quality import with_repetition_signals
+
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        cols = ["doc_id", "top2_gram_char_frac", "top3_gram_char_frac",
+                "top4_gram_char_frac", "dup5_gram_char_frac",
+                "repetition_pass"]
+        a = sorted(
+            map(tuple, with_repetition_signals(df, backend="expr")
+                .select(cols).collect())
+        )
+        b = sorted(
+            map(tuple, with_repetition_signals(df, backend="pandas")
+                .select(cols).collect())
+        )
+        assert a == b
+
+
+class TestGramLabelBackendParity:
+    @settings(max_examples=20, deadline=None)
+    @given(strings=st.lists(
+        st.text(alphabet="abc1", min_size=7, max_size=24),
+        min_size=1, max_size=6,
+    ))
+    def test_labeled_occurrences_identical(self, spark, strings):
+        """The Arrow labeler must emit the exact (id, len, g, k) multiset
+        of the JVM expression -- occurrence indices included (repeated
+        grams are where positional schemes go wrong)."""
+        from pyspark.sql import functions as F
+
+        from conecta_spark.operators.stringsim import (
+            _labeled_grams_expr,
+            _labeled_occurrences_pandas,
+        )
+
+        df = spark.createDataFrame(
+            list(enumerate(strings)), "id long, s string"
+        ).withColumn("len", F.length("s"))
+        expr_rows = sorted(
+            map(tuple, df.select(
+                "id", "len",
+                F.explode(F.expr(_labeled_grams_expr("s", 2))).alias("gk"),
+            ).select("id", "len", "gk.g", "gk.k").collect())
+        )
+        pdas_rows = sorted(
+            map(tuple, _labeled_occurrences_pandas(df, 2).collect())
+        )
+        assert expr_rows == pdas_rows
+
+
+class TestIVFQuantizerContract:
+    def test_lloyd_deterministic_and_bounded(self):
+        from conecta_spark.operators.simsearch import _lloyd_kmeans
+
+        rng = np.random.RandomState(7)
+        X = rng.randn(200, 8)
+        a = _lloyd_kmeans(X, 16, seed=42)
+        b = _lloyd_kmeans(X.copy(), 16, seed=42)
+        assert np.array_equal(a, b)
+        assert a.shape == (16, 8)
+        # k > n clamps to n; single point is its own centroid
+        tiny = _lloyd_kmeans(X[:3], 16, seed=42)
+        assert tiny.shape == (3, 8)
+        one = _lloyd_kmeans(X[:1], 4, seed=42)
+        assert np.array_equal(one, X[:1])
+
+    def test_duplicate_points_do_not_crash_and_cover(self):
+        from conecta_spark.operators.simsearch import _lloyd_kmeans
+
+        X = np.tile(np.arange(8, dtype=float), (50, 1))  # 50 identical
+        C = _lloyd_kmeans(X, 4, seed=1)
+        assert np.allclose(C, X[0])
+
+    def test_index_assignment_matches_exact_argmin(self, spark):
+        """The distributed mapInPandas assignment must equal the exact
+        driver-side argmin against the index's own centroids -- and be
+        stable under repartitioning (the training sample is id-ordered,
+        so partition layout must not leak into the centroids)."""
+        from pyspark.sql import functions as F
+
+        from conecta_spark.operators.simsearch import build_ivf_index
+
+        rng = np.random.RandomState(3)
+        rows = [(i, rng.randn(16).tolist()) for i in range(300)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        for layout in (df, df.repartition(13)):
+            idx = build_ivf_index(layout, n_clusters=8)
+            try:
+                got = {r.vec_id: r.cell for r in idx.assigned.collect()}
+                C = np.stack(idx.centers)
+                for i, v in rows:
+                    d = ((np.array(v)[None, :] - C) ** 2).sum(axis=1)
+                    assert got[i] == int(d.argmin()), i
+            finally:
+                idx.unpersist()
