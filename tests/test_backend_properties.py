@@ -118,6 +118,23 @@ class TestIVFQuantizerContract:
         C = _lloyd_kmeans(X, 4, seed=1)
         assert np.allclose(C, X[0])
 
+    def test_panel_prep_cache_is_one_slot_evict_first(self, spark, sf_dir, oracle_dir):
+        """The shared x13/x14 prep relation follows the repo-wide cache
+        rule: at most ONE persisted copy lives at a time, the previous
+        key's relation is unpersisted on a miss, and a hit returns the
+        same DataFrame object (no re-scan)."""
+        from conecta_spark.operators import simsearch as ss
+
+        a = ss._panel_prep(spark, sf_dir)
+        assert ss._panel_prep(spark, sf_dir) is a  # hit
+        assert a.storageLevel.useMemory or a.storageLevel.useDisk
+        b = ss._panel_prep(spark, oracle_dir)  # miss -> evict a
+        assert b is not a
+        assert not (a.storageLevel.useMemory or a.storageLevel.useDisk)
+        assert len(ss._ANN_PREP) == 1
+        b.unpersist()
+        ss._ANN_PREP.clear()
+
     def test_index_assignment_matches_exact_argmin(self, spark):
         """The distributed mapInPandas assignment must equal the exact
         driver-side argmin against the index's own centroids -- and be

@@ -422,6 +422,37 @@ class TestClusterAndSampling:
         }
         assert got == expect
 
+    def test_distributed_cc_with_reliable_checkpoint_dir(
+        self, spark, tmp_path_factory
+    ):
+        """When a checkpoint dir is configured the loop must switch from
+        localCheckpoint to reliable checkpoint() (executor-loss safety,
+        r7 advice) and still converge to the identical fixpoint.  Uses
+        the same worst-case chain as the deep-graph test so multiple
+        checkpointed generations actually run."""
+        from conecta_spark.operators.cluster import connected_components
+
+        sc = spark.sparkContext
+        assert sc.getCheckpointDir() is None  # suite default
+        ckpt = str(tmp_path_factory.mktemp("cc_ckpt"))
+        sc.setCheckpointDir(ckpt)
+        try:
+            chain = [(100 - i, 100 - i - 1) for i in range(23)]
+            edges = spark.createDataFrame(chain, ["doc_a", "doc_b"])
+            got = {
+                (r.doc_id, r.cluster_id)
+                for r in connected_components(
+                    edges, small_graph_threshold=0
+                ).collect()
+            }
+            assert got == {(v, 77) for v in range(77, 101)}
+            import os
+
+            # reliable snapshots actually landed on disk
+            assert any(os.scandir(ckpt))
+        finally:
+            sc.setCheckpointDir(None)
+
     def test_dedup_clusters_contain_planted_dups(self, spark, docs):
         from conecta_spark.operators.cluster import dedup_clusters
 
