@@ -48,8 +48,20 @@ OFF2 = 1_000_000_000
 SF10_DIR = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "testdata_sf10"
 )
-TIMED = ("q01_full_scan", "q12_groupby_agg", "q05_min_max_metadata")
-HEAVY = "x07_dedup_minhash_lsh"
+#: Linear-plan operators timed alongside the TPC-H-ish headliners: exact
+#: dedup (one fixed-width-hash shuffle over 500k docs), SimHash signature
+#: pass (zero shuffle), Gopher quality signals (zero shuffle, 60M-char
+#: scan) -- the shapes a 100 TB pipeline runs constantly, where wall
+#: should track the scan.
+TIMED = (
+    "q01_full_scan",
+    "q12_groupby_agg",
+    "q05_min_max_metadata",
+    "x05_dedup_exact",
+    "x08_dedup_simhash",
+    "x19_gopher_quality",
+)
+HEAVY = "x07_dedup_minhash_lsh"  # skipped with --skip-heavy
 
 assert not set(ALPHA2) & set(sf1_rung.ALPHA), "alphabets must be disjoint"
 
@@ -116,17 +128,19 @@ def main() -> None:
     # The dedup heavy: 2 runs (500k docs; run 1 warms codegen + python
     # workers), report both -- the point is the ORDER of magnitude vs the
     # reference's 91.75 s scan at the same row scale.
-    heavy_runs = []
-    for _ in range(2):
-        spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        out = REGISTRY[HEAVY].fn(spark, SF10_DIR)
-        n_pairs = out.count()
-        heavy_runs.append(round(time.perf_counter() - t0, 3))
-    timings[HEAVY] = heavy_runs[-1]
-    print(
-        f"{HEAVY}: runs={heavy_runs} pairs={n_pairs}", file=sys.stderr
-    )
+    n_pairs = None
+    if "--skip-heavy" not in sys.argv:
+        heavy_runs = []
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            out = REGISTRY[HEAVY].fn(spark, SF10_DIR)
+            n_pairs = out.count()
+            heavy_runs.append(round(time.perf_counter() - t0, 3))
+        timings[HEAVY] = heavy_runs[-1]
+        print(
+            f"{HEAVY}: runs={heavy_runs} pairs={n_pairs}", file=sys.stderr
+        )
 
     print(
         json.dumps(
