@@ -35,11 +35,19 @@ def _dw(col: str = "text") -> str:
     return _DUCK_WORDS.format(col=col)
 
 
-def gopher_signals(col: str = "text") -> list[Column]:
+def gopher_signals(col: str = "text", words: str | None = None) -> list[Column]:
     """Per-document quality signals: word count, mean word length,
     symbol-to-word ratio, unique-word fraction, max single-word frequency
-    fraction.  All double-typed, deterministic, codegen-friendly."""
-    words = _w(col)
+    fraction.  All double-typed, deterministic, codegen-friendly.
+
+    ``words`` overrides the token-array expression with an
+    already-staged column reference: the default inlines the split into
+    every signal, and interpreted lambdas re-evaluate subexpressions per
+    element -- x19's un-staged plan carried SEVENTEEN ``split(`` nodes
+    (5 signals x inlined split, then gopher_pass recomputing them all).
+    Hot paths stage the split once (the x69/with_repetition_signals
+    pattern) and derive the pass flag from the computed signal COLUMNS."""
+    words = words or _w(col)
     n_words = f"size({words})"
     mean_wl = (
         f"aggregate({words}, 0L, (a, x) -> a + length(x)) / "
@@ -78,19 +86,38 @@ def gopher_signals(col: str = "text") -> list[Column]:
     ]
 
 
+#: Gopher-style keep/drop thresholds (shared by the standalone predicate
+#: and the staged x19 flag so they can never drift apart).
+_GOPHER_LIMITS = {
+    "min_words": 5,
+    "max_words": 100_000,
+    "min_mwl": 2.0,
+    "max_mwl": 12.0,
+    "max_sym": 0.3,
+    "max_top": 0.2,
+}
+
+
+def _gopher_rule(n_words, mean_wl, sym, top) -> Column:
+    L = _GOPHER_LIMITS
+    return (
+        (n_words >= L["min_words"])
+        & (n_words <= L["max_words"])
+        & (mean_wl >= L["min_mwl"])
+        & (mean_wl <= L["max_mwl"])
+        & (sym <= L["max_sym"])
+        & (top <= L["max_top"])
+    ).alias("gopher_pass")
+
+
 def gopher_pass(col: str = "text") -> Column:
     """Gopher-style keep/drop decision from the signals: sane word count,
     word lengths in a human range, low symbol noise, not dominated by one
-    repeated token."""
+    repeated token.  Standalone predicate form (for WHERE gates); when
+    the signals are already selected as columns, build the flag from
+    them via :func:`_gopher_rule` instead of recomputing (x19)."""
     n_words, mean_wl, sym, uniq, top = gopher_signals(col)
-    return (
-        (n_words >= 5)
-        & (n_words <= 100_000)
-        & (mean_wl >= 2.0)
-        & (mean_wl <= 12.0)
-        & (sym <= 0.3)
-        & (top <= 0.2)
-    ).alias("gopher_pass")
+    return _gopher_rule(n_words, mean_wl, sym, top)
 
 
 _DUCK_NW = "len({dw})"
@@ -138,8 +165,24 @@ def _duck_signals(col: str = "text") -> dict[str, str]:
     "Gopher-style per-doc quality signals + keep/drop rule",
 )
 def x19_gopher(spark, sf_dir) -> DataFrame:
+    # Staged form: ONE split, signals reference the token column, and the
+    # keep/drop flag derives from the computed signal COLUMNS -- the
+    # un-staged select carried 17 split( nodes and recomputed every
+    # lambda signal a second time inside gopher_pass (measured 20.8 s for
+    # 500k docs at SF10; plan pinned to a single split in test_plans).
     d = spread(t(spark, sf_dir, "documents"))
-    return d.select("doc_id", *gopher_signals(), gopher_pass())
+    toks = "__gq_toks"
+    staged = d.withColumn(toks, F.expr(_w("text")))
+    sigs = staged.select("doc_id", *gopher_signals("text", words=toks))
+    return sigs.withColumn(
+        "gopher_pass",
+        _gopher_rule(
+            F.col("n_words"),
+            F.col("mean_word_len"),
+            F.col("symbol_word_ratio"),
+            F.col("top_word_frac"),
+        ),
+    )
 
 
 @register(

@@ -258,6 +258,18 @@ def test_x69_repetition_is_zero_shuffle_map(spark, sf):
     assert "Python" not in p
 
 
+def test_x19_tokens_split_once_in_plan(spark, sf):
+    """x19 staged in r7: the un-staged select carried SEVENTEEN split(
+    nodes (five signals each inlining the split, then gopher_pass
+    recomputing every signal).  One split; the only exchange is
+    spread()'s deliberate round-robin that fans the single-file driver
+    drop across cores; no Python worker."""
+    p = plan(REGISTRY["x19_gopher_quality"].fn(spark, sf))
+    assert p.count("split(") == 1, p.count("split(")
+    assert node_count(p, "Exchange") <= 1
+    assert "Python" not in p
+
+
 def test_x69_tokens_split_once_in_plan(spark, sf):
     """The staged token projection must survive optimization: exactly one
     split() in the optimized plan.  If CollapseProject ever starts
