@@ -91,24 +91,56 @@ def quality_score(col: str = "text") -> Column:
     )
 
 
-def _marker_hits(col: str, words: list[str]) -> Column:
+def _marker_hits(
+    col: str, words: list[str], toks: str | None = None
+) -> Column:
     arr = ", ".join(f"'{w}'" for w in words)
-    return F.expr(
-        rf"size(filter(split(trim(lower({col})), '\\s+'), "
-        rf"x -> array_contains(array({arr}), x)))"
-    )
+    src = toks or rf"split(trim(lower({col})), '\\s+')"
+    return F.expr(rf"size(filter({src}, x -> array_contains(array({arr}), x)))")
 
 
-def lang_id(col: str = "text") -> Column:
-    """Stopword-marker language ID: argmax of per-language hit counts with a
-    deterministic tie-break (list order en > es > fr > de, then 'und')."""
-    hits = {lang: _marker_hits(col, ws) for lang, ws in LANG_MARKERS.items()}
+def _lang_case(hits: dict) -> Column:
+    """argmax over per-language hit Columns with the deterministic
+    tie-break (list order en > es > fr > de, then 'und')."""
     best = F.greatest(*hits.values())
     expr = F.lit("und")
     # Build the CASE in reverse so earlier languages win ties.
     for lang in reversed(list(LANG_MARKERS)):
-        expr = F.when((hits[lang] > 0) & (hits[lang] == best), F.lit(lang)).otherwise(expr)
+        expr = F.when(
+            (hits[lang] > 0) & (hits[lang] == best), F.lit(lang)
+        ).otherwise(expr)
     return expr
+
+
+def lang_id(col: str = "text") -> Column:
+    """Stopword-marker language ID, single-Column form.  Inlines the
+    token split into every per-language hit count AND every CASE branch
+    reference -- ~24 split( nodes and 12 O(w) filter scans per row --
+    fine inside a one-shot predicate, wrong in a hot projection: use
+    :func:`with_lang_id` there (same answer, one split, one scan per
+    language; staged columns, the x19/x69 pattern)."""
+    hits = {lang: _marker_hits(col, ws) for lang, ws in LANG_MARKERS.items()}
+    return _lang_case(hits)
+
+
+def with_lang_id(
+    df: DataFrame, text_col: str = "text", out_col: str = "lang_pred"
+) -> DataFrame:
+    """Append the language prediction with the work staged: one split
+    projection, one hit-count column per language (each marker filter
+    runs ONCE), then a cheap integer CASE over the counts.  Value-
+    identical to ``lang_id`` (oracle- and equality-pinned)."""
+    toks, hcols = "__lid_toks", {}
+    staged = df.withColumn(
+        toks, F.expr(rf"split(trim(lower({text_col})), '\\s+')")
+    )
+    for lang, ws in LANG_MARKERS.items():
+        hcols[lang] = f"__lid_{lang}"
+        staged = staged.withColumn(
+            hcols[lang], _marker_hits(text_col, ws, toks=toks)
+        )
+    case = _lang_case({lang: F.col(c) for lang, c in hcols.items()})
+    return staged.withColumn(out_col, case).drop(toks, *hcols.values())
 
 
 def shingle_fingerprint(col: str = "text", k: int = 5) -> Column:
@@ -265,7 +297,7 @@ def x02_quality(spark, sf_dir) -> DataFrame:
 )
 def x03_lang_id(spark, sf_dir) -> DataFrame:
     d = spread(t(spark, sf_dir, "documents"))
-    return d.select("doc_id", lang_id().alias("lang_pred"))
+    return with_lang_id(d).select("doc_id", "lang_pred")
 
 
 @register(

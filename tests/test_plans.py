@@ -270,6 +270,15 @@ def test_x19_tokens_split_once_in_plan(spark, sf):
     assert "Python" not in p
 
 
+def test_x03_lang_id_staged_single_split(spark, sf):
+    """x03 staged in r7: the single-Column lang_id inlines the split into
+    every hit count and CASE branch (24 split( nodes, 12 marker scans per
+    row); the staged form is one split and one filter scan per language."""
+    p = plan(REGISTRY["x03_lang_id"].fn(spark, sf))
+    assert p.count("split(") == 1, p.count("split(")
+    assert p.count("array_contains") == 4, p.count("array_contains")
+
+
 def test_x69_tokens_split_once_in_plan(spark, sf):
     """The staged token projection must survive optimization: exactly one
     split() in the optimized plan.  If CollapseProject ever starts
