@@ -705,13 +705,19 @@ def with_repetition_signals(
         F.expr(f"round({m} / {tl}, 6)").alias(name)
         for name, m in zip(names, mass_exprs)
     ]
+    # The flag derives from the computed signal COLUMNS in a second
+    # projection -- referencing the expression objects would evaluate
+    # every gram-mass lambda TWICE per row (8 aggregate( nodes instead of
+    # 4 in the optimized plan; the x19 double-evaluation bug, plan-pinned
+    # in test_plans).
+    sigs = staged.select(*df.columns, *cols)
     passed = (
-        (cols[0] <= _REP_LIMITS["top2"])
-        & (cols[1] <= _REP_LIMITS["top3"])
-        & (cols[2] <= _REP_LIMITS["top4"])
-        & (cols[3] <= _REP_LIMITS["dup5"])
+        (F.col(names[0]) <= _REP_LIMITS["top2"])
+        & (F.col(names[1]) <= _REP_LIMITS["top3"])
+        & (F.col(names[2]) <= _REP_LIMITS["top4"])
+        & (F.col(names[3]) <= _REP_LIMITS["dup5"])
     ).alias("repetition_pass")
-    return staged.select(*df.columns, *cols, passed)
+    return sigs.select(*df.columns, *names, passed)
 
 
 def _duck_rep_cte(col: str, n: int, kind: str) -> str:

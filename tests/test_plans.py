@@ -283,6 +283,10 @@ def test_x69_tokens_split_once_in_plan(spark, sf):
     """The staged token projection must survive optimization: exactly one
     split() in the optimized plan.  If CollapseProject ever starts
     inlining it back into the four gram lambdas, every element access
-    re-splits the document (measured 7x: 10.6s -> 1.5s at sf0.1)."""
+    re-splits the document (measured 7x: 10.6s -> 1.5s at sf0.1).
+    Likewise each gram-mass lambda must appear exactly ONCE: the flag
+    derives from the computed signal columns, not from re-evaluating the
+    mass expressions (8 -> 4 aggregate( nodes, late r7)."""
     p = plan(REGISTRY["x69_gopher_repetition"].fn(spark, sf))
     assert p.count("split(") == 1, p.count("split(")
+    assert p.count("aggregate(") == 4, p.count("aggregate(")
