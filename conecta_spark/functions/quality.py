@@ -424,6 +424,11 @@ def x56_oov(spark, sf_dir) -> DataFrame:
     return oov_stats(t(spark, sf_dir, "documents"), vocab_size=16)
 
 
+#: One-slot cache for source_quality_norm's quantized score relation
+#: (evict-first; see the cache-leak rule in stringsim._qgram_candidates).
+_ZQ_LIVE: list = []
+
+
 def source_quality_norm(
     df: DataFrame,
     text_col: str = "text",
@@ -448,8 +453,21 @@ def source_quality_norm(
     AQE broadcasts it back), one map-side join; the text is read once.
     BIGINT bound: sum(q^2) <= 1e12 * rows_per_source -- fine to ~9e6
     docs per source; widen the quantization down to 1e4 beyond that.
+
+    The quantized (id, source, q) relation feeds BOTH the moments
+    aggregate and the join side, and AQE never reuses exchanges across
+    the two -- un-persisted, the text is scanned and scored twice (at
+    100 TB a second full corpus pass vs ~20 bytes/doc of fixed-width
+    cache).  One-slot evict-first persist, the repo-wide rule.
     """
     from .text import quality_score
+
+    while _ZQ_LIVE:
+        try:
+            _ZQ_LIVE.pop().unpersist()
+        except Exception:
+            pass
+    from pyspark import StorageLevel
 
     d = df.select(
         F.col(id_col),
@@ -457,7 +475,8 @@ def source_quality_norm(
         F.round(quality_score(text_col) * F.lit(1_000_000.0))
         .cast("long")
         .alias("q"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    _ZQ_LIVE.append(d)
     s = d.groupBy(source_col).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("q").alias("s1"),
