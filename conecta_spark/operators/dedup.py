@@ -1269,6 +1269,11 @@ def x61_scrub(spark, sf_dir) -> DataFrame:
     return span_scrub(t(spark, sf_dir, "documents"))
 
 
+#: One-slot cache for source_overlap's distinct span relation
+#: (evict-first; the repo-wide cache-leak rule).
+_X64_LIVE: list = []
+
+
 def source_overlap(
     df: DataFrame,
     span_words: int = 8,
@@ -1287,7 +1292,20 @@ def source_overlap(
     shuffles is distinct (source, span-hash) pairs -- bounded by content
     volume, not document count -- and the pair join is keyed by the
     uniform hash.  Output is O(|sources|^2) rows, tiny by construction.
+
+    The distinct span relation feeds THREE consumers (sizes, both
+    self-join sides) and AQE never reuses exchanges across them --
+    un-persisted, the span hashing and its distinct shuffle ran three
+    times (two extra full text passes at 100 TB).  One-slot evict-first
+    persist of the skinny (source, hash) relation.
     """
+    while _X64_LIVE:
+        try:
+            _X64_LIVE.pop().unpersist()
+        except Exception:
+            pass
+    from pyspark import StorageLevel
+
     spans = (
         span_hashes(
             df.select(F.col(source_col).alias("__src"), F.col(text_col)),
@@ -1296,7 +1314,9 @@ def source_overlap(
             "__src",
         )
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    _X64_LIVE.append(spans)
     sizes = spans.groupBy("__src").agg(F.count(F.lit(1)).alias("n"))
     a = spans.select(F.col("__src").alias("source_a"), "h")
     b = spans.select(F.col("__src").alias("source_b"), "h")
