@@ -144,6 +144,10 @@ def knn_topk(
     return _topk_ranked(scored, k, id_col)
 
 
+#: One-slot cache for embedding_near_dup_pairs' packed block relation.
+_X11_LIVE: list = []
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.92,
@@ -190,9 +194,25 @@ def embedding_near_dup_pairs(
         F.expr(normalize_expr("v", DIM)).alias("nv"),
         F.pmod(F.col(id_col), F.lit(n_blocks)).cast("long").alias("bid"),
     )
-    blocks = e.groupBy("bid").agg(
-        F.collect_list(F.struct("vid", "nv")).alias("rows")
+    # Both grid sides consume the packed blocks and AQE never reuses
+    # exchanges across self-join sides -- un-persisted, the validity
+    # filter + normalize + pack aggregation ran twice (one extra full
+    # corpus pass).  The packed relation is the corpus's unit vectors,
+    # exactly once each: same footprint as the input.  One-slot
+    # evict-first cache (the repo-wide rule).
+    while _X11_LIVE:
+        try:
+            _X11_LIVE.pop().unpersist()
+        except Exception:
+            pass
+    from pyspark import StorageLevel
+
+    blocks = (
+        e.groupBy("bid")
+        .agg(F.collect_list(F.struct("vid", "nv")).alias("rows"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    _X11_LIVE.append(blocks)
     a, b = blocks.alias("a"), blocks.alias("b")
     grid = a.join(b, F.col("a.bid") <= F.col("b.bid")).select(
         F.col("a.bid").alias("bid_a"),
