@@ -544,11 +544,18 @@ def _raw_grams(toks: str, n: int) -> str:
     top2_gram_char_frac ~ 1.0 and was unconditionally flagged; Gopher's
     repetition thresholds only apply to n-grams that exist.)  The IF
     guard matters: Spark's ``sequence(1, 0)`` is the DESCENDING [1, 0],
-    not empty."""
+    not empty.
+
+    A NULL token array (NULL text) yields NULL, NOT an empty array: the
+    explicit IS NULL arm makes null-propagation independent of the
+    ``spark.sql.legacy.sizeOfNull`` setting (under the legacy -1 the bare
+    ``size() < n`` guard silently mapped NULL docs to mass 0 / pass=true;
+    the pandas backend now mirrors this NULL semantic)."""
     return (
+        f"IF({toks} IS NULL, CAST(NULL AS ARRAY<STRING>), "
         f"IF(size({toks}) < {n}, array(), "
         f"transform(sequence(1, size({toks})-{n - 1}), "
-        f"i -> array_join(slice({toks}, i, {n}), ' ')))"
+        f"i -> array_join(slice({toks}, i, {n}), ' '))))"
     )
 
 
@@ -620,7 +627,13 @@ def _rep_masses_udf():
     Tokenization mirrors the SQL ``split(trim(lower(text)), '\\s+')``
     exactly: lowercase, strip ASCII spaces only (SQL trim), split on the
     Java-regex ``\\s`` class (ASCII whitespace -- Python's ``\\s`` also
-    matches unicode spaces, which would diverge)."""
+    matches unicode spaces, which would diverge).
+
+    NULL text yields NULL masses (nullable Int64 -> Arrow null), matching
+    the expr backend where ``split(NULL)`` propagates: both backends then
+    produce NULL fracs and a NULL ``repetition_pass`` for NULL documents,
+    so ``backend="auto"``'s corpus-dependent choice can never flip a NULL
+    row between kept and flagged."""
     import re
     from collections import Counter
 
@@ -630,7 +643,9 @@ def _rep_masses_udf():
     ws = re.compile(r"[ \t\n\x0b\f\r]+")
 
     def masses(text: str):
-        toks = ws.split(text.lower().strip(" ")) if text is not None else []
+        if text is None:
+            return [None] * 4
+        toks = ws.split(text.lower().strip(" "))
         out = []
         for n, kind in ((2, "top"), (3, "top"), (4, "top"), (5, "dup")):
             if len(toks) < n:
@@ -650,7 +665,7 @@ def _rep_masses_udf():
     def rep_masses(s):
         return pd.DataFrame(
             [masses(v) for v in s], columns=["m2", "m3", "m4", "m5"]
-        )
+        ).astype("Int64")  # nullable: None rows survive to Arrow as null
 
     # Non-decorator form (no type hints): the module-wide `from __future__
     # import annotations` stringifies hints and pyspark's inference cannot
@@ -669,7 +684,11 @@ def with_repetition_signals(
     approximation; the numerator counts every occurrence) and in ALL
     5-grams that occur more than once, plus the Table-A1 keep/drop flag.
     Documents shorter than ``n`` words carry mass 0 for that ``n`` (no
-    n-gram exists; truncated grams were the r6 bug).
+    n-gram exists; truncated grams were the r6 bug).  NULL text yields
+    NULL signals and a NULL ``repetition_pass`` in BOTH backends (SQL
+    null-propagation semantics; callers filtering on the flag drop NULL
+    rows either way, and the choice ``auto`` makes can never flip a NULL
+    document's fate).
 
     100 TB shape: pure per-row work -- ZERO shuffle; the signals
     materialize in the scan stage of whatever pipeline consumes them.

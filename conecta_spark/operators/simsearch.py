@@ -482,6 +482,11 @@ def _lloyd_kmeans(X, k: int, seed: int, n_iter: int = 20):
     import numpy as np
 
     n = len(X)
+    if n == 0:
+        raise ValueError(
+            "_lloyd_kmeans: empty training matrix -- the quantizer needs "
+            "at least one vector (callers guard the sample before collect)"
+        )
     k = max(1, min(k, n))
     rng = np.random.RandomState(seed)
     # k-means++ seeding: each next center sampled ~ squared distance to
@@ -557,6 +562,12 @@ def build_ivf_index(
         # bucket in m, sized so the expectation lands near the cap.
         m = -(-n // IVF_TRAIN_CAP)  # ceil
         sample = vecs.where(F.pmod(F.xxhash64(F.col(id_col)), F.lit(m)) == 0)
+        # The bucket size is only an EXPECTATION: a pathological id
+        # distribution (all ids hashing off-bucket) can leave the sample
+        # empty or far under k, and an empty training matrix is a hard
+        # error downstream.  Deterministic fallback: first CAP by id.
+        if sample.limit(n_clusters).count() < min(n_clusters, n):
+            sample = vecs.orderBy(id_col).limit(IVF_TRAIN_CAP)
     # id-ordered collect so the training matrix (and thus the seeded
     # k-means++ draw) is identical across partition layouts.
     X = np.array(
@@ -792,7 +803,12 @@ def _panel_prep(spark, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
     from pyspark.ml.functions import array_to_vector
 
-    key = (id(spark), sf_dir)
+    # Session-unique key: applicationId, not id(spark) -- id() values can
+    # be reused after the old session is garbage-collected, and a stale
+    # hit here would hand out a persisted DataFrame bound to a STOPPED
+    # session (worse than the harmless re-read the id() pattern risks in
+    # queries.py, because this cache holds a persisted relation).
+    key = (spark.sparkContext.applicationId, sf_dir)
     if _ANN_PREP and _ANN_PREP[0][0] == key:
         return _ANN_PREP[0][1]
     if _ANN_PREP:

@@ -96,13 +96,17 @@ def edit_distance_join(
     answer that is quadratically large no matter the algorithm.
 
     Thresholds >= 2 route to the q-gram prefix-filter scheme
-    (:func:`edit_distance_join_qgram`); threshold=1 keeps the deletion
-    neighborhood, whose signature volume (L+1 per string) beats the
-    q-gram path's candidate count at d=1."""
+    (:func:`edit_distance_join_qgram`) with ``gram_backend="auto"``,
+    which runs one EAGER avg-length probe job at call time to pick the
+    gram labeler (measured 54x cliff either side of the ~96-char
+    crossover).  Batch-only: for streaming inputs, or to avoid the
+    probe scan, call ``edit_distance_join_qgram`` directly with an
+    explicit backend."""
     if threshold != 1:
         return edit_distance_join_qgram(
             df, string_col, id_col,
             threshold=threshold, sig_count_cap=sig_count_cap,
+            gram_backend="auto",
         )
     # Evict-first, then persist (the CacheManager dedupes canonically-
     # equal plans, so evicting after would uncache the new relation too
@@ -248,7 +252,7 @@ def edit_distance_join_qgram(
     threshold: int = 2,
     q: int = 2,
     sig_count_cap: int | None = None,
-    gram_backend: str = "auto",
+    gram_backend: str = "expr",
 ) -> DataFrame:
     """``(id_a, id_b, dist)`` for all pairs with edit distance <=
     ``threshold``, via q-gram prefix filtering (ED-Join family): one
@@ -291,10 +295,14 @@ def edit_distance_join_qgram(
     swaps in the O(L) Arrow-batched labeler for document-length strings,
     where the expr's O(L^2) interpreted occurrence scan dominates (see
     :func:`_labeled_occurrences_pandas` for the measured trade).
-    ``"auto"`` (default) probes avg string length with one cheap
-    column-pruned agg and picks the measured-crossover side -- a user
-    with a document column should not need to know this knob exists to
-    avoid the 54x cliff."""
+    ``"auto"`` probes avg string length with one cheap column-pruned agg
+    and picks the measured-crossover side.  NOTE: the probe is an EAGER
+    Spark job at plan-construction time (one scan-reduce over the string
+    column) and is unsupported on streaming DataFrames -- which is why
+    ``"expr"`` is the default here; the high-level
+    :func:`edit_distance_join` entry point opts into ``"auto"`` for
+    batch callers, where the one-scan toll buys protection from the 54x
+    wrong-side cliff."""
     s, cands = _qgram_candidates(
         df, string_col, id_col, threshold, q, sig_count_cap, gram_backend
     )

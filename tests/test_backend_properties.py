@@ -42,8 +42,13 @@ def _docs(draw):
 
 class TestRepetitionBackendParity:
     @settings(max_examples=30, deadline=None)
-    @given(texts=st.lists(_docs(), min_size=1, max_size=8))
+    @given(texts=st.lists(
+        st.one_of(st.none(), _docs()), min_size=1, max_size=8,
+    ))
     def test_masses_identical_on_adversarial_whitespace(self, spark, texts):
+        # None rows included: NULL text must yield NULL signals + NULL
+        # flag in BOTH backends (the r7 divergence: pandas mapped None to
+        # [] and emitted 0.0/pass=true while expr propagated NULL).
         from conecta_spark.functions.quality import with_repetition_signals
 
         df = spark.createDataFrame(
@@ -110,6 +115,42 @@ class TestIVFQuantizerContract:
         assert tiny.shape == (3, 8)
         one = _lloyd_kmeans(X[:1], 4, seed=42)
         assert np.array_equal(one, X[:1])
+
+    def test_empty_training_matrix_raises_descriptive(self):
+        from conecta_spark.operators.simsearch import _lloyd_kmeans
+
+        with pytest.raises(ValueError, match="empty training matrix"):
+            _lloyd_kmeans(np.empty((0, 8)), 4, seed=1)
+
+    def test_pathological_id_distribution_falls_back_to_limit(self, spark):
+        """If every id hashes off the training bucket the sample is empty;
+        the guard must fall back to a deterministic orderBy+limit sample
+        instead of crashing _lloyd_kmeans with an opaque numpy error."""
+        from pyspark.sql import functions as F
+
+        from conecta_spark.operators import simsearch as ss
+
+        cap, k = ss.IVF_TRAIN_CAP, 4
+        # n just over the cap -> bucket modulus m = 2; pick ids whose
+        # xxhash64 is ODD mod 2 so the bucket filter keeps nothing.
+        ids = [
+            r.id
+            for r in spark.range(6 * cap)
+            .where(F.pmod(F.xxhash64(F.col("id")), F.lit(2)) != 0)
+            .limit(cap + 1)
+            .collect()
+        ]
+        assert len(ids) == cap + 1
+        df = spark.createDataFrame(
+            [(i, [float(i % 7), float(i % 11)]) for i in ids],
+            "vec_id long, embedding array<double>",
+        )
+        idx = ss.build_ivf_index(df, n_clusters=k)
+        try:
+            assert len(idx.centers) == k
+            assert idx.assigned.count() == cap + 1
+        finally:
+            idx.unpersist()
 
     def test_duplicate_points_do_not_crash_and_cover(self):
         from conecta_spark.operators.simsearch import _lloyd_kmeans
