@@ -88,6 +88,12 @@ def main() -> None:
         )
     )
 
+    # External load on this shared box moves identical-code medians by
+    # 2-3x (r7: five same-code runs spanned 66.4-82.4 s); recording the
+    # 1-minute load average at start and end lets the driver artifact
+    # distinguish a code regression from box noise without a re-run.
+    load_start = round(os.getloadavg()[0], 1)
+
     timings: dict[str, float] = {}
     minima: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
@@ -119,11 +125,13 @@ def main() -> None:
             minima[name] = -1.0
     total = round(sum(v for v in timings.values() if v >= 0), 4)
     total_min = round(sum(v for v in minima.values() if v >= 0), 4)
-    emit_result(timings, total, total_min, sf, all_runs)
+    load = [load_start, round(os.getloadavg()[0], 1)]
+    emit_result(timings, total, total_min, sf, all_runs, load)
 
 
 def render_json_line(
-    timings: dict, total: float, total_min: float, sf, budget: int = 1900
+    timings: dict, total: float, total_min: float, sf,
+    load: list | None = None, budget: int = 1900,
 ) -> str:
     """Render the driver-facing JSON line within ``budget`` chars.
 
@@ -144,6 +152,10 @@ def render_json_line(
             "queries": q,
             "sf": float(sf),
         }
+        if load is not None:
+            # [start, end] 1-min load averages: the box-noise context for
+            # this run's medians (r7 spanned 66-82 s on load alone).
+            payload["load"] = load
         if extra:
             payload.update(extra)
         return json.dumps(payload, separators=(",", ":"))
@@ -165,7 +177,7 @@ def render_json_line(
     return emit({}, {"omitted": len(ranked)})
 
 
-def emit_result(timings, total, total_min, sf, all_runs) -> None:
+def emit_result(timings, total, total_min, sf, all_runs, load=None) -> None:
     # The driver records only the LAST 2000 chars of stdout and tries to
     # parse the JSON line out of it -- with 86 full-name queries the line is
     # ~3 KB and has been truncated (BENCH_r01..r03 all show parsed: null).
@@ -173,7 +185,7 @@ def emit_result(timings, total, total_min, sf, all_runs) -> None:
     # the contract's own example form) and emit compact separators so the
     # whole line fits the capture window; the full-name map goes to stderr
     # for humans.
-    line = render_json_line(timings, total, total_min, sf)
+    line = render_json_line(timings, total, total_min, sf, load)
     print(json.dumps({"query_names": sorted(timings)}), file=sys.stderr)
     print(json.dumps({"all_runs": all_runs}), file=sys.stderr)
     print(line)

@@ -708,18 +708,31 @@ BASELINE_SLICE = 2000
 
 @register(
     "x06_dedup_ngram_jaccard",
-    "WITH sh AS (SELECT doc_id, lang, "
-    f" list_transform({duck_shingles('text', 3)}, s -> {duck_polyhash('s')}) AS sh, "
-    " (length(text) // 100)::BIGINT AS lb FROM documents "
-    f" WHERE doc_id < {BASELINE_SLICE}) "
-    "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
-    " len(list_intersect(a.sh, b.sh))::DOUBLE / "
-    " len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE AS jaccard "
-    "FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id "
-    " AND a.lb - b.lb BETWEEN -1 AND 1 "
-    "WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / "
-    " len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE >= 0.8",
-    "brute-force 3-gram Jaccard near-dup pairs (length-blocked baseline)",
+    # Inverted-index oracle (the x09 exact-reference technique): explode
+    # each doc's DISTINCT hashed shingles, equi-join on the shingle under
+    # the same lang + length-band blocking, count shared per pair, and
+    # J = c / (na + nb - c).  Exact for any threshold > 0 (a pair with
+    # zero shared shingles has J = 0 and cannot appear), and value-equal
+    # to the old per-pair list_intersect/list_distinct form since both
+    # operate on the distinct hash sets.  Replaces the r7 blocked BNLJ
+    # whose per-pair set ops were the sweep's rows-only bottleneck
+    # (16.3 s -> 8.7 s over the sf0.1 slice; no more O(pairs x |sh|)
+    # list scans).
+    "WITH d AS (SELECT doc_id, lang, (length(text) // 100)::BIGINT AS lb, "
+    f" list_distinct(list_transform({duck_shingles('text', 3)}, "
+    f"  s -> {duck_polyhash('s')})) AS sh "
+    f" FROM documents WHERE doc_id < {BASELINE_SLICE}), "
+    "tok AS (SELECT doc_id, lang, lb, len(sh) AS nn, unnest(sh) AS h "
+    " FROM d), "
+    "pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+    "  any_value(a.nn) AS na, any_value(b.nn) AS nb, count(*) AS c "
+    " FROM tok a JOIN tok b ON a.h = b.h AND a.lang = b.lang "
+    "  AND a.doc_id < b.doc_id AND a.lb - b.lb BETWEEN -1 AND 1 "
+    " GROUP BY 1, 2) "
+    "SELECT doc_a, doc_b, c::DOUBLE / (na + nb - c)::DOUBLE AS jaccard "
+    "FROM pairs WHERE c::DOUBLE / (na + nb - c)::DOUBLE >= 0.8",
+    "brute-force 3-gram Jaccard near-dup pairs (length-blocked baseline; "
+    "oracle via inverted-index shingle equi-join)",
 )
 def x06_ngram_jaccard(spark, sf_dir) -> DataFrame:
     docs = t(spark, sf_dir, "documents").where(F.col("doc_id") < BASELINE_SLICE)

@@ -147,6 +147,13 @@ def knn_topk(
 #: One-slot cache for embedding_near_dup_pairs' packed block relation.
 _X11_LIVE: list = []
 
+#: Corpus-size cap for the exact all-pairs block grid: 256 blocks x 1024
+#: rows.  Beyond this the grid is O(N^2/256^2) work PER TASK and the
+#: operator raises instead of silently building a quadratic job -- the
+#: r7 docstring said "brute force is the wrong tool" but nothing in code
+#: stopped a 100M-vector call.
+X11_FULL_GRID_CAP_ROWS = 256 * 1024
+
 
 def embedding_near_dup_pairs(
     df: DataFrame,
@@ -154,6 +161,7 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     n_blocks: int | None = None,
+    allow_full_grid: bool = False,
 ) -> DataFrame:
     """All pairs with cosine >= threshold, as a distributed block matmul.
 
@@ -175,9 +183,15 @@ def embedding_near_dup_pairs(
     larger matmuls -- measured 4x faster than a fixed 32 on a 2k corpus,
     where 528 near-empty block pairs were pure scheduling overhead), capped
     at 256 blocks so the block-pair grid stays O(32k) tasks.  The count it
-    costs is a metadata-only parquet job.  Beyond the cap the grid is
-    O(N^2/256^2) work per task -- by then brute force is the wrong tool and
-    :func:`ann_lsh_topk` / :func:`brp_lsh_ml` take over."""
+    costs is a metadata-only parquet job.
+
+    Corpora beyond :data:`X11_FULL_GRID_CAP_ROWS` RAISE: exact all-pairs
+    is O(N^2) total work by construction, and past the 256-block cap each
+    task's matmul grows quadratically too -- brute force is the wrong tool
+    there and :func:`ann_lsh_topk` / :func:`brp_lsh_ml` /
+    :func:`semdedup` take over.  ``allow_full_grid=True`` is the explicit
+    escape hatch for callers who have sized their cluster for the
+    quadratic bill and want the exact answer anyway."""
     import pandas as pd
 
     from pyspark.sql.types import (
@@ -187,8 +201,18 @@ def embedding_near_dup_pairs(
         StructType,
     )
 
+    n_rows = df.count()
+    if n_rows > X11_FULL_GRID_CAP_ROWS and not allow_full_grid:
+        raise ValueError(
+            f"embedding_near_dup_pairs: corpus has {n_rows} rows, above the "
+            f"exact-all-pairs cap of {X11_FULL_GRID_CAP_ROWS} (256 blocks x "
+            "1024 rows); the block grid is O(N^2) total work by "
+            "construction. Use ann_lsh_topk / brp_lsh_ml / semdedup for "
+            "large corpora, or pass allow_full_grid=True to accept the "
+            "quadratic cost explicitly."
+        )
     if n_blocks is None:
-        n_blocks = max(1, min(256, -(-df.count() // 1024)))
+        n_blocks = max(1, min(256, -(-n_rows // 1024)))
     e = _vectors(df, vec_col, id_col).select(
         F.col(id_col).alias("vid"),
         F.expr(normalize_expr("v", DIM)).alias("nv"),

@@ -190,17 +190,66 @@ def skyline_nd(df: DataFrame, dim_cols: list, merge_rounds: int = 2) -> DataFram
     return out
 
 
+def _x52_dom(q: str, p: str) -> str:
+    """DuckDB dominance predicate: ``q`` <= ``p`` on every dimension and
+    < on at least one (exact ties dominate in neither direction)."""
+    return (
+        f"{q}.l_shipdate <= {p}.l_shipdate"
+        f" AND {q}.l_extendedprice <= {p}.l_extendedprice"
+        f" AND {q}.l_tax <= {p}.l_tax"
+        f" AND ({q}.l_shipdate < {p}.l_shipdate"
+        f"  OR {q}.l_extendedprice < {p}.l_extendedprice"
+        f"  OR {q}.l_tax < {p}.l_tax)"
+    )
+
+
+#: SFS-style (sort-filter-skyline) 3D oracle, replacing the r7 all-pairs
+#: NOT EXISTS that was O(n^2) in a 600k-row relation and never finished
+#: the sf0.1 sweep.  Three phases, each exact:
+#:   1. ``s1``: the true skyline of the 1000 points with the smallest
+#:      min-max-normalized coordinate sum (the cheap "low corner" of the
+#:      space; 1000^2 dominance checks).
+#:   2. ``cand``: every point not dominated by an s1 member -- a sound
+#:      over-approximation of the skyline, because dominance by ANY point
+#:      disqualifies (n x |s1| checks; 31 survivors at sf0.1).
+#:   3. exact NOT EXISTS among the candidates only.  Sound: if a
+#:      dominator q of p was itself pruned from cand, the s1 member that
+#:      dominated q dominates p by transitivity, and s1 members are
+#:      mutually non-dominating so they all sit in cand.
+#: Value-identical to the all-pairs form at sf0.001/0.01 (verified); sf0.1
+#: runs in ~1.3 s instead of not finishing.
+_X52_ORACLE = (
+    "WITH pts AS (SELECT l_orderkey, l_linenumber, l_shipdate,"
+    " l_extendedprice, l_tax FROM lineitem), "
+    "b AS (SELECT min(l_shipdate) AS d0, max(l_shipdate) AS d1,"
+    " min(l_extendedprice) AS p0, max(l_extendedprice) AS p1,"
+    " min(l_tax) AS t0, max(l_tax) AS t1 FROM pts), "
+    "keyed AS (SELECT pts.*, "
+    " date_diff('day', d0, l_shipdate)::DOUBLE /"
+    "  greatest(date_diff('day', d0, d1)::DOUBLE, 1.0)"
+    " + (l_extendedprice - p0)::DOUBLE / greatest((p1 - p0)::DOUBLE, 1e-12)"
+    " + (l_tax - t0)::DOUBLE / greatest((t1 - t0)::DOUBLE, 1e-12) AS sk"
+    " FROM pts, b), "
+    "samp AS (SELECT * FROM keyed"
+    " ORDER BY sk, l_orderkey, l_linenumber LIMIT 1000), "
+    "s1 AS (SELECT * FROM samp p WHERE NOT EXISTS"
+    f" (SELECT 1 FROM samp q WHERE {_x52_dom('q', 'p')})), "
+    "cand AS (SELECT l_orderkey, l_linenumber, l_shipdate,"
+    " l_extendedprice, l_tax FROM keyed p WHERE NOT EXISTS"
+    f" (SELECT 1 FROM s1 q WHERE {_x52_dom('q', 'p')})) "
+    "SELECT p.l_orderkey, p.l_linenumber, p.l_shipdate, p.l_extendedprice,"
+    " p.l_tax FROM cand p WHERE NOT EXISTS"
+    f" (SELECT 1 FROM cand q WHERE {_x52_dom('q', 'p')})"
+)
+
+
 @register(
     "x52_skyline_3d",
-    "SELECT p.l_orderkey, p.l_linenumber, p.l_shipdate, p.l_extendedprice,"
-    " p.l_tax FROM lineitem p "
-    "WHERE NOT EXISTS (SELECT 1 FROM lineitem q WHERE "
-    " q.l_shipdate <= p.l_shipdate AND q.l_extendedprice <= p.l_extendedprice"
-    " AND q.l_tax <= p.l_tax AND (q.l_shipdate < p.l_shipdate"
-    "  OR q.l_extendedprice < p.l_extendedprice OR q.l_tax < p.l_tax))",
+    _X52_ORACLE,
     "3D skyline over lineitem (minimize ship date, price, tax): "
-    "local-skyline map pass + candidate merge rounds vs the oracle's "
-    "quadratic NOT EXISTS",
+    "local-skyline map pass + candidate merge rounds vs an SFS-style "
+    "oracle (sample skyline -> dominance prune -> exact check among "
+    "survivors)",
 )
 def x52_skyline_3d(spark, sf_dir) -> DataFrame:
     li = t(spark, sf_dir, "lineitem").select(

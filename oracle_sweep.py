@@ -27,15 +27,15 @@ def main() -> None:
 
     from conecta_spark.session import get_session
 
-    # Oracles that are THEMSELVES deliberate quadratic baselines (the
-    # semantic contract, not the plan): at 10x the gate size the DuckDB
-    # side is O(n^2) in a 600k-row relation and never finishes.  Degrade
-    # them to rows-only here; their hash parity is proven at the gate SF.
-    quadratic_oracles = {"x52_skyline_3d", "x06_dedup_ngram_jaccard"}
+    # r7 carried x06/x52 here as rows-only because their DuckDB oracles
+    # were quadratic (per-pair list_intersect BNLJ; all-pairs NOT EXISTS
+    # over 600k rows).  Both were rewritten sub-quadratic in r8 (x06:
+    # inverted-index shingle equi-join; x52: SFS sample-skyline prune +
+    # exact check among survivors), so the default skip set is EMPTY and
+    # the sweep value-checks all 137.  The env override remains for
+    # ad-hoc degradation.
     skip_oracle = set(
-        os.environ.get(
-            "ORACLE_SWEEP_ROWS_ONLY", ",".join(sorted(quadratic_oracles))
-        ).split(",")
+        filter(None, os.environ.get("ORACLE_SWEEP_ROWS_ONLY", "").split(","))
     )
 
     reg = iter_registry()

@@ -34,11 +34,17 @@ def _synthetic(n: int) -> dict:
 @pytest.mark.parametrize("n", [50, 135, 150, 200, 400])
 def test_line_fits_and_parses(n):
     timings = _synthetic(n)
-    line = bench.render_json_line(timings, 9999.1234, 9999.1234, "0.1")
+    line = bench.render_json_line(
+        timings, 9999.1234, 9999.1234, "0.1", load=[12.3, 4.5]
+    )
     assert len(line) <= 1900, (n, len(line))
     parsed = json.loads(line)
     assert parsed["metric"] == "total_query_wall_seconds"
     assert parsed["value"] == 9999.1234
+    # host-load context must survive every degradation tier: it is the
+    # field that tells a reader whether the medians were taken under the
+    # documented 2-3x external-load band
+    assert parsed["load"] == [12.3, 4.5]
     # per-query coverage only degrades, never vanishes, until the map
     # genuinely cannot fit
     assert len(parsed["queries"]) + parsed.get("omitted", 0) == n
@@ -47,11 +53,19 @@ def test_line_fits_and_parses(n):
 def test_current_registry_fits_at_full_precision_or_2dp():
     """Today's real registry must fit without the omission fallback."""
     timings = {name: 123.4567 for name in REGISTRY}
-    line = bench.render_json_line(timings, 9999.1234, 9999.1234, "0.1")
+    line = bench.render_json_line(
+        timings, 9999.1234, 9999.1234, "0.1", load=[12.3, 4.5]
+    )
     parsed = json.loads(line)
     assert len(line) <= 1900
     assert "omitted" not in parsed
     assert len(parsed["queries"]) == len(REGISTRY)
+    assert parsed["load"] == [12.3, 4.5]
+
+
+def test_line_without_load_stays_backward_compatible():
+    line = bench.render_json_line(_synthetic(10), 1.0, 1.0, "0.1")
+    assert "load" not in json.loads(line)
 
 
 def test_registry_prefixes_unique():

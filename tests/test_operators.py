@@ -146,6 +146,30 @@ class TestSimsearch:
         bad = pairs.where("vec_a >= vec_b OR cosine > 1.0000001").count()
         assert bad == 0
 
+    def test_near_dup_oversized_corpus_raises(self, spark):
+        """Exact all-pairs is O(N^2): past the 256x1024-row cap the
+        operator must refuse (pointing at the ANN successors) instead of
+        silently building a quadratic grid; allow_full_grid=True is the
+        explicit escape hatch (guard fires before any vector work, so
+        the oversized corpus here is never materialized)."""
+        import pytest
+        from pyspark.sql import functions as F
+
+        from conecta_spark.operators.simsearch import X11_FULL_GRID_CAP_ROWS
+
+        big = spark.range(X11_FULL_GRID_CAP_ROWS + 1).select(
+            F.col("id").alias("vec_id"),
+            F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+        )
+        with pytest.raises(ValueError, match="allow_full_grid"):
+            embedding_near_dup_pairs(big, threshold=0.9)
+        # the cap itself stays allowed; the escape hatch skips the guard
+        # (checked on a small corpus -- the guard is the only difference)
+        small = big.limit(64)
+        assert embedding_near_dup_pairs(
+            small, threshold=0.9, allow_full_grid=True
+        ).count() >= 0
+
     def test_ann_is_subset_of_bruteforce_space(self, embeddings):
         ann = ann_lsh_topk(embeddings, query_id=0, k=10).collect()
         assert 0 < len(ann) <= 10
