@@ -402,48 +402,38 @@ def _load_extensions() -> None:
 # extension operator (x01-x29), then the SQL-surface queries whose oracle SQL
 # changed this round (re-proof needed), then the remaining SQL-surface
 # variants that were already hash-green in round 1.
-# Window composition for round 7 (exactly 50 slots), per the round-6
-# verdict (tasks 3 and 8):
+# Window composition for round 8 (exactly 50 slots), per the round-7
+# verdict (task 3):
 #   1. core q01/q02/q12 (every-round scan/projection/agg smoke);
 #   2. standing regression sentinels: x16 (TIMESTAMP_NTZ testdata drift),
 #      x56 (oracle numeric-kind class), x65 (real Structured Streaming
 #      driver row);
-#   3. x11 re-proof: de-vacuated this round (threshold 0.92 sat above the
-#      corpus's entire cosine distribution, so every prior green row was
-#      a 0-row-vs-0-row match); at 0.35 the driver row finally compares
-#      real similarity values -- this is the round's one slot trade, paid
-#      for by the stale tier being 43 entries, not 44;
-#   4. the 43 entries whose newest green driver row is r4 (histogram
-#      r4:43 / r5:44 / r6:50 coming in) -- refreshed here so the
-#      freshness floor is r5 after this round.
-# 3 + 3 + 1 + 43 = 50.  Everything below slot 50 has a green r5/r6 row
-# and stays locally oracle-checked every test run; that includes the
-# entries whose IMPLEMENTATION changed this round with value-identical
-# sf0.01 output (x67 slice bound > corpus size there, x13/x14 shared
-# prep + sample-trained quantizer, x69 short-doc gram fix: no sub-5-word
-# docs in the corpus), all re-verified by the local driver twin at
-# sf0.01/0.1 and by the judge's whole-registry twin.
+#   3. the 44 entries whose newest green driver row is r5 (histogram
+#      r5:44 / r6:43 / r7:50 going in, computed from CORRECTNESS_r01-r07)
+#      -- refreshed here so the freshness floor becomes r6.
+# 3 + 3 + 44 = 50.  Everything below slot 50 has a green r6/r7 row and
+# stays locally oracle-checked every test run; that includes x06 and x52,
+# whose ORACLES were rewritten sub-quadratic this round with
+# value-identical output at both gate SFs (verified in-round by direct
+# old-vs-new DuckDB comparison, tests/test_oracle.py, and the local
+# whole-registry driver twin; the judge's own twin re-runs them too) --
+# their driver-row refresh is the natural r9 trade.
 _CORE_SMOKE = ("q01", "q02", "q12")
 _REGRESSION_SENTINELS = ("x16", "x56", "x65")
-_DEVACUATED_REPROOF = ("x11",)
-_STALE_R4_REFRESH = (
-    "q40", "q41", "q42", "q43", "q44", "q45", "q46", "q47", "q48",
-    "q49", "q50", "q51",
-    "x22", "x23", "x34", "x35", "x36", "x37", "x38", "x39", "x40",
-    "x41", "x42", "x43", "x44", "x45", "x46", "x47", "x48", "x49",
-    "x50", "x51", "x52", "x53", "x54", "x55", "x57", "x58", "x59",
-    "x60", "x61", "x62", "x63",
+_STALE_R5_REFRESH = (
+    "q17", "q18", "q19", "q20", "q21", "q22", "q23", "q25", "q26",
+    "q27", "q28", "q29", "q30", "q31", "q32", "q33", "q34", "q36",
+    "q38", "q39", "q52", "q53", "q54", "q55", "q56", "q57", "q58",
+    "q59", "q60", "q61", "q62", "q63", "q64", "q65", "q66", "q67",
+    "q68",
+    "x05", "x07", "x08", "x18", "x26", "x64", "x66",
 )
-_WINDOW = (
-    _CORE_SMOKE + _REGRESSION_SENTINELS + _DEVACUATED_REPROOF
-    + _STALE_R4_REFRESH
-)
+_WINDOW = _CORE_SMOKE + _REGRESSION_SENTINELS + _STALE_R5_REFRESH
 _PRIORITY_TIERS: tuple[tuple[str, ...], ...] = (
     _CORE_SMOKE,
     _REGRESSION_SENTINELS,
-    _DEVACUATED_REPROOF,
-    _STALE_R4_REFRESH,
-    # below the 50-slot window: r5/r6 greens -- newest proofs last to
+    _STALE_R5_REFRESH,
+    # below the 50-slot window: r6/r7 greens -- newest proofs last to
     # demote, oldest already above
     tuple(f"q{i:02d}" for i in range(3, 69) if f"q{i:02d}" not in _WINDOW),
     tuple(
