@@ -68,19 +68,37 @@ def skyline_2d(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     )
 
 
+#: O(n log n) window-sweep oracle (replacing the r7 all-pairs NOT EXISTS
+#: that single-threaded for minutes over 150k orders at sf0.1).  2D
+#: dominance decomposes exactly: a point is dominated by a STRICTLY
+#: earlier date iff the running min price over earlier dates is <= its
+#: price, and by a SAME-date point iff some same-date price is strictly
+#: lower -- so keep rows where prior-date running min > price AND price
+#: equals its date's min.  Exact ties survive in both branches (neither
+#: dominates), matching the Spark sweep's semantics.  Value-identical to
+#: the NOT EXISTS form at sf0.001/0.01 (verified in-round); sf0.1 runs in
+#: ~0.1 s.
+_X51_ORACLE = (
+    "WITH p AS (SELECT o_orderkey, o_orderdate, o_totalprice FROM orders"
+    " WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL), "
+    "dm AS (SELECT o_orderdate, min(o_totalprice) AS dmin FROM p"
+    " GROUP BY o_orderdate), "
+    "rm AS (SELECT o_orderdate, dmin, min(dmin) OVER (ORDER BY o_orderdate"
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_min"
+    " FROM dm) "
+    "SELECT p.o_orderkey, p.o_orderdate, p.o_totalprice "
+    "FROM p JOIN rm USING (o_orderdate) "
+    "WHERE (rm.prior_min IS NULL OR rm.prior_min > p.o_totalprice) "
+    " AND p.o_totalprice = rm.dmin"
+)
+
+
 @register(
     "x51_skyline_orders",
-    "SELECT p.o_orderkey, p.o_orderdate, p.o_totalprice FROM orders p "
-    "WHERE p.o_orderdate IS NOT NULL AND p.o_totalprice IS NOT NULL "
-    "AND NOT EXISTS (SELECT 1 FROM orders q WHERE "
-    " q.o_orderdate IS NOT NULL AND q.o_totalprice IS NOT NULL "
-    " AND q.o_orderdate <= p.o_orderdate "
-    " AND q.o_totalprice <= p.o_totalprice "
-    " AND (q.o_orderdate < p.o_orderdate "
-    "  OR q.o_totalprice < p.o_totalprice))",
+    _X51_ORACLE,
     "skyline / Pareto frontier: earliest-and-cheapest orders under "
     "2D dominance -- distributed sorted sweep (range-partitioned prefix "
-    "scan) vs the oracle's quadratic NOT EXISTS",
+    "scan) vs an O(n log n) sort-then-running-min window-sweep oracle",
 )
 def x51_skyline(spark, sf_dir) -> DataFrame:
     return skyline_2d(

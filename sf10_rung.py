@@ -66,9 +66,112 @@ HEAVY = "x07_dedup_minhash_lsh"  # skipped with --skip-heavy
 assert not set(ALPHA2) & set(sf1_rung.ALPHA), "alphabets must be disjoint"
 
 
+def _clean_stale_spark_tmp() -> None:
+    """Remove /tmp/blockmgr-* and /tmp/spark-* left by DEAD JVMs before a
+    big run: a crashed SF10 attempt leaves tens of GB of shuffle blocks
+    that the next run's spill then collides with on disk space (the
+    documented r7 trap, previously a manual `rm`).  Conservative: only
+    cleans when no other java process is alive, so a concurrently running
+    Spark job's live dirs are never touched."""
+    import glob
+    import shutil
+    import subprocess
+
+    live_javas = subprocess.run(
+        ["pgrep", "-c", "java"], capture_output=True, text=True
+    ).stdout.strip()
+    if live_javas not in ("", "0"):
+        print(
+            f"sf10_rung: {live_javas} live java process(es); skipping "
+            "/tmp spark-dir cleanup (run alone for big builds)",
+            file=sys.stderr,
+        )
+        return
+    freed = 0
+    for d in glob.glob("/tmp/blockmgr-*") + glob.glob("/tmp/spark-*"):
+        try:
+            shutil.rmtree(d, ignore_errors=True)
+            freed += 1
+        except OSError:
+            pass
+    if freed:
+        print(f"sf10_rung: removed {freed} stale spark tmp dirs", file=sys.stderr)
+
+
+def _cc_agreement(spark, docs_dir: str) -> dict:
+    """SF10 row for the clustering family: mine the near-dup graph once
+    over the full 500k-doc corpus, then run BOTH connected-components
+    branches -- driver union-find (the <=1M-edge path x26 takes) and
+    forced label propagation (x67's subject, small_graph_threshold=0) --
+    and check they produce the IDENTICAL (doc_id, cluster_id) labeling.
+    The r7 sweep proved branch agreement to 50k docs; this is the same
+    claim at 10x, where the label-propagation rounds and checkpoint
+    lineage discipline actually matter."""
+    from pyspark import StorageLevel
+
+    from conecta_spark.operators.cluster import connected_components
+    from conecta_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{docs_dir}/documents.parquet")
+    t0 = time.perf_counter()
+    pairs = minhash_lsh_pairs(docs, threshold=0.5).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    n_pairs = pairs.count()
+    mine_sec = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    uf = connected_components(pairs).persist(StorageLevel.MEMORY_AND_DISK)
+    uf_clusters = uf.select("cluster_id").distinct().count()
+    uf_sec = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    lp = connected_components(pairs, small_graph_threshold=0).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    lp_clusters = lp.select("cluster_id").distinct().count()
+    lp_sec = round(time.perf_counter() - t0, 3)
+
+    # exact labeling agreement, both directions (cluster_id is the min
+    # member id in both branches, so equality is the expected outcome,
+    # not just isomorphism)
+    diff = uf.exceptAll(lp).count() + lp.exceptAll(uf).count()
+    for df in (pairs, uf, lp):
+        df.unpersist()
+    return {
+        "pairs": n_pairs,
+        "mine_sec": mine_sec,
+        "uf_clusters": uf_clusters,
+        "uf_sec": uf_sec,
+        "lp_clusters": lp_clusters,
+        "lp_sec": lp_sec,
+        "label_diff_rows": diff,
+        "agree": diff == 0 and uf_clusters == lp_clusters,
+    }
+
+
+def _decontam_row(spark, reg, docs_dir: str) -> dict:
+    """SF10 row for lexical decontamination (x68's composition: every
+    97th doc held out as the benchmark, rest of the 500k-doc corpus
+    checked for exact 5-gram overlap).  The operator is broadcast+linear
+    by design; the row proves the wall tracks the scan at 10x the
+    sweep-proven scale."""
+    spark.catalog.clearCache()
+    t0 = time.perf_counter()
+    out = reg["x68_ngram_decontaminate"].fn(spark, docs_dir)
+    out.write.format("noop").mode("overwrite").save()
+    sec = round(time.perf_counter() - t0, 3)
+    contaminated = (
+        reg["x68_ngram_decontaminate"].fn(spark, docs_dir)
+        .where("contaminated").count()
+    )
+    return {"sec": sec, "contaminated": contaminated}
+
+
 def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    _clean_stale_spark_tmp()
 
     from conecta_spark.queries import REGISTRY, _load_extensions
     from conecta_spark.session import get_session
@@ -142,6 +245,13 @@ def main() -> None:
             f"{HEAVY}: runs={heavy_runs} pairs={n_pairs}", file=sys.stderr
         )
 
+    cc = decontam = None
+    if "--skip-cc" not in sys.argv:
+        cc = _cc_agreement(spark, SF10_DIR)
+        print(f"cc: {cc}", file=sys.stderr)
+        decontam = _decontam_row(spark, REGISTRY, SF10_DIR)
+        print(f"decontam: {decontam}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -150,10 +260,12 @@ def main() -> None:
                 "document_rows": n_docs,
                 "timings_sec": timings,
                 "lsh_pairs": n_pairs,
+                "cc": cc,
+                "decontam": decontam,
                 "reference_sf10_scan_sec": [91.75, 152.2],
                 "scan_vs_reference_indexed": round(
                     timings["q01_full_scan"] / 91.75, 4
-                ),
+                ) if "q01_full_scan" in timings else None,
             },
             separators=(",", ":"),
         )
