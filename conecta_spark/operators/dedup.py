@@ -1293,6 +1293,7 @@ def source_overlap(
     text_col: str = "text",
     id_col: str = "doc_id",
     source_col: str = "source",
+    persist_spans: bool = False,
 ) -> DataFrame:
     """Pairwise content overlap BETWEEN sources: Jaccard similarity of
     each source pair's distinct span-hash sets.  The feed-level
@@ -1306,30 +1307,36 @@ def source_overlap(
     volume, not document count -- and the pair join is keyed by the
     uniform hash.  Output is O(|sources|^2) rows, tiny by construction.
 
-    The distinct span relation feeds THREE consumers (sizes, both
-    self-join sides) and AQE never reuses exchanges across them --
-    un-persisted, the span hashing and its distinct shuffle ran three
-    times (two extra full text passes at 100 TB).  One-slot evict-first
-    persist of the skinny (source, hash) relation.
+    ``persist_spans``: the distinct span relation feeds THREE consumers
+    (sizes, both self-join sides), so un-persisted the span hashing and
+    its distinct shuffle run three times.  The default is OFF because
+    the A/B at sf0.1 measured the persist as a net LOSS (1.5-1.9 s vs
+    0.8-1.4 s over four cleared-cache runs): the skinny relation
+    re-derives cheaply from a fast scan, and the cache write +
+    InMemoryTableScan read cost more than the two extra passes -- the
+    r7 exchange-reuse audit assumed the opposite and shipped the persist
+    unmeasured.  Turn it ON when the input is an expensive scan (wide
+    source table, slow storage, an upstream pipeline), where re-running
+    the text pass dominates: the right setting depends on scan cost, not
+    corpus size, which is why it is a caller knob and not a heuristic.
     """
-    while _X64_LIVE:
-        try:
-            _X64_LIVE.pop().unpersist()
-        except Exception:
-            pass
-    from pyspark import StorageLevel
+    spans = span_hashes(
+        df.select(F.col(source_col).alias("__src"), F.col(text_col)),
+        span_words,
+        text_col,
+        "__src",
+    ).distinct()
+    if persist_spans:
+        # one-slot evict-first cache (the repo-wide cache-leak rule)
+        while _X64_LIVE:
+            try:
+                _X64_LIVE.pop().unpersist()
+            except Exception:
+                pass
+        from pyspark import StorageLevel
 
-    spans = (
-        span_hashes(
-            df.select(F.col(source_col).alias("__src"), F.col(text_col)),
-            span_words,
-            text_col,
-            "__src",
-        )
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    _X64_LIVE.append(spans)
+        spans = spans.persist(StorageLevel.MEMORY_AND_DISK)
+        _X64_LIVE.append(spans)
     sizes = spans.groupBy("__src").agg(F.count(F.lit(1)).alias("n"))
     a = spans.select(F.col("__src").alias("source_a"), "h")
     b = spans.select(F.col("__src").alias("source_b"), "h")

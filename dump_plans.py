@@ -157,6 +157,36 @@ SHOWCASE: list[tuple[str, str]] = [
         "overlap aggregate.  No CartesianProduct or nested-loop join.",
     ),
     (
+        "x11_embed_near_dup",
+        "Exact all-pairs near-dup via block matmul: the packed block "
+        "relation is persisted ONCE and feeds BOTH sides of the "
+        "triangular block-pair grid as InMemoryTableScan leaves -- "
+        "unpersisted, AQE re-ran the validity-filter/normalize/pack "
+        "pipeline per grid side (the r7 exchange-reuse audit).  One "
+        "numpy matmul per block pair inside Arrow-batched mapInPandas; "
+        "no CartesianProduct.  Corpora past the 256x1024-row cap raise "
+        "toward the ANN paths (r8 guard).",
+    ),
+    (
+        "x63_source_quality_norm",
+        "Per-source quality normalization: the quantized-score relation "
+        "persists once and serves both its consumers (the per-source "
+        "aggregate and the join back) as InMemoryTableScan leaves -- "
+        "the r7 persist fix; nothing re-derives scores from text.",
+    ),
+    (
+        "x64_source_overlap",
+        "Cross-source span overlap: pair counting is an equi-join on the "
+        "span hash; only skinny (source, hash) rows shuffle.  The "
+        "distinct span relation has THREE consumers and is deliberately "
+        "NOT persisted by default: the r8 A/B measured the persist as a "
+        "net loss at bench scale (1.5-1.9 s vs 0.8-1.4 s -- cache write "
+        "+ InMemoryTableScan read cost more than re-deriving the skinny "
+        "relation from a fast scan), overturning the r7 audit's "
+        "unmeasured assumption.  persist_spans=True remains for "
+        "expensive-scan inputs, where two extra text passes dominate.",
+    ),
+    (
         "x69_gopher_repetition",
         "Gopher repetition family: zero Exchange nodes and no Python "
         "worker -- all four gram-mass signals are per-row expressions "
