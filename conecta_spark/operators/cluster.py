@@ -227,15 +227,24 @@ def connected_components(
 
 
 def dedup_clusters(
-    df: DataFrame, threshold: float = 0.5, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Cluster rollup over the verified MinHash near-dup graph: one row per
     cluster with member count and sorted member list; cluster_id is the
     canonical (minimum) member doc_id.  SimHash edges were rejected here:
     on a low-vocabulary corpus signature collisions chain nearly the whole
     corpus into one component (measured: 489 of 500 docs at hamming<=3),
-    while Jaccard-verified pairs stay semantically tight."""
-    pairs = minhash_lsh_pairs(df, threshold=threshold, text_col=text_col, id_col=id_col)
+    while Jaccard-verified pairs stay semantically tight.  ``pairs`` lets a
+    pipeline that already mined the graph pass it in instead of re-mining
+    (the registry does this via dedup.shared_minhash_pairs)."""
+    if pairs is None:
+        pairs = minhash_lsh_pairs(
+            df, threshold=threshold, text_col=text_col, id_col=id_col
+        )
     cc = connected_components(pairs)
     return (
         cc.groupBy("cluster_id")
@@ -282,7 +291,12 @@ def x26_dedup_clusters(spark, sf_dir) -> DataFrame:
     # which cannot hash/sort array cells (r02 showed the crash) -- registered
     # outputs must stay scalar.  `dedup_clusters` itself keeps the typed
     # array column for programmatic use.
-    cl = dedup_clusters(t(spark, sf_dir, "documents"))
+    from .dedup import shared_minhash_pairs
+
+    cl = dedup_clusters(
+        t(spark, sf_dir, "documents"),
+        pairs=shared_minhash_pairs(spark, sf_dir, threshold=0.5),
+    )
     return cl.select(
         "cluster_id",
         "n_members",
@@ -319,8 +333,9 @@ CC_SLICE = 1000
     "identical slice",
 )
 def x67_clusters_distributed(spark, sf_dir) -> DataFrame:
-    docs = t(spark, sf_dir, "documents").where(F.col("doc_id") < CC_SLICE)
-    pairs = minhash_lsh_pairs(docs, threshold=0.5)
+    from .dedup import shared_minhash_pairs
+
+    pairs = shared_minhash_pairs(spark, sf_dir, limit=CC_SLICE, threshold=0.5)
     cc = connected_components(pairs, small_graph_threshold=0)
     cl = cc.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("n_members"),
@@ -455,6 +470,8 @@ def _duck_keep_best_sql(docs: str = "documents") -> str:
     "aggregation, not the pair mining x26 proves at full scale",
 )
 def x50_keep_best(spark, sf_dir) -> DataFrame:
+    from .dedup import shared_minhash_pairs
+
     d = t(spark, sf_dir, "documents").where(F.col("doc_id") < CC_SLICE)
-    pairs = minhash_lsh_pairs(d)
+    pairs = shared_minhash_pairs(spark, sf_dir, limit=CC_SLICE, threshold=0.5)
     return keep_best_per_cluster(d, connected_components(pairs))

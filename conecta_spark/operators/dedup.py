@@ -780,13 +780,65 @@ def _duck_mh_sigs(docs: str = "documents") -> str:
 _DUCK_MH_SIGS = _duck_mh_sigs()
 
 
+#: One live verified-pairs relation per (session, corpus): the mined
+#: near-dup graph is the shared upstream of a whole pipeline family
+#: (pairs -> clusters -> canonical prune), and real pipelines mine it
+#: ONCE and consume it many times -- re-mining per consumer would be the
+#: bug at 100 TB, not the optimization.  The registry mirrors that:
+#: x07 materializes the graph, x26 clusters it, and the CC_SLICE entries
+#: (x50/x67) share one slice-scoped mining pass.  Same contract as
+#: simsearch._panel_prep: keyed on applicationId (id() values can be
+#: reused across garbage-collected sessions), one-slot, and the previous
+#: relation is evicted at the START of the next miss, never after the new
+#: persist (CacheManager dedupes canonically-equal plans -- unpersist-after
+#: would uncache the new entry too).  Values are unaffected: the pipeline
+#: is deterministic, so a cache hit returns exactly what a re-mine would.
+_PAIRS_LIVE: list = []
+
+
+def shared_minhash_pairs(
+    spark, sf_dir: str, limit: int | None = None, threshold: float = 0.5
+) -> DataFrame:
+    """Verified MinHash+LSH near-dup pairs over ``sf_dir``'s documents
+    (optionally the first ``limit`` doc_ids), persisted once per
+    (session, corpus, limit, threshold) and shared across the registry
+    entries that consume the same mined graph."""
+    from pyspark import StorageLevel
+
+    key = (spark.sparkContext.applicationId, sf_dir, limit, threshold)
+    if _PAIRS_LIVE and _PAIRS_LIVE[0][0] == key:
+        cached = _PAIRS_LIVE[0][1]
+        # Staleness guard: spark.catalog.clearCache() (bench.py runs it
+        # between every timed run) drops the cache entry WITHOUT notifying
+        # this slot.  Serving the now-unpersisted DataFrame would re-execute
+        # the whole mining tree with its internal persists gone -- the band
+        # self-join then re-runs the signature pipeline per side (the
+        # documented 15 s-vs-3 s blowup).  storageLevel consults the live
+        # CacheManager, so a cleared entry reads as NONE -> re-mine.
+        if cached.storageLevel.useMemory or cached.storageLevel.useDisk:
+            return cached
+    while _PAIRS_LIVE:
+        try:
+            _PAIRS_LIVE.pop()[1].unpersist()
+        except Exception:
+            pass
+    docs = t(spark, sf_dir, "documents")
+    if limit is not None:
+        docs = docs.where(F.col("doc_id") < limit)
+    pairs = minhash_lsh_pairs(docs, threshold=threshold).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    _PAIRS_LIVE.append((key, pairs))
+    return pairs
+
+
 @register(
     "x07_dedup_minhash_lsh",
     _DUCK_MH_SIGS,
     "MinHash(16 perms) + LSH(4 bands) near-dup pairs, exact-Jaccard verified",
 )
 def x07_minhash_lsh(spark, sf_dir) -> DataFrame:
-    return minhash_lsh_pairs(t(spark, sf_dir, "documents"), threshold=0.5)
+    return shared_minhash_pairs(spark, sf_dir, threshold=0.5)
 
 
 @register(

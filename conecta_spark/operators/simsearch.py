@@ -834,7 +834,13 @@ def _panel_prep(spark, sf_dir: str) -> DataFrame:
     # queries.py, because this cache holds a persisted relation).
     key = (spark.sparkContext.applicationId, sf_dir)
     if _ANN_PREP and _ANN_PREP[0][0] == key:
-        return _ANN_PREP[0][1]
+        cached = _ANN_PREP[0][1]
+        # Staleness guard (cf. dedup._PAIRS_LIVE): spark.catalog.clearCache()
+        # drops the entry without notifying this slot; storageLevel reads the
+        # live CacheManager, so a cleared relation falls through to a re-prep
+        # instead of serving an unpersisted DataFrame to two consumers.
+        if cached.storageLevel.useMemory or cached.storageLevel.useDisk:
+            return cached
     if _ANN_PREP:
         _ANN_PREP.pop()[1].unpersist()
     emb = t(spark, sf_dir, "embeddings")

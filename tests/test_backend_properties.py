@@ -173,8 +173,42 @@ class TestIVFQuantizerContract:
         assert b is not a
         assert not (a.storageLevel.useMemory or a.storageLevel.useDisk)
         assert len(ss._ANN_PREP) == 1
-        b.unpersist()
+        # clearCache staleness: a dropped cache entry must read as a MISS
+        # (serving the unpersisted relation would re-scan per consumer)
+        spark.catalog.clearCache()
+        c = ss._panel_prep(spark, oracle_dir)
+        assert c is not b
+        assert c.storageLevel.useMemory or c.storageLevel.useDisk
+        c.unpersist()
         ss._ANN_PREP.clear()
+
+    def test_shared_pairs_cache_contract(self, spark, sf_dir):
+        """shared_minhash_pairs: hit returns the same persisted DataFrame,
+        a different (limit) key evicts the previous slot, clearCache reads
+        as a miss, and values equal a direct un-cached mining pass."""
+        from conecta_spark.operators import dedup as dd
+        from conecta_spark.queries import t
+
+        dd._PAIRS_LIVE.clear()
+        a = dd.shared_minhash_pairs(spark, sf_dir, threshold=0.5)
+        assert dd.shared_minhash_pairs(spark, sf_dir, threshold=0.5) is a
+        assert a.storageLevel.useMemory or a.storageLevel.useDisk
+        direct = dd.minhash_lsh_pairs(
+            t(spark, sf_dir, "documents"), threshold=0.5
+        )
+        assert sorted(map(tuple, a.collect())) == sorted(
+            map(tuple, direct.collect())
+        )
+        b = dd.shared_minhash_pairs(spark, sf_dir, limit=100, threshold=0.5)
+        assert b is not a
+        assert not (a.storageLevel.useMemory or a.storageLevel.useDisk)
+        assert len(dd._PAIRS_LIVE) == 1
+        spark.catalog.clearCache()
+        c = dd.shared_minhash_pairs(spark, sf_dir, limit=100, threshold=0.5)
+        assert c is not b  # stale entry re-mined, not served unpersisted
+        assert c.storageLevel.useMemory or c.storageLevel.useDisk
+        c.unpersist()
+        dd._PAIRS_LIVE.clear()
 
     def test_index_assignment_matches_exact_argmin(self, spark):
         """The distributed mapInPandas assignment must equal the exact
