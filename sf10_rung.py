@@ -60,6 +60,12 @@ TIMED = (
     "x05_dedup_exact",
     "x08_dedup_simhash",
     "x19_gopher_quality",
+    # events family at 10M rows (100x sf0.1): sessionization is one
+    # shuffle on user_id + two ordered windows inside it; the as-of join
+    # is the union+window plan -- both should track the scan, which is
+    # the claim worth measuring at this rung.
+    "x16_sessionization",
+    "x22_asof_join",
 )
 HEAVY = "x07_dedup_minhash_lsh"  # skipped with --skip-heavy
 
@@ -147,6 +153,82 @@ def _cc_agreement(spark, docs_dir: str) -> dict:
         "lp_sec": lp_sec,
         "label_diff_rows": diff,
         "agree": diff == 0 and uf_clusters == lp_clusters,
+    }
+
+
+def _ann_row(spark, sf_dir: str) -> dict:
+    """SF10 row for the similarity-search family: IVF over the full 200k
+    vectors (100x the sf0.1 panel corpus) -- sample-trained quantizer,
+    one assignment pass, one batched panel search -- against the exact
+    brute-force panel as ground truth.
+
+    Config scales the registry's shape with the faiss occupancy heuristic
+    (~sqrt(N) cells: 128 cells -> ~1.6k vectors/cell) and keeps the same
+    probed fraction (1/2) so the recall claim is comparable to the
+    sweep-measured 0.88 at the small SFs.  Two recall flavors are
+    reported because the SF10 stack contains EXACT duplicate vectors
+    (the embedding decorrelator composes rolls additively mod 64, so
+    some replica pairs share a total roll -- module docstring): id-recall
+    punishes returning a tied clone with a different vec_id, score-recall
+    counts any hit whose cosine reaches the exact 10th-best score."""
+    import numpy as np
+
+    from conecta_spark.operators.simsearch import (
+        ANN_QUERY_IDS,
+        _exact_topk_panel,
+        build_ivf_index,
+        ivf_search_batch,
+    )
+
+    spark.catalog.clearCache()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_vectors = emb.count()
+
+    t0 = time.perf_counter()
+    index = build_ivf_index(emb, n_clusters=128)
+    index.count()  # materialize the persisted assignment
+    build_sec = round(time.perf_counter() - t0, 3)
+
+    try:
+        t0 = time.perf_counter()
+        ann_rows = ivf_search_batch(
+            index, ANN_QUERY_IDS, k=10, n_probe=64
+        ).collect()
+        search_sec = round(time.perf_counter() - t0, 3)
+
+        t0 = time.perf_counter()
+        exact_rows = _exact_topk_panel(emb, "cosine").collect()
+        exact_sec = round(time.perf_counter() - t0, 3)
+    finally:
+        index.unpersist()
+
+    ann: dict = {}
+    for r in ann_rows:
+        ann.setdefault(r.query_id, []).append((r.vec_id, round(r.score, 6)))
+    exact: dict = {}
+    for r in exact_rows:
+        exact.setdefault(r.query_id, []).append((r.vec_id, round(r.score, 6)))
+
+    id_recalls, score_recalls = [], []
+    for qid, truth in exact.items():
+        got = ann.get(qid, [])
+        truth_ids = {v for v, _ in truth}
+        kth = min(s for _, s in truth)  # exact 10th-best cosine
+        id_recalls.append(
+            len([v for v, _ in got if v in truth_ids]) / len(truth)
+        )
+        score_recalls.append(
+            len([s for _, s in got if s >= kth]) / len(truth)
+        )
+    return {
+        "vectors": n_vectors,
+        "n_cells": 128,
+        "n_probe": 64,
+        "build_sec": build_sec,
+        "search_sec": search_sec,
+        "exact_panel_sec": exact_sec,
+        "id_recall_at_10": round(float(np.mean(id_recalls)), 4),
+        "score_recall_at_10": round(float(np.mean(score_recalls)), 4),
     }
 
 
@@ -252,6 +334,11 @@ def main() -> None:
         decontam = _decontam_row(spark, REGISTRY, SF10_DIR)
         print(f"decontam: {decontam}", file=sys.stderr)
 
+    ann = None
+    if "--skip-ann" not in sys.argv:
+        ann = _ann_row(spark, SF10_DIR)
+        print(f"ann: {ann}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -262,6 +349,7 @@ def main() -> None:
                 "lsh_pairs": n_pairs,
                 "cc": cc,
                 "decontam": decontam,
+                "ann": ann,
                 "reference_sf10_scan_sec": [91.75, 152.2],
                 "scan_vs_reference_indexed": round(
                     timings["q01_full_scan"] / 91.75, 4

@@ -184,3 +184,109 @@ def test_span_scrub_matches_reference_first_occurrence_rule(spark):
         assert got == reference(texts)
 
     check()
+
+
+# --- connected components vs a pure-Python union-find reference ---------
+
+_edges = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=25),
+        st.integers(min_value=0, max_value=25),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+def _uf_reference(pairs):
+    """Union-find over the vertices appearing in ``pairs``; cluster id is
+    the component's minimum vertex (the operator's documented contract)."""
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    roots: dict[int, list[int]] = {}
+    for v in parent:
+        roots.setdefault(find(v), []).append(v)
+    return {
+        (v, min(members)) for members in roots.values() for v in members
+    }
+
+
+@given(pairs=_edges)
+@settings(max_examples=6, deadline=None)
+def test_connected_components_match_union_find_on_random_graphs(spark, pairs):
+    """Both CC branches must equal the Python union-find reference on
+    arbitrary graphs -- self-loops, parallel edges, reversed duplicates,
+    multi-component tangles.  The fixed-graph tests pin known shapes;
+    this pins the general contract (labels are the component MIN, every
+    edge-listed vertex appears exactly once)."""
+    from pyspark.sql import Row
+
+    from conecta_spark.operators.cluster import connected_components
+
+    expect = _uf_reference(pairs)
+    edges = spark.createDataFrame(
+        [Row(doc_a=a, doc_b=b) for a, b in pairs]
+    )
+    got_uf = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components(edges).collect()
+    }
+    assert got_uf == expect, "driver union-find branch diverged"
+    got_lp = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components(
+            edges, small_graph_threshold=0
+        ).collect()
+    }
+    assert got_lp == expect, "label-propagation branch diverged"
+
+
+# --- as-of join vs a pure-Python nearest-row reference -------------------
+
+_stream = st.lists(st.integers(min_value=0, max_value=20), min_size=1, max_size=10)
+
+
+@given(lts=_stream, rts=_stream.map(lambda xs: sorted(set(xs))))
+@settings(max_examples=6, deadline=None)
+def test_asof_join_matches_reference_both_directions(spark, lts, rts):
+    """asof_join must equal the obvious Python scan on arbitrary
+    timestamp multisets (duplicate left timestamps, exact ties with the
+    right side, left rows before/after the whole right stream).  Right
+    timestamps are deduped per the documented uniqueness precondition."""
+    from pyspark.sql import Row
+
+    from conecta_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [Row(k="a", tsu=t, lid=i) for i, t in enumerate(lts)]
+    )
+    right = spark.createDataFrame(
+        [Row(k="a", tsu=t, rval=t * 10) for t in rts],
+        "k string, tsu long, rval long",
+    )
+    for direction in ("backward", "forward"):
+        got = {
+            r.lid: r.rval
+            for r in asof_join(
+                left, right, by="k", direction=direction
+            ).collect()
+        }
+        for i, t in enumerate(lts):
+            pool = [x for x in rts if (x <= t if direction == "backward" else x >= t)]
+            want = (
+                (max(pool) if direction == "backward" else min(pool)) * 10
+                if pool
+                else None
+            )
+            assert got.get(i) == want, (direction, i, t, got.get(i), want)
