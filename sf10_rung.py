@@ -186,7 +186,7 @@ def _ann_row(spark, sf_dir: str) -> dict:
 
     t0 = time.perf_counter()
     index = build_ivf_index(emb, n_clusters=128)
-    index.count()  # materialize the persisted assignment
+    index.assigned.count()  # materialize the persisted assignment
     build_sec = round(time.perf_counter() - t0, 3)
 
     try:
