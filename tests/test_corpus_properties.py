@@ -290,3 +290,67 @@ def test_asof_join_matches_reference_both_directions(spark, lts, rts):
                 else None
             )
             assert got.get(i) == want, (direction, i, t, got.get(i), want)
+
+
+# --- sessionization vs a pure-Python gap-scan reference -------------------
+
+# Seconds drawn from multiples of 900 so consecutive gaps frequently land
+# EXACTLY on the 1800 s session gap (the rule is strictly-greater: an
+# exact-gap event continues the session), plus duplicate timestamps.
+_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),   # user_id
+        st.integers(min_value=0, max_value=40),  # ts = n * 900 s
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(evs=_events)
+@settings(max_examples=6, deadline=None)
+def test_sessionize_batch_matches_reference_scan(spark, evs):
+    """sessionize_batch must equal the obvious per-user sorted gap scan on
+    arbitrary event streams: duplicate timestamps (tie-broken by
+    event_id, gap 0 -- always same session), exact-boundary gaps (1800 s
+    == gap continues the session, the > rule), interleaved users."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    from conecta_spark.streaming.events import SESSION_GAP_US, sessionize_batch
+
+    rows = [
+        Row(
+            user_id=u,
+            event_id=i,
+            ts=datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=s * 900),
+        )
+        for i, (u, s) in enumerate(evs)
+    ]
+    got = {
+        (r.user_id, r.n_events, r.start_us, r.end_us, r.duration_us)
+        for r in sessionize_batch(spark.createDataFrame(rows)).collect()
+    }
+
+    base_us = int(
+        datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc).timestamp()
+        * 1_000_000
+    )
+    by_user: dict[int, list[tuple[int, int]]] = {}
+    for i, (u, s) in enumerate(evs):
+        by_user.setdefault(u, []).append((base_us + s * 900 * 1_000_000, i))
+    expect = set()
+    for u, lst in by_user.items():
+        lst.sort()
+        sessions, cur = [], [lst[0]]
+        for p in lst[1:]:
+            if p[0] - cur[-1][0] > SESSION_GAP_US:
+                sessions.append(cur)
+                cur = []
+            cur.append(p)
+        sessions.append(cur)
+        for sess in sessions:
+            ts = [t for t, _ in sess]
+            expect.add((u, len(sess), min(ts), max(ts), max(ts) - min(ts)))
+    assert got == expect
