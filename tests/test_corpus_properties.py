@@ -354,3 +354,47 @@ def test_sessionize_batch_matches_reference_scan(spark, evs):
             ts = [t for t, _ in sess]
             expect.add((u, len(sess), min(ts), max(ts), max(ts) - min(ts)))
     assert got == expect
+
+
+# --- interval join vs the all-pairs reference ------------------------------
+
+_pts = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=1),     # key
+        st.integers(min_value=-25, max_value=25),  # ts (negatives pin the
+    ),                                             # truncating-div bucketing)
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(pts=_pts, anc=_pts)
+@settings(max_examples=6, deadline=None)
+def test_interval_join_matches_all_pairs_reference(spark, pts, anc):
+    """interval_join's bucketed plan must equal the quadratic definition --
+    every same-key pair with |p_ts - a_ts| <= radius, exactly once --
+    including NEGATIVE timestamps (Spark's integer `div` truncates toward
+    zero, widening bucket 0; the +-1 bucket span must still cover every
+    qualifying pair) and exact-radius boundary pairs."""
+    from pyspark.sql import Row
+
+    from conecta_spark.operators.asof import interval_join
+
+    radius = 7
+    points = spark.createDataFrame(
+        [Row(k=k, tsu=t) for k, t in pts], "k int, tsu long"
+    )
+    anchors = spark.createDataFrame(
+        [Row(k=k, tsu=t) for k, t in anc], "k int, tsu long"
+    )
+    got = {
+        (r.k, r.p_ts, r.a_ts)
+        for r in interval_join(points, anchors, by="k", radius_us=radius).collect()
+    }
+    expect = {
+        (k, pt, at)
+        for k, pt in pts
+        for k2, at in anc
+        if k == k2 and abs(pt - at) <= radius
+    }
+    assert got == expect
