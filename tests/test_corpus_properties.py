@@ -398,3 +398,56 @@ def test_interval_join_matches_all_pairs_reference(spark, pts, anc):
         if k == k2 and abs(pt - at) <= radius
     }
     assert got == expect
+
+
+# --- token budgeting vs the prefix-scan reference ---------------------------
+
+_budget_docs = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b"]),
+        st.integers(min_value=0, max_value=9),  # whitespace tokens per doc
+    ),
+    min_size=1,
+    max_size=16,
+)
+
+
+@given(docs=_budget_docs, budget=st.integers(min_value=0, max_value=20))
+@settings(max_examples=8, deadline=None)
+def test_token_budget_sample_matches_prefix_reference(spark, docs, budget):
+    """token_budget_sample's audit must equal the obvious per-source
+    id-ordered prefix scan -- zero-token documents (kept for free inside
+    the prefix, dropped after the overflow point since the cumulative sum
+    is already past budget), a first document alone exceeding the budget
+    (source emits no audit row), and budget 0."""
+    from pyspark.sql import Row
+
+    from conecta_spark.functions.sampling import token_budget_sample
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=i, source=s, text=" ".join(["w"] * n))
+            for i, (s, n) in enumerate(docs)
+        ],
+        "doc_id long, source string, text string",
+    )
+    got = {
+        r.source: (r.docs_kept, r.tokens_kept, r.budget_used)
+        for r in token_budget_sample(df, budget=budget).collect()
+    }
+
+    expect = {}
+    by_source: dict[str, list[tuple[int, int]]] = {}
+    for i, (s, n) in enumerate(docs):
+        by_source.setdefault(s, []).append((i, n))
+    for s, lst in by_source.items():
+        total = kept = toks = 0
+        for _, n in sorted(lst):
+            total += n
+            if total > budget:
+                break
+            kept += 1
+            toks += n
+        if kept:
+            expect[s] = (kept, toks, toks)
+    assert got == expect
