@@ -451,3 +451,53 @@ def test_token_budget_sample_matches_prefix_reference(spark, docs, budget):
         if kept:
             expect[s] = (kept, toks, toks)
     assert got == expect
+
+
+# --- span dedup vs the global span-counting reference -----------------------
+
+_span_word = st.sampled_from(["aa", "bb"])
+_span_docs = st.lists(
+    st.lists(_span_word, min_size=1, max_size=7).map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(texts=_span_docs)
+@settings(max_examples=8, deadline=None)
+def test_span_dedup_stats_match_global_counting_reference(spark, texts):
+    """span_dedup_stats must equal the obvious model: segment each doc's
+    words into consecutive non-overlapping span_words windows (trailing
+    span PARTIAL -- the r7 short-doc gram class), count every span's
+    occurrences across the whole corpus as a MULTISET (intra-doc repeats
+    each count), report per doc total spans and globally-duplicated
+    spans.  The tiny two-word vocabulary forces heavy cross-doc span
+    collisions."""
+    from collections import Counter
+
+    from pyspark.sql import Row
+
+    from conecta_spark.operators.dedup import span_dedup_stats
+
+    K = 3
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    got = {
+        r.doc_id: (r.n_spans, r.n_dup_spans)
+        for r in span_dedup_stats(df, span_words=K).collect()
+    }
+
+    per_doc = {
+        i: [
+            " ".join(t.split(" ")[j : j + K])
+            for j in range(0, len(t.split(" ")), K)
+        ]
+        for i, t in enumerate(texts)
+    }
+    counts = Counter(s for spans in per_doc.values() for s in spans)
+    expect = {
+        i: (len(spans), sum(1 for s in spans if counts[s] >= 2))
+        for i, spans in per_doc.items()
+    }
+    assert got == expect
