@@ -501,3 +501,81 @@ def test_span_dedup_stats_match_global_counting_reference(spark, texts):
         for i, spans in per_doc.items()
     }
     assert got == expect
+
+
+@given(texts=_span_docs)
+@settings(max_examples=8, deadline=None)
+def test_span_novelty_matches_first_owner_reference(spark, texts):
+    """span_novelty must equal the model: a span occurrence is novel iff
+    its document is the MINIMUM doc_id owning that span anywhere in the
+    corpus (so every occurrence inside the first owner counts novel,
+    including intra-doc repeats; later owners score zero for it)."""
+    from pyspark.sql import Row
+
+    from conecta_spark.operators.dedup import span_novelty
+
+    K = 3
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    got = {
+        r.doc_id: (r.n_spans, r.novel_spans)
+        for r in span_novelty(df, span_words=K).collect()
+    }
+
+    per_doc = {
+        i: [
+            " ".join(t.split(" ")[j : j + K])
+            for j in range(0, len(t.split(" ")), K)
+        ]
+        for i, t in enumerate(texts)
+    }
+    first_owner: dict[str, int] = {}
+    for i in sorted(per_doc):
+        for s in per_doc[i]:
+            first_owner.setdefault(s, i)
+    expect = {
+        i: (len(spans), sum(1 for s in spans if first_owner[s] == i))
+        for i, spans in per_doc.items()
+    }
+    assert got == expect
+
+
+# --- passage chunking vs the sliding-window reference -----------------------
+
+_chunk_docs = st.lists(
+    st.lists(st.sampled_from(["x", "yy"]), min_size=1, max_size=12).map(
+        " ".join
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@given(texts=_chunk_docs)
+@settings(max_examples=8, deadline=None)
+def test_passage_chunks_match_sliding_window_reference(spark, texts):
+    """passage_chunks must equal the model: starts at 1, 1+stride, ... up
+    to max(n_words, 1); each chunk is the next chunk_tokens words clamped
+    at the document end (trailing starts yield short sub-window chunks --
+    the documented clamp); chunk_id = (start-1) // stride."""
+    from pyspark.sql import Row
+
+    from conecta_spark.functions.text import passage_chunks
+
+    CT, STRIDE = 4, 3
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    got = {
+        (r.doc_id, r.chunk_id, r.n_chunk_tokens, r.chunk_text)
+        for r in passage_chunks(df, chunk_tokens=CT, stride=STRIDE).collect()
+    }
+
+    expect = set()
+    for i, t in enumerate(texts):
+        ws = t.split(" ")
+        for s in range(1, max(len(ws), 1) + 1, STRIDE):
+            piece = ws[s - 1 : s - 1 + CT]
+            expect.add((i, (s - 1) // STRIDE, len(piece), " ".join(piece)))
+    assert got == expect
