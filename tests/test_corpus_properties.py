@@ -9,6 +9,7 @@ with a Python reference model; few examples -- each runs real Spark jobs).
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 from pyspark.sql import Row
@@ -579,3 +580,40 @@ def test_passage_chunks_match_sliding_window_reference(spark, texts):
             piece = ws[s - 1 : s - 1 + CT]
             expect.add((i, (s - 1) // STRIDE, len(piece), " ".join(piece)))
     assert got == expect
+
+
+# --- exact percentiles vs the numpy linear-interpolation reference ----------
+
+_vals = st.lists(
+    st.integers(min_value=-100, max_value=100), min_size=1, max_size=15
+)
+
+
+@given(a=_vals, b=_vals)
+@settings(max_examples=8, deadline=None)
+def test_exact_percentiles_match_numpy_linear(spark, a, b):
+    """Spark's `percentile` must agree with numpy's linear-interpolation
+    quantile on arbitrary multisets (single-element groups, duplicate
+    values, negatives) -- the interpolation convention is exactly what
+    diverges across engines, and the DuckDB oracle (quantile_cont) pins
+    the same convention from a third side."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from conecta_spark.functions.stats import exact_percentiles
+
+    rows = [Row(g="a", value=float(v)) for v in a] + [
+        Row(g="b", value=float(v)) for v in b
+    ]
+    got = {
+        r.g: (r.p5, r.p95)
+        for r in exact_percentiles(
+            spark.createDataFrame(rows), "value", ("g",), (0.5, 0.95)
+        ).collect()
+    }
+    for g, vals in (("a", a), ("b", b)):
+        want = (
+            float(np.percentile(vals, 50, method="linear")),
+            float(np.percentile(vals, 95, method="linear")),
+        )
+        assert got[g] == pytest.approx(want, rel=1e-12, abs=1e-12), (g, vals)
