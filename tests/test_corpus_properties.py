@@ -617,3 +617,50 @@ def test_exact_percentiles_match_numpy_linear(spark, a, b):
             float(np.percentile(vals, 95, method="linear")),
         )
         assert got[g] == pytest.approx(want, rel=1e-12, abs=1e-12), (g, vals)
+
+
+# --- corpus TF-IDF vs the Counter reference ---------------------------------
+
+_tfidf_docs = st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc"]), min_size=1, max_size=6).map(
+        " ".join
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(texts=_tfidf_docs)
+@settings(max_examples=8, deadline=None)
+def test_tfidf_top_terms_match_counter_reference(spark, texts):
+    """tfidf_top_terms must equal the model: tf = total occurrences, df =
+    distinct owning docs, score = round(tf * ln(N/df), 6), ranked by
+    (score desc, term) -- the log-base/smoothing convention is exactly
+    what silently diverges between TF-IDF implementations.  k exceeds the
+    3-term vocabulary so the whole ranking is compared, order included."""
+    import math
+    from collections import Counter
+
+    from pyspark.sql import Row
+
+    from conecta_spark.functions.quality import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    got = [
+        (r.w, r.tf, r.df, r.tfidf)
+        for r in tfidf_top_terms(df, k=10).collect()
+    ]
+
+    n = len(texts)
+    tf = Counter(w for t in texts for w in t.split(" "))
+    docf = Counter(w for t in texts for w in set(t.split(" ")))
+    expect = sorted(
+        (
+            (w, tf[w], docf[w], round(tf[w] * math.log(n / docf[w]), 6))
+            for w in tf
+        ),
+        key=lambda r: (-r[3], r[0]),
+    )
+    assert got == expect
