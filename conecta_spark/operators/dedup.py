@@ -416,6 +416,18 @@ def _prune_by_size_ratio(
     )
 
 
+#: Previous minhash_lsh_pairs invocation's internal persisted relations
+#: (hashed shingles, banded keys), evicted at the START of the next call --
+#: the repo-wide cache-leak rule (evict-before-persist: CacheManager
+#: dedupes canonically-equal plans, so unpersisting AFTER the new persist
+#: would uncache the new relations too).  Without the slot a long-lived
+#: session alternating corpora accumulates two cached relations per mining
+#: call.  Eviction is safe for earlier consumers: the returned pair
+#: relation is itself persisted by its callers (shared_minhash_pairs), and
+#: an unpersisted lineage merely recomputes.
+_MINE_LIVE: list = []
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     threshold: float = 0.5,
@@ -454,9 +466,15 @@ def minhash_lsh_pairs(
     # recomputing at scale.
     from pyspark import StorageLevel
 
+    while _MINE_LIVE:
+        try:
+            _MINE_LIVE.pop().unpersist()
+        except Exception:
+            pass
     hashed = hashed_shingles(df, k, text_col, id_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    _MINE_LIVE.append(hashed)
     # One aggregate over the about-to-be-cached relation doubles as (a) the
     # corpus count the DF filter needs (the planner-style metadata probe, cf.
     # reference O9 -- previously a separate full pass over ``df``) and (b)
@@ -531,6 +549,7 @@ def minhash_lsh_pairs(
         "band_idx",
         "band_key",
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    _MINE_LIVE.append(banded)
     a, b = banded.alias("a"), banded.alias("b")
     cands = (
         a.join(
@@ -559,6 +578,7 @@ def minhash_lsh_pairs(
     cands = cands.repartition(
         df.sparkSession.sparkContext.defaultParallelism, "doc_a"
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    _MINE_LIVE.append(cands)
     cands.count()
     sh = hashed.withColumn("n_sh", F.size("sh"))
     return _verify_exact_jaccard(cands, sh, threshold, id_col, broadcast_verify)

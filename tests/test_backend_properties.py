@@ -210,6 +210,41 @@ class TestIVFQuantizerContract:
         c.unpersist()
         dd._PAIRS_LIVE.clear()
 
+    def test_mining_internal_persists_are_slot_bounded(self, spark, sf_dir):
+        """minhash_lsh_pairs' internal persisted relations (hashed
+        shingles, banded keys, materialized candidates) must live in the
+        one-slot _MINE_LIVE eviction list: a second mining call unpersists
+        the first call's internals (the repo-wide cache-leak rule), so a
+        long-lived session alternating corpora holds at most one mining
+        pass worth of cache."""
+        from conecta_spark.operators import dedup as dd
+        from conecta_spark.queries import t
+
+        dd._PAIRS_LIVE.clear()
+        while dd._MINE_LIVE:
+            dd._MINE_LIVE.pop().unpersist()
+        first = dd.minhash_lsh_pairs(
+            t(spark, sf_dir, "documents"), threshold=0.5
+        )
+        first.count()  # materialize: internals now cached
+        old = list(dd._MINE_LIVE)
+        assert len(old) == 3
+        assert all(
+            r.storageLevel.useMemory or r.storageLevel.useDisk for r in old
+        )
+        second = dd.minhash_lsh_pairs(
+            t(spark, sf_dir, "documents").where("doc_id < 100"),
+            threshold=0.5,
+        )
+        second.count()
+        assert len(dd._MINE_LIVE) == 3  # slot holds ONE pass, not two
+        assert all(
+            not (r.storageLevel.useMemory or r.storageLevel.useDisk)
+            for r in old
+        ), "previous invocation's internals must be unpersisted"
+        while dd._MINE_LIVE:
+            dd._MINE_LIVE.pop().unpersist()
+
     def test_index_assignment_matches_exact_argmin(self, spark):
         """The distributed mapInPandas assignment must equal the exact
         driver-side argmin against the index's own centroids -- and be
