@@ -664,3 +664,83 @@ def test_tfidf_top_terms_match_counter_reference(spark, texts):
         key=lambda r: (-r[3], r[0]),
     )
     assert got == expect
+
+
+# --- token commonness + truncated-vocab OOV vs Counter references -----------
+
+_qual_docs = st.lists(
+    st.lists(
+        st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=0, max_size=6
+    ).map(" ".join),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(texts=_qual_docs)
+@settings(max_examples=8, deadline=None)
+def test_token_commonness_matches_counter_reference(spark, texts):
+    """token_commonness must equal the model: per doc, mean corpus
+    frequency of its tokens (exact integer sum, one double division);
+    zero-token documents produce NO row (they explode to nothing)."""
+    from collections import Counter
+
+    from pyspark.sql import Row
+
+    from conecta_spark.functions.quality import token_commonness
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    got = {
+        r.doc_id: (r.n_tok, r.mean_token_df)
+        for r in token_commonness(df).collect()
+    }
+
+    counts = Counter(w for t in texts for w in t.split(" ") if w)
+    expect = {}
+    for i, t in enumerate(texts):
+        ws = [w for w in t.split(" ") if w]
+        if ws:
+            expect[i] = (len(ws), sum(counts[w] for w in ws) / len(ws))
+    assert got == expect
+
+
+@given(texts=_qual_docs)
+@settings(max_examples=8, deadline=None)
+def test_oov_stats_match_truncated_vocab_reference(spark, texts):
+    """oov_stats must equal the model: vocab = top-V tokens by
+    (count desc, token asc) -- V=2 against a 4-word alphabet so the
+    truncation and its tie-break genuinely bite -- per doc n_tok, n_oov,
+    and the mean corpus frequency of IN-vocab tokens (NULL when every
+    token is OOV, including the zero-token doc)."""
+    from collections import Counter
+
+    from pyspark.sql import Row
+
+    from conecta_spark.functions.quality import oov_stats
+
+    V = 2
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    got = {
+        r.doc_id: (r.n_tok, r.n_oov, r.mean_invocab_df)
+        for r in oov_stats(df, vocab_size=V).collect()
+    }
+
+    counts = Counter(w for t in texts for w in t.split(" ") if w)
+    vocab = {
+        w: c
+        for w, c in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:V]
+    }
+    expect = {}
+    for i, t in enumerate(texts):
+        ws = [w for w in t.split(" ") if w]
+        inv = [w for w in ws if w in vocab]
+        expect[i] = (
+            len(ws),
+            len(ws) - len(inv),
+            sum(vocab[w] for w in inv) / len(inv) if inv else None,
+        )
+    assert got == expect
