@@ -402,38 +402,46 @@ def _load_extensions() -> None:
 # extension operator (x01-x29), then the SQL-surface queries whose oracle SQL
 # changed this round (re-proof needed), then the remaining SQL-surface
 # variants that were already hash-green in round 1.
-# Window composition for round 8 (exactly 50 slots), per the round-7
-# verdict (task 3):
+# Window composition for round 9 (exactly 50 slots), per the round-8
+# verdict (task 1):
 #   1. core q01/q02/q12 (every-round scan/projection/agg smoke);
 #   2. standing regression sentinels: x16 (TIMESTAMP_NTZ testdata drift),
 #      x56 (oracle numeric-kind class), x65 (real Structured Streaming
 #      driver row);
-#   3. the 44 entries whose newest green driver row is r5 (histogram
-#      r5:44 / r6:43 / r7:50 going in, computed from CORRECTNESS_r01-r07)
-#      -- refreshed here so the freshness floor becomes r6.
-# 3 + 3 + 44 = 50.  Everything below slot 50 has a green r6/r7 row and
-# stays locally oracle-checked every test run; that includes x06 and x52,
-# whose ORACLES were rewritten sub-quadratic this round with
-# value-identical output at both gate SFs (verified in-round by direct
-# old-vs-new DuckDB comparison, tests/test_oracle.py, and the local
-# whole-registry driver twin; the judge's own twin re-runs them too) --
-# their driver-row refresh is the natural r9 trade.
+#   3. x52, whose oracle SQL was rewritten sub-quadratic (SFS 3-phase)
+#      in r8 and has never had a driver row behind the new oracle
+#      (twin-proven only until now);
+#   4. the full 43-entry r6 freshness floor (histogram r6:43 / r7:44 /
+#      r8:50 going in, computed from CORRECTNESS_r01-r08) -- this set
+#      already includes x06, the other r8-rewritten oracle, so both
+#      never-driver-run oracles land rows this round.
+# 3 + 3 + 1 + 43 = 50 with ZERO carried entries: every r6-floor entry
+# refreshes, so the post-r9 freshness floor is r7 outright (the verdict
+# budgeted for one documented carry; the arithmetic worked out better
+# because x06 was itself on the r6 floor).  Everything below slot 50 has
+# a green r7/r8 row and stays locally oracle-checked every test run.
 _CORE_SMOKE = ("q01", "q02", "q12")
 _REGRESSION_SENTINELS = ("x16", "x56", "x65")
-_STALE_R5_REFRESH = (
-    "q17", "q18", "q19", "q20", "q21", "q22", "q23", "q25", "q26",
-    "q27", "q28", "q29", "q30", "q31", "q32", "q33", "q34", "q36",
-    "q38", "q39", "q52", "q53", "q54", "q55", "q56", "q57", "q58",
-    "q59", "q60", "q61", "q62", "q63", "q64", "q65", "q66", "q67",
-    "q68",
-    "x05", "x07", "x08", "x18", "x26", "x64", "x66",
+_REWRITTEN_ORACLE_PROOF = ("x52",)
+_STALE_R6_REFRESH = (
+    "q03", "q04", "q05", "q06", "q07", "q08", "q09", "q10", "q11",
+    "q13", "q14", "q15", "q16", "q24", "q35", "q37",
+    "x01", "x02", "x03", "x04", "x06", "x09", "x10", "x12", "x13",
+    "x14", "x15", "x17", "x19", "x20", "x21", "x24", "x25", "x27",
+    "x28", "x29", "x30", "x31", "x32", "x33", "x67", "x68", "x69",
 )
-_WINDOW = _CORE_SMOKE + _REGRESSION_SENTINELS + _STALE_R5_REFRESH
+_WINDOW = (
+    _CORE_SMOKE
+    + _REGRESSION_SENTINELS
+    + _REWRITTEN_ORACLE_PROOF
+    + _STALE_R6_REFRESH
+)
 _PRIORITY_TIERS: tuple[tuple[str, ...], ...] = (
     _CORE_SMOKE,
     _REGRESSION_SENTINELS,
-    _STALE_R5_REFRESH,
-    # below the 50-slot window: r6/r7 greens -- newest proofs last to
+    _REWRITTEN_ORACLE_PROOF,
+    _STALE_R6_REFRESH,
+    # below the 50-slot window: r7/r8 greens -- newest proofs last to
     # demote, oldest already above
     tuple(f"q{i:02d}" for i in range(3, 69) if f"q{i:02d}" not in _WINDOW),
     tuple(

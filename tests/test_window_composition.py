@@ -32,6 +32,17 @@ def test_sentinels_and_core_smoke_stay_in_window():
         assert required in window_prefixes, required
 
 
+def test_r9_rewritten_oracles_get_driver_rows():
+    """Round-9 promise (r8 verdict task 1): x06 and x52 -- the two entries
+    whose oracle SQL was rewritten sub-quadratic in r8 -- must sit inside
+    the 50-slot window so the new oracles finally earn driver rows."""
+    window_prefixes = {
+        n.split("_", 1)[0] for n in list(entry.queries())[:50]
+    }
+    assert "x06" in window_prefixes
+    assert "x52" in window_prefixes
+
+
 def test_every_entry_is_oracled():
     """r6 invariant: the rows-only set is empty -- every registered query
     carries a DuckDB oracle.  A new entry registered with oracle=None
