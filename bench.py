@@ -92,8 +92,60 @@ def main() -> None:
     # 2-3x (r7: five same-code runs spanned 66.4-82.4 s); recording the
     # 1-minute load average at start and end lets the driver artifact
     # distinguish a code regression from box noise without a re-run.
-    load_start = round(os.getloadavg()[0], 1)
+    # When the first pass FINISHES under heavy external load, the whole
+    # sample is suspect (the r8 driver artifact's 75.96 s median ran at
+    # load 6.2-10.6 vs 68.6 s quiet): re-run the timed pass ONCE and keep
+    # the lower-load sample.  Pure sampling policy -- the timed code path
+    # is byte-identical for both passes.
+    samples: list[tuple[dict, dict, dict, list]] = []
+    for _ in range(2):
+        load_start = round(os.getloadavg()[0], 1)
+        timings, minima, all_runs = timed_pass(spark, qs, sf_dir, run)
+        load = [load_start, round(os.getloadavg()[0], 1)]
+        samples.append((timings, minima, all_runs, load))
+        if not should_resample(load):
+            break
+        print(
+            f"bench: end load {load[1]} > {LOAD_RERUN_THRESHOLD}; "
+            "re-running timed pass once (load-aware sampling policy)",
+            file=sys.stderr,
+        )
+    timings, minima, all_runs, load = samples[choose_sample(
+        [s[3] for s in samples]
+    )]
+    total = round(sum(v for v in timings.values() if v >= 0), 4)
+    total_min = round(sum(v for v in minima.values() if v >= 0), 4)
+    extra = {"samples": len(samples)} if len(samples) > 1 else None
+    emit_result(timings, total, total_min, sf, all_runs, load, extra)
 
+
+#: 1-min load average above which a finished bench pass is considered
+#: noise-contaminated and worth one re-roll.  The box has 32 cores; our
+#: own bench contributes ~2-5 to the 1-min average at its END (trailing
+#: light queries), so an end load of 8+ means several external cores of
+#: contention all through the tail.
+LOAD_RERUN_THRESHOLD = 8.0
+
+
+def should_resample(load: list) -> bool:
+    """True when the pass ENDED under external load heavy enough that its
+    medians overstate steady state (end load only: the start load may be
+    a dying previous process that no longer perturbs anything)."""
+    return load[1] > LOAD_RERUN_THRESHOLD
+
+
+def choose_sample(loads: list[list]) -> int:
+    """Index of the sample to keep: lowest max(start, end) load -- the
+    least noise-contaminated roll.  Ties keep the EARLIEST sample (maximal
+    JIT-warm-up distance from session start favors the later pass, so a
+    tie means load didn't distinguish them and first-come is simplest)."""
+    return min(range(len(loads)), key=lambda i: (max(loads[i]), i))
+
+
+def timed_pass(spark, qs, sf_dir, run):
+    """One full timed pass over the registry (the r5+ methodology:
+    >=4 consecutive runs per query, cache cleared between runs, run 1 is
+    warm-up, record the median of the rest)."""
     timings: dict[str, float] = {}
     minima: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
@@ -123,15 +175,13 @@ def main() -> None:
             print(f"bench: {name} failed: {e}", file=sys.stderr)
             timings[name] = -1.0
             minima[name] = -1.0
-    total = round(sum(v for v in timings.values() if v >= 0), 4)
-    total_min = round(sum(v for v in minima.values() if v >= 0), 4)
-    load = [load_start, round(os.getloadavg()[0], 1)]
-    emit_result(timings, total, total_min, sf, all_runs, load)
+    return timings, minima, all_runs
 
 
 def render_json_line(
     timings: dict, total: float, total_min: float, sf,
     load: list | None = None, budget: int = 1900,
+    extra_fields: dict | None = None,
 ) -> str:
     """Render the driver-facing JSON line within ``budget`` chars.
 
@@ -156,6 +206,10 @@ def render_json_line(
             # [start, end] 1-min load averages: the box-noise context for
             # this run's medians (r7 spanned 66-82 s on load alone).
             payload["load"] = load
+        if extra_fields:
+            # e.g. {"samples": 2}: the load-aware policy re-rolled the
+            # timed pass and this line carries the lower-load sample.
+            payload.update(extra_fields)
         if extra:
             payload.update(extra)
         return json.dumps(payload, separators=(",", ":"))
@@ -177,7 +231,9 @@ def render_json_line(
     return emit({}, {"omitted": len(ranked)})
 
 
-def emit_result(timings, total, total_min, sf, all_runs, load=None) -> None:
+def emit_result(
+    timings, total, total_min, sf, all_runs, load=None, extra_fields=None
+) -> None:
     # The driver records only the LAST 2000 chars of stdout and tries to
     # parse the JSON line out of it -- with 86 full-name queries the line is
     # ~3 KB and has been truncated (BENCH_r01..r03 all show parsed: null).
@@ -185,7 +241,9 @@ def emit_result(timings, total, total_min, sf, all_runs, load=None) -> None:
     # the contract's own example form) and emit compact separators so the
     # whole line fits the capture window; the full-name map goes to stderr
     # for humans.
-    line = render_json_line(timings, total, total_min, sf, load)
+    line = render_json_line(
+        timings, total, total_min, sf, load, extra_fields=extra_fields
+    )
     print(json.dumps({"query_names": sorted(timings)}), file=sys.stderr)
     print(json.dumps({"all_runs": all_runs}), file=sys.stderr)
     print(line)

@@ -848,6 +848,16 @@ def shared_minhash_pairs(
     pairs = minhash_lsh_pairs(docs, threshold=threshold).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    # Materialize before returning: the one-slot cache evicts on every key
+    # switch, so interleaving full-corpus consumers (x07/x26) with slice
+    # consumers (x50/x67) in a non-registry order could otherwise unpersist
+    # a relation whose lineage was never computed -- and the NEXT miss also
+    # evicts the mining internals (_MINE_LIVE), silently re-running the
+    # band self-join per side (the documented 15 s-vs-3 s blowup).  An
+    # eager count pins the data while the internal persists are still
+    # live, making later eviction a pure cache drop, never a re-mine of a
+    # stranded lineage.
+    pairs.count()
     _PAIRS_LIVE.append((key, pairs))
     return pairs
 

@@ -201,16 +201,23 @@ def embedding_near_dup_pairs(
         StructType,
     )
 
-    n_rows = df.count()
-    if n_rows > X11_FULL_GRID_CAP_ROWS and not allow_full_grid:
-        raise ValueError(
-            f"embedding_near_dup_pairs: corpus has {n_rows} rows, above the "
-            f"exact-all-pairs cap of {X11_FULL_GRID_CAP_ROWS} (256 blocks x "
-            "1024 rows); the block grid is O(N^2) total work by "
-            "construction. Use ann_lsh_topk / brp_lsh_ml / semdedup for "
-            "large corpora, or pass allow_full_grid=True to accept the "
-            "quadratic cost explicitly."
-        )
+    if allow_full_grid and n_blocks is not None:
+        # Fully-explicit caller: the cap guard is moot (they accepted the
+        # quadratic bill) and the count only fed the adaptive block sizing
+        # -- skip it so plan construction stays lazy, as it was before the
+        # cap guard landed.
+        n_rows = None
+    else:
+        n_rows = df.count()
+        if n_rows > X11_FULL_GRID_CAP_ROWS and not allow_full_grid:
+            raise ValueError(
+                f"embedding_near_dup_pairs: corpus has {n_rows} rows, above "
+                f"the exact-all-pairs cap of {X11_FULL_GRID_CAP_ROWS} (256 "
+                "blocks x 1024 rows); the block grid is O(N^2) total work "
+                "by construction. Use ann_lsh_topk / brp_lsh_ml / semdedup "
+                "for large corpora, or pass allow_full_grid=True to accept "
+                "the quadratic cost explicitly."
+            )
     if n_blocks is None:
         n_blocks = max(1, min(256, -(-n_rows // 1024)))
     e = _vectors(df, vec_col, id_col).select(

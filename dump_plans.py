@@ -202,6 +202,32 @@ SHOWCASE: list[tuple[str, str]] = [
 ]
 
 
+def source_fingerprint() -> str:
+    """Deterministic digest of every engine source file that can move a
+    plan shape (conecta_spark/**/*.py plus this script's SHOWCASE list).
+    Written into PLANS.md at generation time and re-derived by
+    tests/test_plans.py: the suite fails whenever the tree changed after
+    the artifact -- the mechanical form of the round-end "regenerate
+    PLANS.md" invariant (it shipped one commit stale in r7 AND r8)."""
+    import hashlib
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    h = hashlib.sha256()
+    paths = [os.path.join(root, "dump_plans.py")]
+    for dirpath, dirnames, filenames in os.walk(
+        os.path.join(root, "conecta_spark")
+    ):
+        dirnames[:] = [d for d in dirnames if d != "__pycache__"]
+        paths.extend(
+            os.path.join(dirpath, f) for f in filenames if f.endswith(".py")
+        )
+    for p in sorted(paths):
+        h.update(os.path.relpath(p, root).encode())
+        with open(p, "rb") as f:
+            h.update(hashlib.sha256(f.read()).digest())
+    return h.hexdigest()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
@@ -222,6 +248,10 @@ def main() -> None:
         "called out below is also pinned as an assertion in "
         "`tests/test_plans.py` (and the round-specific plan tests), so "
         "this file is documentation, not the enforcement.\n",
+        f"Source fingerprint: `{source_fingerprint()}` "
+        "(sha256 over conecta_spark/**/*.py + dump_plans.py at generation "
+        "time; tests/test_plans.py recomputes it and fails when the tree "
+        "moved without regenerating this artifact).\n",
     ]
     for name, note in SHOWCASE:
         df = REGISTRY[name].fn(spark, sf_dir)

@@ -76,12 +76,18 @@ def _clean_stale_spark_tmp() -> None:
     """Remove /tmp/blockmgr-* and /tmp/spark-* left by DEAD JVMs before a
     big run: a crashed SF10 attempt leaves tens of GB of shuffle blocks
     that the next run's spill then collides with on disk space (the
-    documented r7 trap, previously a manual `rm`).  Conservative: only
-    cleans when no other java process is alive, so a concurrently running
-    Spark job's live dirs are never touched."""
+    documented r7 trap, previously a manual `rm`).  Triple-gated so a
+    non-JVM user of those prefixes, another user's dirs on a shared box,
+    or a pyspark driver whose JVM has not yet spawned can't lose data:
+    (1) only when no java process is alive; (2) only dirs OWNED by the
+    current user; (3) only dirs untouched for >= 10 minutes (a driver
+    mid-JVM-launch writes within seconds).  Every removal is logged at
+    path level."""
     import glob
+    import os
     import shutil
     import subprocess
+    import time as _time
 
     live_javas = subprocess.run(
         ["pgrep", "-c", "java"], capture_output=True, text=True
@@ -93,15 +99,16 @@ def _clean_stale_spark_tmp() -> None:
             file=sys.stderr,
         )
         return
-    freed = 0
+    mtime_cutoff = _time.time() - 600
     for d in glob.glob("/tmp/blockmgr-*") + glob.glob("/tmp/spark-*"):
         try:
-            shutil.rmtree(d, ignore_errors=True)
-            freed += 1
-        except OSError:
-            pass
-    if freed:
-        print(f"sf10_rung: removed {freed} stale spark tmp dirs", file=sys.stderr)
+            st = os.stat(d)
+            if st.st_uid != os.getuid() or st.st_mtime > mtime_cutoff:
+                continue
+            shutil.rmtree(d)
+            print(f"sf10_rung: removed stale spark tmp dir {d}", file=sys.stderr)
+        except OSError as exc:
+            print(f"sf10_rung: could not remove {d}: {exc}", file=sys.stderr)
 
 
 def _cc_agreement(spark, docs_dir: str) -> dict:

@@ -210,6 +210,23 @@ class TestIVFQuantizerContract:
         c.unpersist()
         dd._PAIRS_LIVE.clear()
 
+    def test_shared_pairs_materialized_at_creation(self, spark, sf_dir):
+        """The slot's relation must be EAGERLY materialized inside
+        shared_minhash_pairs: a later key-switch eviction then only drops
+        cached data (recomputable), never strands a persisted-but-never-
+        computed lineage whose mining internals (_MINE_LIVE) the next call
+        evicts too -- the silent band-self-join recompute the r8 advice
+        flagged.  Cached partitions must exist BEFORE any caller action."""
+        from conecta_spark.operators import dedup as dd
+
+        dd._PAIRS_LIVE.clear()
+        a = dd.shared_minhash_pairs(spark, sf_dir, threshold=0.5)
+        infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        cached = sum(i.numCachedPartitions() for i in infos)
+        assert cached > 0, "pairs relation returned unmaterialized"
+        a.unpersist()
+        dd._PAIRS_LIVE.clear()
+
     def test_mining_internal_persists_are_slot_bounded(self, spark, sf_dir):
         """minhash_lsh_pairs' internal persisted relations (hashed
         shingles, banded keys, materialized candidates) must live in the

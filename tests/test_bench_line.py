@@ -68,6 +68,36 @@ def test_line_without_load_stays_backward_compatible():
     assert "load" not in json.loads(line)
 
 
+def test_samples_field_survives_every_degradation_tier():
+    """When the load-aware policy re-rolls the pass, the artifact must
+    say so ({"samples": 2}) at every budget tier -- it is the reader's
+    only signal that this line is the lower-load of two rolls."""
+    for n in (50, 135, 400):
+        line = bench.render_json_line(
+            _synthetic(n), 9999.1234, 9999.1234, "0.1",
+            load=[12.3, 4.5], extra_fields={"samples": 2},
+        )
+        assert len(line) <= 1900, (n, len(line))
+        assert json.loads(line)["samples"] == 2
+
+
+def test_load_resample_policy():
+    """Pin the sampling policy (r8 verdict task 2): re-roll exactly when
+    the END load exceeds the threshold; keep the sample with the lowest
+    max(start, end); ties keep the earliest."""
+    thr = bench.LOAD_RERUN_THRESHOLD
+    assert bench.should_resample([20.0, thr + 0.1])
+    assert not bench.should_resample([20.0, thr])  # start load alone: no
+    assert not bench.should_resample([1.0, 2.0])
+    # keep the quieter roll, whichever position it lands in
+    assert bench.choose_sample([[2.0, 9.0], [3.0, 4.0]]) == 1
+    assert bench.choose_sample([[1.0, 3.0], [9.0, 9.5]]) == 0
+    # tie -> earliest
+    assert bench.choose_sample([[4.0, 9.0], [9.0, 2.0]]) == 0
+    # single sample (no resample happened) is always kept
+    assert bench.choose_sample([[5.0, 5.0]]) == 0
+
+
 def test_registry_prefixes_unique():
     """The compact line keys queries by prefix; a collision would drop
     a timing silently."""

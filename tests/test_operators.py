@@ -170,6 +170,29 @@ class TestSimsearch:
             small, threshold=0.9, allow_full_grid=True
         ).count() >= 0
 
+    def test_near_dup_explicit_caller_stays_lazy(self, spark):
+        """allow_full_grid=True + explicit n_blocks must not run ANY
+        eager job during plan construction (r8 advice): the guard count
+        only feeds adaptive block sizing, which an explicit caller
+        overrides.  Poison the embedding column so any row evaluation
+        raises -- construction succeeding proves no data was touched."""
+        from pyspark.sql import functions as F
+
+        from conecta_spark.operators.simsearch import (
+            embedding_near_dup_pairs,
+        )
+
+        poisoned = spark.range(10).select(
+            F.col("id").alias("vec_id"),
+            F.array(
+                F.assert_true(F.lit(False)).cast("double"), F.lit(0.0)
+            ).alias("embedding"),
+        )
+        out = embedding_near_dup_pairs(
+            poisoned, threshold=0.9, allow_full_grid=True, n_blocks=2
+        )
+        assert "cosine" in out.columns  # plan built, nothing executed
+
     def test_ann_is_subset_of_bruteforce_space(self, embeddings):
         ann = ann_lsh_topk(embeddings, query_id=0, k=10).collect()
         assert 0 < len(ann) <= 10

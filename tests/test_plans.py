@@ -36,6 +36,28 @@ def sf(oracle_dir):
     return oracle_dir
 
 
+def test_plans_artifact_is_current():
+    """PLANS.md must be regenerated whenever the engine source moves
+    (it shipped one commit stale in both r7 and r8 -- this is the
+    mechanical round-end invariant the r8 verdict asked for, task 3).
+    dump_plans.py records a fingerprint of conecta_spark/**/*.py at
+    generation time; recompute it against the working tree."""
+    import re
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import dump_plans
+
+    with open("/root/repo/PLANS.md") as f:
+        head = f.read(4096)
+    m = re.search(r"Source fingerprint: `([0-9a-f]{64})`", head)
+    assert m, "PLANS.md carries no source fingerprint -- regenerate it"
+    assert m.group(1) == dump_plans.source_fingerprint(), (
+        "engine source changed after PLANS.md was generated -- "
+        "run `python dump_plans.py`"
+    )
+
+
 def test_projection_prunes_scan(spark, sf):
     """q02: the parquet scan must read only the 3 projected columns."""
     p = plan(REGISTRY["q02_projection"].fn(spark, sf))
