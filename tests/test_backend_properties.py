@@ -284,3 +284,62 @@ class TestIVFQuantizerContract:
                     assert got[i] == int(d.argmin()), i
             finally:
                 idx.unpersist()
+
+
+# -- r9: z-order key vs a pure-Python bit-interleave model (verdict task 4)
+
+
+_zcol = st.lists(
+    st.one_of(st.none(), st.integers(min_value=-50, max_value=50)),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(a=_zcol, bits=st.integers(min_value=1, max_value=8))
+@settings(max_examples=8, deadline=None)
+def test_zorder_key_matches_bit_interleave_model(spark, a, bits):
+    """zorder_expr must equal the reference Morton model: each column
+    scaled to [0, 2^bits) by exact integer math (nulls clamp to the
+    column min), output bit p = bit (p div n) of scaled column (p mod n).
+    Two columns, the second a fixed affine twist of the row index so the
+    interleave order genuinely matters."""
+    from pyspark.sql import functions as F
+
+    from conecta_spark.functions.zorder import zorder_expr
+
+    rows = [
+        (i, v, (7 * i - 3) % 23)
+        for i, v in enumerate(a)
+    ]
+    cols = ["c1", "c2"]
+    vals = {"c1": [r[1] for r in rows], "c2": [r[2] for r in rows]}
+    mins, maxs = [], []
+    for c in cols:
+        present = [v for v in vals[c] if v is not None]
+        mins.append(min(present) if present else 0)
+        maxs.append(max(present) if present else 0)
+
+    def scale(v, mn, mx):
+        if mx <= mn:
+            return 0
+        top = (1 << bits) - 1
+        vv = mn if v is None else v
+        return (vv - mn) * top // (mx - mn)
+
+    def model(r1, r2):
+        s = [scale(r1, mins[0], maxs[0]), scale(r2, mins[1], maxs[1])]
+        key = 0
+        for p in range(2 * bits):
+            key |= ((s[p % 2] >> (p // 2)) & 1) << p
+        return key
+
+    df = spark.createDataFrame(rows, "id long, c1 long, c2 long")
+    got = {
+        r.id: r.zkey
+        for r in df.select(
+            "id",
+            F.expr(zorder_expr(cols, mins, maxs, bits)).alias("zkey"),
+        ).collect()
+    }
+    assert got == {i: model(v1, v2) for i, v1, v2 in rows}
