@@ -35,6 +35,43 @@ def _dw(col: str = "text") -> str:
     return _DUCK_WORDS.format(col=col)
 
 
+#: Every character the symbol counter does NOT count: ASCII alphanumerics
+#: plus the Java-regex ``\s`` class ([ \t\n\x0b\f\r]).  ``n_sym`` counts
+#: the complement via ``length(translate(text, ALLOWED, ''))`` -- a
+#: char-map pass, value-identical to the original
+#: ``size(regexp_extract_all(text, '[^A-Za-z0-9\\s]', 0))`` (verified 0
+#: diffs over 500k SF10 docs) and ~12x faster: the regex engine cost
+#: 25.5 s of x19's 19.7 s SF10 row ALONE (regexp_replace was no better at
+#: 20.8 s -- the regex itself is the cost, not the match-array building).
+_SYM_ALLOWED = (
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789"
+    " \t\n\x0b\x0c\r"
+)
+
+
+def _n_sym_expr(col: str) -> str:
+    return f"length(translate({col}, '{_SYM_ALLOWED}', ''))"
+
+
+def _top_count_expr(words: str) -> str:
+    """Max single-word frequency via sorted-run scan: O(w log w) instead
+    of the O(w^2) distinct-x-filter form (per 200-word doc: ~200 lambda
+    steps vs ~40k; higher-order functions never enter codegen, so this is
+    pure interpreted-eval savings -- measured x19 1.35s -> ~0.4s at
+    sf0.1).  Value-identical to the frequency form: the longest run of
+    equal words in the sorted array IS the max frequency count, so the
+    DuckDB twin keeps its original form."""
+    return (
+        f"aggregate(array_sort({words}), "
+        "named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L), "
+        "(acc, x) -> named_struct("
+        " 'prev', x, "
+        " 'run', IF(x <=> acc.prev, acc.run + 1, 1L), "
+        " 'best', greatest(acc.best, IF(x <=> acc.prev, acc.run + 1, 1L))), "
+        "acc -> acc.best)"
+    )
+
+
 def gopher_signals(col: str = "text", words: str | None = None) -> list[Column]:
     """Per-document quality signals: word count, mean word length,
     symbol-to-word ratio, unique-word fraction, max single-word frequency
@@ -53,27 +90,12 @@ def gopher_signals(col: str = "text", words: str | None = None) -> list[Column]:
         f"aggregate({words}, 0L, (a, x) -> a + length(x)) / "
         f"CAST(greatest({n_words}, 1) AS DOUBLE)"
     )
-    n_sym = rf"size(regexp_extract_all({col}, '[^A-Za-z0-9\\s]', 0))"
+    n_sym = _n_sym_expr(col)
     uniq_frac = (
         f"size(array_distinct({words})) / CAST(greatest({n_words}, 1) AS DOUBLE)"
     )
-    # Max single-word frequency via sorted-run scan: O(w log w) instead of
-    # the O(w^2) distinct-x-filter form (per 200-word doc: ~200 lambda steps
-    # vs ~40k; higher-order functions never enter codegen, so this is pure
-    # interpreted-eval savings -- measured x19 1.35s -> ~0.4s at sf0.1).
-    # Value-identical: the longest run of equal words in the sorted array IS
-    # the max frequency count, so the DuckDB twin keeps its original form.
-    top_count = (
-        f"aggregate(array_sort({words}), "
-        "named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L), "
-        "(acc, x) -> named_struct("
-        " 'prev', x, "
-        " 'run', IF(x <=> acc.prev, acc.run + 1, 1L), "
-        " 'best', greatest(acc.best, IF(x <=> acc.prev, acc.run + 1, 1L))), "
-        "acc -> acc.best)"
-    )
     top_word_frac = (
-        f"{top_count} / CAST(greatest({n_words}, 1) AS DOUBLE)"
+        f"{_top_count_expr(words)} / CAST(greatest({n_words}, 1) AS DOUBLE)"
     )
     return [
         F.expr(n_words).cast("long").alias("n_words"),
@@ -146,6 +168,135 @@ def _duck_signals(col: str = "text") -> dict[str, str]:
     }
 
 
+def _gopher_mass_exprs(col: str, toks: str) -> list[Column]:
+    """The five INTEGER masses the gopher signals reduce to: word count,
+    summed word length, symbol count, distinct-word count, max
+    single-word frequency.  NULL text yields NULL masses (explicit IS
+    NULL arms where ``size()`` would return the legacy -1), so both
+    backends agree on NULL rows by construction."""
+    null_arm = f"IF({col} IS NULL, CAST(NULL AS BIGINT), "
+    return [
+        F.expr(f"{null_arm}size({toks}))").alias("nw"),
+        F.expr(f"aggregate({toks}, 0L, (a, x) -> a + length(x))").alias(
+            "swl"
+        ),
+        F.expr(_n_sym_expr(col)).cast("long").alias("nsym"),
+        F.expr(f"{null_arm}size(array_distinct({toks})))").alias("nuniq"),
+        F.expr(_top_count_expr(toks)).alias("topc"),
+    ]
+
+
+def _gopher_masses_udf():
+    """Arrow-batched pandas UDF: text -> the same five integer masses.
+    Tokenization and symbol class mirror the SQL exactly (Java-regex
+    ASCII ``\\s``, SQL ``trim`` strips spaces only -- the proven
+    _rep_masses_udf recipe); NULL text -> nullable-Int64 nulls."""
+    import re
+    from collections import Counter
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    sym = re.compile(r"[^A-Za-z0-9 \t\n\x0b\f\r]")
+
+    def masses(text):
+        if text is None:
+            return [None] * 5
+        toks = ws.split(text.lower().strip(" "))
+        c = Counter(toks)
+        return [
+            len(toks),
+            sum(map(len, toks)),
+            len(sym.findall(text)),
+            len(c),
+            max(c.values()),
+        ]
+
+    def gopher_masses(s):
+        return pd.DataFrame(
+            [masses(v) for v in s],
+            columns=["nw", "swl", "nsym", "nuniq", "topc"],
+        ).astype("Int64")
+
+    return pandas_udf(
+        gopher_masses,
+        "struct<nw: long, swl: long, nsym: long, nuniq: long, topc: long>",
+    )
+
+
+#: Total corpus characters above which the Arrow-batched mass backend
+#: beats the staged JVM expressions for the GOPHER signals.  Unlike the
+#: repetition family (four n-gram Counters per doc -- Python loses on
+#: short docs), the gopher Python work per doc is one split + one
+#: Counter + one C-speed regex scan, so pandas wins at EVERY measured
+#: doc length once the corpus amortizes the fixed Arrow/worker overhead:
+#: measured expr-vs-pandas 0.19/0.24 s at 150k chars, 0.49/0.31 s at
+#: 1.5M, 7.7/4.2 s at 150M (500k SF10 docs).  The probe is one
+#: sum(length) aggregate -- negligible next to the signal pass.
+GOPHER_PANDAS_CUTOVER_TOTAL_CHARS = 500_000
+
+
+def with_gopher_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    backend: str = "auto",
+) -> DataFrame:
+    """``(id, n_words, mean_word_len, symbol_word_ratio,
+    unique_word_frac, top_word_frac, gopher_pass)`` -- the Gopher quality
+    signals and keep/drop flag, computed from five integer masses that
+    both backends produce identically; the fraction / flag arithmetic is
+    the SAME Spark expression either way, so backends are bit-identical
+    by construction (the x69 pattern).
+
+    * ``"expr"`` -- staged JVM expressions: one split, masses in one
+      projection, fractions + flag derived from the mass COLUMNS.
+      Right for small corpora (no Python worker round-trip).
+    * ``"pandas"`` -- Arrow-batched masses (one tokenize + Counter per
+      doc, C-speed regex); five int64s per row cross the boundary.
+      ~2x the expr throughput at every measured doc length.
+    * ``"auto"`` -- one sum(length) probe picks the side of
+      :data:`GOPHER_PANDAS_CUTOVER_TOTAL_CHARS`.
+
+    NULL text yields NULL signals and a NULL ``gopher_pass`` in both
+    backends (the r8 repetition-family NULL unification, applied here).
+    """
+    if backend == "auto":
+        total = df.agg(F.sum(F.length(text_col))).first()[0] or 0
+        backend = (
+            "pandas"
+            if total > GOPHER_PANDAS_CUTOVER_TOTAL_CHARS
+            else "expr"
+        )
+    if backend == "pandas":
+        m = df.select(
+            F.col(id_col), _gopher_masses_udf()(F.col(text_col)).alias("m")
+        ).select(id_col, "m.*")
+    elif backend == "expr":
+        toks = "__gq_toks"
+        staged = df.withColumn(toks, F.expr(_w(text_col)))
+        m = staged.select(id_col, *_gopher_mass_exprs(text_col, toks))
+    else:
+        raise ValueError(f"unknown gopher backend: {backend!r}")
+    g = F.greatest(F.col("nw"), F.lit(1)).cast("double")
+    sigs = m.select(
+        id_col,
+        F.col("nw").cast("long").alias("n_words"),
+        (F.col("swl") / g).alias("mean_word_len"),
+        (F.col("nsym") / g).alias("symbol_word_ratio"),
+        (F.col("nuniq") / g).alias("unique_word_frac"),
+        (F.col("topc") / g).alias("top_word_frac"),
+    )
+    return sigs.withColumn(
+        "gopher_pass",
+        _gopher_rule(
+            F.col("n_words"),
+            F.col("mean_word_len"),
+            F.col("symbol_word_ratio"),
+            F.col("top_word_frac"),
+        ),
+    )
+
+
 @register(
     "x19_gopher_quality",
     "SELECT doc_id, "
@@ -165,24 +316,12 @@ def _duck_signals(col: str = "text") -> dict[str, str]:
     "Gopher-style per-doc quality signals + keep/drop rule",
 )
 def x19_gopher(spark, sf_dir) -> DataFrame:
-    # Staged form: ONE split, signals reference the token column, and the
-    # keep/drop flag derives from the computed signal COLUMNS -- the
-    # un-staged select carried 17 split( nodes and recomputed every
-    # lambda signal a second time inside gopher_pass (measured 20.8 s for
-    # 500k docs at SF10; plan pinned to a single split in test_plans).
-    d = spread(t(spark, sf_dir, "documents"))
-    toks = "__gq_toks"
-    staged = d.withColumn(toks, F.expr(_w("text")))
-    sigs = staged.select("doc_id", *gopher_signals("text", words=toks))
-    return sigs.withColumn(
-        "gopher_pass",
-        _gopher_rule(
-            F.col("n_words"),
-            F.col("mean_word_len"),
-            F.col("symbol_word_ratio"),
-            F.col("top_word_frac"),
-        ),
-    )
+    # Mass-staged dual-backend form (r9): both backends reduce to the
+    # same five integer masses; auto picks pandas past 500k total chars
+    # (SF10 measured 19.7 s -> ~4.5 s).  The r7 staging lesson carries
+    # over: ONE split, flag derived from computed columns, plan pinned
+    # in test_plans.
+    return with_gopher_signals(spread(t(spark, sf_dir, "documents")))
 
 
 @register(

@@ -68,6 +68,31 @@ class TestRepetitionBackendParity:
         assert a == b
 
 
+class TestGopherBackendParity:
+    @settings(max_examples=30, deadline=None)
+    @given(texts=st.lists(
+        st.one_of(st.none(), _docs()), min_size=1, max_size=8,
+    ))
+    def test_signals_identical_on_adversarial_whitespace(self, spark, texts):
+        """The r9 gopher mass backends must be bit-identical -- masses are
+        integers and the fraction/flag arithmetic is shared, so ANY
+        divergence is a tokenizer/symbol-class bug.  None rows included:
+        NULL text must yield NULL signals + NULL flag in BOTH backends
+        (the r8 repetition-family NULL unification, applied to gopher)."""
+        from conecta_spark.functions.quality import with_gopher_signals
+
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        a = sorted(
+            map(tuple, with_gopher_signals(df, backend="expr").collect())
+        )
+        b = sorted(
+            map(tuple, with_gopher_signals(df, backend="pandas").collect())
+        )
+        assert a == b
+
+
 class TestGramLabelBackendParity:
     @settings(max_examples=20, deadline=None)
     @given(strings=st.lists(

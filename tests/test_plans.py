@@ -281,15 +281,36 @@ def test_x69_repetition_is_zero_shuffle_map(spark, sf):
 
 
 def test_x19_tokens_split_once_in_plan(spark, sf):
-    """x19 staged in r7: the un-staged select carried SEVENTEEN split(
-    nodes (five signals each inlining the split, then gopher_pass
-    recomputing every signal).  One split; the only exchange is
-    spread()'s deliberate round-robin that fans the single-file driver
-    drop across cores; no Python worker."""
+    """x19 staged in r7, mass-staged dual-backend in r9.  At the gate SF
+    the auto probe picks the expr side (total chars under the cutover):
+    one split, each mass lambda once, flag from computed columns; the
+    only exchange is spread()'s deliberate round-robin; no Python
+    worker.  The symbol counter must stay the translate() char-map --
+    the regexp form alone cost 25.5 s of x19's 19.7 s SF10 row."""
     p = plan(REGISTRY["x19_gopher_quality"].fn(spark, sf))
     assert p.count("split(") == 1, p.count("split(")
     assert node_count(p, "Exchange") <= 1
     assert "Python" not in p
+    assert "translate(" in p
+    assert "regexp_extract_all" not in p
+    assert p.count("aggregate(") == 2  # swl + top-count run scan, once each
+    assert p.count("array_sort(") == 1
+
+
+def test_x19_pandas_backend_is_one_arrow_stage(spark, sf):
+    """The pandas mass backend (what auto picks past 500k total chars --
+    every real corpus) must plan as exactly ONE Arrow-batched Python
+    node with no extra exchange: masses in, shared fraction/flag
+    expressions out."""
+    from conecta_spark.functions.quality import with_gopher_signals
+    from conecta_spark.queries import t as _t
+
+    p = plan(
+        with_gopher_signals(_t(spark, sf, "documents"), backend="pandas")
+    )
+    assert node_count(p, "ArrowEvalPython") == 1, p
+    assert node_count(p, "Exchange") == 0
+    assert node_count(p, "BatchEvalPython") == 0  # never row-at-a-time
 
 
 def test_x03_lang_id_staged_single_split(spark, sf):
