@@ -410,21 +410,23 @@ def _load_extensions() -> None:
 #      driver row);
 #   3. x52, whose oracle SQL was rewritten sub-quadratic (SFS 3-phase)
 #      in r8 and has never had a driver row behind the new oracle
-#      (twin-proven only until now);
-#   4. the full 43-entry r6 freshness floor (histogram r6:43 / r7:44 /
+#      (twin-proven only until now), plus x70, NEW this round (real-PNG
+#      decode proof) and needing its first driver row;
+#   4. 42 of the 43-entry r6 freshness floor (histogram r6:43 / r7:44 /
 #      r8:50 going in, computed from CORRECTNESS_r01-r08) -- this set
 #      already includes x06, the other r8-rewritten oracle, so both
 #      never-driver-run oracles land rows this round.
-# 3 + 3 + 1 + 43 = 50 with ZERO carried entries: every r6-floor entry
-# refreshes, so the post-r9 freshness floor is r7 outright (the verdict
-# budgeted for one documented carry; the arithmetic worked out better
-# because x06 was itself on the r6 floor).  Everything below slot 50 has
-# a green r7/r8 row and stays locally oracle-checked every test run.
+# 3 + 3 + 2 + 42 = 50 with exactly ONE carried entry: q04_bounded_last
+# (its class twin q03_bounded_interior stays in-window; q04 rotates
+# FIRST in r10 -- the one documented r6 carry the verdict budgeted).
+# Post-r9 freshness floor: r7, one r6 row (q04).  Everything below slot
+# 50 has a green r6/r7/r8 row and stays locally oracle-checked every
+# test run.
 _CORE_SMOKE = ("q01", "q02", "q12")
 _REGRESSION_SENTINELS = ("x16", "x56", "x65")
-_REWRITTEN_ORACLE_PROOF = ("x52",)
+_REWRITTEN_ORACLE_PROOF = ("x52", "x70")
 _STALE_R6_REFRESH = (
-    "q03", "q04", "q05", "q06", "q07", "q08", "q09", "q10", "q11",
+    "q03", "q05", "q06", "q07", "q08", "q09", "q10", "q11",
     "q13", "q14", "q15", "q16", "q24", "q35", "q37",
     "x01", "x02", "x03", "x04", "x06", "x09", "x10", "x12", "x13",
     "x14", "x15", "x17", "x19", "x20", "x21", "x24", "x25", "x27",
@@ -445,7 +447,7 @@ _PRIORITY_TIERS: tuple[tuple[str, ...], ...] = (
     # demote, oldest already above
     tuple(f"q{i:02d}" for i in range(3, 69) if f"q{i:02d}" not in _WINDOW),
     tuple(
-        f"x{i:02d}" for i in range(1, 70) if f"x{i:02d}" not in _WINDOW
+        f"x{i:02d}" for i in range(1, 71) if f"x{i:02d}" not in _WINDOW
     ),
 )
 

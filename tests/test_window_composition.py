@@ -41,6 +41,10 @@ def test_r9_rewritten_oracles_get_driver_rows():
     }
     assert "x06" in window_prefixes
     assert "x52" in window_prefixes
+    # x70 is NEW in r9 (real-PNG decode proof): a new entry outside the
+    # window would be a never-driver-run gap; its slot is the one
+    # documented r6 carry (q04, rotating first in r10)
+    assert "x70" in window_prefixes
 
 
 def test_every_entry_is_oracled():
