@@ -43,10 +43,7 @@ def _dw(col: str = "text") -> str:
 #: diffs over 500k SF10 docs) and ~12x faster: the regex engine cost
 #: 25.5 s of x19's 19.7 s SF10 row ALONE (regexp_replace was no better at
 #: 20.8 s -- the regex itself is the cost, not the match-array building).
-_SYM_ALLOWED = (
-    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789"
-    " \t\n\x0b\x0c\r"
-)
+from .text import SYM_ALLOWED as _SYM_ALLOWED  # noqa: E402  (one source)
 
 
 def _n_sym_expr(col: str) -> str:

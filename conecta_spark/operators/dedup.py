@@ -438,6 +438,7 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     max_df: float = 0.1,
     broadcast_verify: bool | str = "auto",
+    max_band_width: int | None = None,
 ) -> DataFrame:
     """MinHash + LSH banding near-dup pairs with exact Jaccard verification.
 
@@ -458,6 +459,25 @@ def minhash_lsh_pairs(
     recalled (and the DuckDB oracle mirrors the full pipeline, filter
     included).  The DF table is a corpus-wide aggregate that scales as the
     vocabulary, not the corpus, and broadcasts to the anti-join.
+
+    ``max_band_width`` (opt-in) drops band buckets wider than the cap
+    before pair generation.  The DF filter cannot be the only guard: a
+    template shingle present in a large-but-under-``max_df`` slice of the
+    corpus can still win the per-permutation minimum for every row of one
+    band and collapse that whole slice into a single bucket -- measured
+    on the 1M-doc SF20 rung, where one such shingle (DF 3.7%, filter
+    threshold 10%) produced a 37,340-doc bucket, 2.0 BILLION raw
+    candidate pairs (16x the 500k corpus at only 2x docs), and a
+    shuffle that filled the disk.  A bucket that wide is a hash-collapse
+    artifact, not a similarity signal: its true near-dup pairs collide
+    in their other ``bands - 1`` bands with probability 1-(1-J^rows)^
+    (bands-1) (0.96 at J=0.9), so dropping the bucket bounds the
+    candidate blow-up while barely denting recall -- measured zero lost
+    verified pairs on the 500k rung at cap 1000.  Two caveats, both
+    documented by the cap's test: EXACT duplicates legitimately share
+    every band, so collapse them first (x05 -- the standard pipeline
+    order, cf. pipeline.py); and the cap changes candidate semantics, so
+    the registry entries / oracle keep the default ``None``.
     """
     rows = bands and num_perms // bands
     # The hashed-shingle relation feeds three consumers (DF stats, filtered
@@ -550,6 +570,19 @@ def minhash_lsh_pairs(
         "band_key",
     ).persist(StorageLevel.MEMORY_AND_DISK)
     _MINE_LIVE.append(banded)
+    if max_band_width is not None:
+        # Skew guard (see docstring): the over-cap key set is tiny (a
+        # handful of hash-collapse artifacts), so the anti-join
+        # broadcasts and pair generation never sees the mega-buckets.
+        wide = (
+            banded.groupBy("band_idx", "band_key")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > max_band_width)
+            .select("band_idx", "band_key")
+        )
+        banded = banded.join(
+            F.broadcast(wide), ["band_idx", "band_key"], "left_anti"
+        )
     a, b = banded.alias("a"), banded.alias("b")
     cands = (
         a.join(

@@ -346,25 +346,39 @@ def main() -> None:
         ann = _ann_row(spark, SF10_DIR)
         print(f"ann: {ann}", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "sf10_rung",
-                "lineitem_rows": n_lineitem,
-                "document_rows": n_docs,
-                "timings_sec": timings,
-                "lsh_pairs": n_pairs,
-                "cc": cc,
-                "decontam": decontam,
-                "ann": ann,
-                "reference_sf10_scan_sec": [91.75, 152.2],
-                "scan_vs_reference_indexed": round(
-                    timings["q01_full_scan"] / 91.75, 4
-                ) if "q01_full_scan" in timings else None,
-            },
-            separators=(",", ":"),
-        )
+    payload = {
+        "metric": "sf10_rung",
+        "lineitem_rows": n_lineitem,
+        "document_rows": n_docs,
+        "timings_sec": timings,
+        "lsh_pairs": n_pairs,
+        "cc": cc,
+        "decontam": decontam,
+        "ann": ann,
+        "reference_sf10_scan_sec": [91.75, 152.2],
+        "scan_vs_reference_indexed": round(
+            timings["q01_full_scan"] / 91.75, 4
+        ) if "q01_full_scan" in timings else None,
+    }
+    # Merge into SF10_RUNG.json instead of overwriting: a --skip-heavy /
+    # --skip-cc / --skip-ann refresh keeps the prior run's blocks (and
+    # sf20_mine.py's mine_1m block) rather than silently dropping them;
+    # per-query timings merge key-wise for the same reason.
+    rung_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "SF10_RUNG.json"
     )
+    try:
+        with open(rung_path) as f:
+            old = json.load(f)
+    except (OSError, ValueError):
+        old = {}
+    merged = dict(old)
+    merged.update({k: v for k, v in payload.items() if v is not None})
+    if isinstance(old.get("timings_sec"), dict):
+        merged["timings_sec"] = {**old["timings_sec"], **timings}
+    with open(rung_path, "w") as f:
+        json.dump(merged, f, indent=1)
+    print(json.dumps(merged, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -71,6 +71,41 @@ class TestDedup:
         pairs = minhash_lsh_pairs(planted, threshold=0.5)
         assert pairs.where("jaccard < 0.5").count() == 0
 
+    def test_minhash_band_width_cap_semantics(self, spark):
+        """max_band_width (r9 skew guard): buckets wider than the cap
+        contribute NO candidates -- including exact-duplicate families,
+        which legitimately share every band (so exact dedup must run
+        first, the standard pipeline order); narrow buckets are
+        untouched, so near-dup pairs outside the mega-family survive.
+        Default None keeps the old semantics bit-for-bit."""
+        from pyspark.sql import Row
+
+        base = "korv flam drut seld plon quiv "
+        rows = [
+            Row(doc_id=i, text=base * 6, lang="en") for i in range(12)
+        ]  # 12 exact clones: width-12 bucket in EVERY band
+        rows += [
+            Row(doc_id=100, text="zamp brix wolt gren " * 8, lang="en"),
+            Row(
+                doc_id=101,
+                text="zamp brix wolt gren " * 8 + "xx",
+                lang="en",
+            ),  # a near-dup pair, width-2 buckets
+        ]
+        df = spark.createDataFrame(rows)
+        capped = minhash_lsh_pairs(
+            df, threshold=0.5, max_df=1.0, max_band_width=5
+        ).collect()
+        got = {(r.doc_a, r.doc_b) for r in capped}
+        assert (100, 101) in got  # narrow bucket survives
+        assert not any(a < 100 and b < 100 for a, b in got), got
+        # default None: the clone family's pairs are all found
+        # (max_df=1.0 disables the DF filter -- at 14 docs it would
+        # otherwise strip every SHARED shingle, the documented tiny-corpus
+        # behavior, and neither arm would band at all)
+        full = minhash_lsh_pairs(df, threshold=0.5, max_df=1.0)
+        assert full.where("doc_a < 100 AND doc_b < 100").count() == 66
+
     def test_ngram_jaccard_finds_planted(self, planted):
         pairs = ngram_jaccard_pairs(planted, threshold=0.8, k=3)
         hits = pairs.where(F.col("doc_b") - F.col("doc_a") == 100000).count()
