@@ -472,8 +472,11 @@ def minhash_lsh_pairs(
     artifact, not a similarity signal: its true near-dup pairs collide
     in their other ``bands - 1`` bands with probability 1-(1-J^rows)^
     (bands-1) (0.96 at J=0.9), so dropping the bucket bounds the
-    candidate blow-up while barely denting recall -- measured zero lost
-    verified pairs on the 500k rung at cap 1000.  Two caveats, both
+    candidate blow-up while barely denting recall -- measured on the
+    500k rung at cap 1000: 25,176 of the uncapped 25,372 verified pairs
+    (99.2%; the lost 0.8% sat in that corpus's own 1k-4k-wide buckets
+    with no second colliding band) in a mining pass that ran 2x faster
+    even there (232 s vs 450-550 s).  Two caveats, both
     documented by the cap's test: EXACT duplicates legitimately share
     every band, so collapse them first (x05 -- the standard pipeline
     order, cf. pipeline.py); and the cap changes candidate semantics, so

@@ -29,8 +29,10 @@ collapsed a 37,340-doc bucket -- 2.0 BILLION raw candidate pairs (16x
 the 500k corpus at 2x docs) whose verify-join shuffle filled the 77 GB
 of free disk at stage 66 (sf20_stderr_died.log).  A bucket that wide is
 a hash-collapse artifact, not similarity; the cap drops it and the
-script also re-measures the 500k corpus WITH the cap to show recall is
-untouched where the artifact is absent (pairs_sf10_capped vs 25,372).
+script also re-measures the 500k corpus WITH the cap as the recall
+control (measured: 25,176 of 25,372 uncapped pairs = 99.2%, in a
+mining pass 2x faster -- SF10's own 1k-4k-wide buckets were most of
+its 122M raw candidates too).
 
 Writes the result as a "mine_1m" block into SF10_RUNG.json (non-
 destructive merge) and prints one JSON line.
