@@ -46,6 +46,39 @@ def _dw(col: str = "text") -> str:
 from .text import SYM_ALLOWED as _SYM_ALLOWED  # noqa: E402  (one source)
 
 
+#: Memo for the backend-auto probes: (applicationId, analyzed-plan
+#: semanticHash, stat name) -> scalar.  The probe is one real scan of the
+#: text column per operator INVOCATION; pipelines that re-run the same
+#: operator over the same corpus (bench does, real ingest loops do) pay
+#: it every time for a decision that never changes.  Caching is safe in a
+#: way ordinary result caching is not: the cached value only picks WHICH
+#: backend runs, and the backends are bit-identical by construction, so
+#: a stale entry can at worst pick the slower side -- never a wrong
+#: value.  Bounded FIFO; clearCache() doesn't touch it (nothing here is
+#: a Spark cache entry).
+_PROBE_CACHE: dict = {}
+_PROBE_CACHE_MAX = 64
+
+
+def _probe_scan_stat(df: DataFrame, stat_col, name: str) -> float:
+    try:
+        key = (
+            df.sparkSession.sparkContext.applicationId,
+            df._jdf.queryExecution().analyzed().semanticHash(),
+            name,
+        )
+    except Exception:
+        key = None
+    if key is not None and key in _PROBE_CACHE:
+        return _PROBE_CACHE[key]
+    val = df.agg(stat_col).first()[0] or 0
+    if key is not None:
+        if len(_PROBE_CACHE) >= _PROBE_CACHE_MAX:
+            _PROBE_CACHE.pop(next(iter(_PROBE_CACHE)))
+        _PROBE_CACHE[key] = val
+    return val
+
+
 def _n_sym_expr(col: str) -> str:
     return f"length(translate({col}, '{_SYM_ALLOWED}', ''))"
 
@@ -258,7 +291,9 @@ def with_gopher_signals(
     backends (the r8 repetition-family NULL unification, applied here).
     """
     if backend == "auto":
-        total = df.agg(F.sum(F.length(text_col))).first()[0] or 0
+        total = _probe_scan_stat(
+            df, F.sum(F.length(text_col)), "sum_len"
+        )
         backend = (
             "pandas"
             if total > GOPHER_PANDAS_CUTOVER_TOTAL_CHARS
@@ -846,8 +881,8 @@ def with_repetition_signals(
       ``df`` picks the side of :data:`REP_PANDAS_CUTOVER_CHARS`.
     """
     if backend == "auto":
-        mean_len = (
-            df.agg(F.avg(F.length(text_col))).first()[0] or 0.0
+        mean_len = _probe_scan_stat(
+            df, F.avg(F.length(text_col)), "avg_len"
         )
         backend = (
             "pandas" if mean_len > REP_PANDAS_CUTOVER_CHARS else "expr"

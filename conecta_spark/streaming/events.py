@@ -406,3 +406,80 @@ def streaming_enrich(
     events in an enrichment stage are data loss, not enrichment.
     """
     return stream.join(F.broadcast(dim), on, "left")
+
+
+def read_document_stream(spark, sf_dir: str) -> DataFrame:
+    """readStream over the documents parquet, staged through a symlink
+    directory exactly like :func:`read_event_stream` (the file-stream
+    source wants a directory; a deployment's landing zone already is
+    one)."""
+    import hashlib
+    import os
+
+    src_file = os.path.join(sf_dir, "documents.parquet")
+    stage = os.path.join(
+        "/tmp/conecta_spark_stream",
+        hashlib.md5(src_file.encode()).hexdigest()[:12],
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "documents-000.parquet")
+    if not os.path.exists(link):
+        os.symlink(src_file, link)
+    schema = spark.read.parquet(src_file).schema
+    return spark.readStream.schema(schema).parquet(stage)
+
+
+def streaming_dedup_state(
+    stream: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Running exact-dedup state over a document stream: per distinct
+    content hash, the surviving (min) id and the duplicate count so far
+    -- the streaming half of :func:`..operators.dedup.dedup_exact`, with
+    IDENTICAL output semantics once the stream drains.
+
+    Scale shape: the state is ONE fixed-width row per distinct content
+    (hash, min-id, count) in the state store -- it grows with corpus
+    VOCABULARY (distinct docs), not stream length, and min/count both
+    fold incrementally, so each micro-batch does one map-side partial
+    aggregation and a state-store merge.  A deployment runs update mode
+    into a keyed sink (or RocksDB state store) and reads "is this hash
+    new?" from the same state; complete-output memory sink is the
+    test-scale harness (the x65 pattern), chosen because complete mode
+    makes the result deterministic and oracle-comparable regardless of
+    micro-batch boundaries."""
+    return stream.groupBy(
+        F.sha2(F.col(text_col), 256).alias("content_hash")
+    ).agg(
+        F.min(id_col).alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("n_dups"),
+    )
+
+
+_X71_SEQ = iter(range(1, 1 << 30))
+
+
+@register(
+    "x71_streaming_dedup_state",
+    "SELECT sha256(text) AS content_hash, MIN(doc_id) AS keep_doc_id, "
+    "COUNT(*) AS n_dups FROM documents GROUP BY text",
+    "STREAMING exact-dedup state: the x05 content-hash dedup executed as "
+    "a real Structured Streaming query (availableNow trigger, "
+    "complete-output memory sink) whose drained state table must equal "
+    "the batch GROUP BY -- state is one fixed-width row per distinct "
+    "content, growing with vocabulary, not stream length; multi-batch "
+    "state accumulation is pinned in tests/test_streaming.py",
+)
+def x71_streaming_dedup(spark, sf_dir) -> DataFrame:
+    name = f"x71_dedup_{next(_X71_SEQ)}"
+    q = (
+        streaming_dedup_state(read_document_stream(spark, sf_dir))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("x71 streaming query did not terminate in 300s")
+    return spark.table(name)

@@ -368,3 +368,25 @@ def test_zorder_key_matches_bit_interleave_model(spark, a, bits):
         ).collect()
     }
     assert got == {i: model(v1, v2) for i, v1, v2 in rows}
+
+
+def test_backend_auto_probe_is_cached_per_plan(spark):
+    """The auto-probe memo (r9): same (app, analyzed-plan) -> the scan
+    stat is computed once and reused; the cache is consulted for the
+    decision (observable: poisoning the cached value flips the chosen
+    backend).  Safe by construction -- backends are value-identical, so
+    a stale entry can only ever pick the slower side."""
+    from conecta_spark.functions import quality as q
+
+    df = spark.createDataFrame(
+        [(i, "w " * 20) for i in range(50)], "doc_id long, text string"
+    )
+    q._PROBE_CACHE.clear()
+    out1 = q.with_gopher_signals(df)  # tiny corpus -> expr
+    assert "ArrowEvalPython" not in out1._jdf.queryExecution().toString()
+    assert len(q._PROBE_CACHE) == 1
+    key = next(iter(q._PROBE_CACHE))
+    q._PROBE_CACHE[key] = 10**9  # poison: pretend a huge corpus
+    out2 = q.with_gopher_signals(df)
+    assert "ArrowEvalPython" in out2._jdf.queryExecution().toString()
+    q._PROBE_CACHE.clear()

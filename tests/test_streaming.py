@@ -447,3 +447,78 @@ def test_streaming_interval_left_outer_emits_absence_rows(spark, sf_dir):
     assert not (outer_p & matched_p)
     # (c) the watermark did close and emit real absence rows
     assert outer_p
+
+
+def test_streaming_dedup_state_matches_batch(spark, sf_dir):
+    """x71: the drained streaming dedup state must equal the batch
+    content-hash GROUP BY exactly (hash, min id, count)."""
+    from conecta_spark.operators.dedup import dedup_exact
+    from conecta_spark.queries import REGISTRY, t
+
+    got = sorted(
+        map(
+            tuple,
+            REGISTRY["x71_streaming_dedup_state"].fn(spark, sf_dir).collect(),
+        )
+    )
+    want = sorted(map(tuple, dedup_exact(t(spark, sf_dir, "documents")).collect()))
+    assert got == want and got
+
+
+def test_streaming_dedup_state_accumulates_across_microbatches(
+    spark, tmp_path
+):
+    """The state must genuinely MERGE across micro-batches: stream two
+    parquet files one per trigger (maxFilesPerTrigger=1) where the same
+    content appears in both files with a smaller id in the SECOND -- the
+    final state row must count both occurrences and keep the second
+    file's min id, which only happens if batch 2's partial aggregate
+    merged into batch 1's stored state."""
+    import pandas as pd
+
+    from conecta_spark.streaming.events import streaming_dedup_state
+
+    d = str(tmp_path / "docs_stream")
+    import os
+
+    os.makedirs(d)
+    pd.DataFrame({"doc_id": [10, 11], "text": ["aaa", "bbb"]}).to_parquet(
+        f"{d}/part-0.parquet"
+    )
+    pd.DataFrame({"doc_id": [2, 12], "text": ["aaa", "ccc"]}).to_parquet(
+        f"{d}/part-1.parquet"
+    )
+    schema = spark.read.parquet(d).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    q = (
+        streaming_dedup_state(stream)
+        .writeStream.format("memory")
+        .queryName("x71_multibatch")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    # at least two micro-batches actually ran (one per file)
+    assert len(q.recentProgress) >= 2
+    rows = {
+        r.content_hash: (r.keep_doc_id, r.n_dups)
+        for r in spark.table("x71_multibatch").collect()
+    }
+    from pyspark.sql import functions as F
+
+    h = {
+        r.t: r.h
+        for r in spark.createDataFrame(
+            [("aaa",), ("bbb",), ("ccc",)], "t string"
+        )
+        .select("t", F.sha2("t", 256).alias("h"))
+        .collect()
+    }
+    assert rows[h["aaa"]] == (2, 2)  # min id from batch 2, count across both
+    assert rows[h["bbb"]] == (11, 1)
+    assert rows[h["ccc"]] == (12, 1)
