@@ -378,6 +378,92 @@ def x65_streaming_hourly(spark, sf_dir) -> DataFrame:
     return spark.table(name)
 
 
+def streaming_session_windows(
+    stream: DataFrame, gap: str = "30 minutes"
+) -> DataFrame:
+    """Per-user gap sessionization via Spark's NATIVE ``session_window``
+    aggregation -- the third streaming sessionization mechanism in this
+    module and the one a deployment should reach for first:
+
+    * :func:`sessionize_batch` -- batch window functions (the oracle);
+    * :func:`streaming_sessionize` -- custom applyInPandasWithState
+      (the "Spark lacks the operator" escape hatch, kept as the template
+      for genuinely custom state);
+    * this -- the built-in session-window GROUP BY, where the state store
+      itself merges overlapping per-batch sessions (JVM-side, no Python
+      boundary, mergeable across micro-batches).
+
+    Boundary semantics (pinned by test): an event at exactly
+    ``prev_end = prev_ts + gap`` MERGES into the open session -- identical
+    to the batch rule ``ts - prev_ts > gap`` starting a new session, so
+    the x16 oracle transfers with ``end_us = MAX(tsu) + gap_us``.
+
+    Scale shape: one shuffle on (user_id), map-side partial session
+    assembly, state = one row per OPEN session (bounded by the watermark
+    in append mode; complete-output memory sink is the test-scale
+    harness, the x65/x71 pattern).  At 100 TB/day the state is
+    O(active users), never O(events).
+    """
+    return (
+        stream.groupBy(
+            F.col("user_id"), F.session_window(F.col("ts"), gap)
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("session_window.start").alias("start_us"),
+            F.unix_micros("session_window.end").alias("end_us"),
+            "n_events",
+        )
+    )
+
+
+_X72_SEQ = iter(range(1, 1 << 30))
+
+
+@register(
+    "x72_streaming_session_window",
+    "WITH e AS (SELECT user_id, event_id, "
+    " epoch_us(CAST(ts AS TIMESTAMP)) AS tsu FROM events), "
+    "flagged AS (SELECT user_id, event_id, tsu, "
+    " lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS prev_tsu "
+    " FROM e), "
+    "seq AS (SELECT user_id, tsu, "
+    " CAST(SUM(CASE WHEN prev_tsu IS NULL OR tsu - prev_tsu > 1800000000 "
+    "  THEN 1 ELSE 0 END) OVER ("
+    "  PARTITION BY user_id ORDER BY tsu, event_id "
+    "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+    " AS session_seq "
+    " FROM flagged) "
+    "SELECT user_id, MIN(tsu) AS start_us, "
+    " MAX(tsu) + 1800000000 AS end_us, COUNT(*) AS n_events "
+    "FROM seq GROUP BY user_id, session_seq",
+    "STREAMING native session windows: per-user 30-min-gap sessions via "
+    "Spark's built-in session_window aggregation executed as a real "
+    "Structured Streaming query (availableNow trigger, complete-output "
+    "memory sink) -- the state store merges overlapping sessions across "
+    "micro-batches JVM-side (vs x16's batch window functions and the "
+    "applyInPandasWithState custom operator, both pinned in "
+    "tests/test_streaming.py).  Oracle = the x16 gap CTE with session end "
+    "= MAX(tsu) + gap; the exact-gap boundary (event at prev+gap merges) "
+    "is proven equivalent by test",
+)
+def x72_streaming_session_window(spark, sf_dir) -> DataFrame:
+    name = f"x72_sess_{next(_X72_SEQ)}"
+    q = (
+        streaming_session_windows(read_event_stream(spark, sf_dir))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("x72 streaming query did not terminate in 300s")
+    return spark.table(name)
+
+
 def user_profile_dim(events: DataFrame) -> DataFrame:
     """Static per-user profile snapshot from historical events (the
     feature-store side of a stream enrichment): lifetime event count and

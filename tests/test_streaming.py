@@ -522,3 +522,108 @@ def test_streaming_dedup_state_accumulates_across_microbatches(
     assert rows[h["aaa"]] == (2, 2)  # min id from batch 2, count across both
     assert rows[h["bbb"]] == (11, 1)
     assert rows[h["ccc"]] == (12, 1)
+
+
+def test_streaming_session_window_matches_batch(spark, sf_dir):
+    """x72: the drained native session_window aggregation must equal the
+    batch gap-sessionization (start, end = last event + gap, count)."""
+    from conecta_spark.queries import REGISTRY, t
+    from conecta_spark.streaming.events import (
+        SESSION_GAP_US,
+        sessionize_batch,
+    )
+
+    got = sorted(
+        (r.user_id, r.start_us, r.end_us, r.n_events)
+        for r in REGISTRY["x72_streaming_session_window"]
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    want = sorted(
+        (r.user_id, r.start_us, r.end_us + SESSION_GAP_US, r.n_events)
+        for r in sessionize_batch(t(spark, sf_dir, "events")).collect()
+    )
+    assert got == want and got
+
+
+def test_session_window_exact_gap_boundary_merges(spark):
+    """An event at exactly prev_ts + gap must MERGE into the open session
+    (end-inclusive), matching the batch rule `ts - prev_ts > gap` starting
+    a new session -- the boundary case that makes the x16-style oracle
+    transfer to session_window unchanged.  One microsecond later splits."""
+    gap_us = 1_800_000_000
+    rows = [
+        (1, 0),
+        (1, gap_us),  # exactly at boundary: merges
+        (2, 0),
+        (2, gap_us + 1),  # one us past: splits
+    ]
+    df = spark.createDataFrame(rows, "user_id long, tsu long").withColumn(
+        "ts", F.timestamp_micros("tsu")
+    )
+    out = {
+        (r.user_id, r.s, r.e, r.n)
+        for r in df.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.unix_micros("session_window.start").alias("s"),
+            F.unix_micros("session_window.end").alias("e"),
+            "n",
+        )
+        .collect()
+    }
+    assert (1, 0, 2 * gap_us, 2) in out  # merged single session
+    assert (2, 0, gap_us, 1) in out  # split: first alone
+    assert (2, gap_us + 1, 2 * gap_us + 1, 1) in out
+
+
+def test_session_window_merges_across_microbatches(spark, tmp_path):
+    """The session state must genuinely MERGE across micro-batches: two
+    files streamed one per trigger, same user, second file's event within
+    the gap of the first file's session -- the final state must be ONE
+    session spanning both, which only happens if batch 2's partial
+    session merged into batch 1's stored session."""
+    import os
+
+    import pandas as pd
+
+    from conecta_spark.streaming.events import streaming_session_windows
+
+    gap_us = 1_800_000_000
+    d = str(tmp_path / "events_stream")
+    os.makedirs(d)
+    base = 1_700_000_000_000_000  # stay far from the epoch
+    pd.DataFrame(
+        {"user_id": [7, 8], "tsu": [base, base]}
+    ).to_parquet(f"{d}/part-0.parquet")
+    pd.DataFrame(
+        # user 7: within gap of batch-1 session -> must merge;
+        # user 8: past the gap -> second session
+        {"user_id": [7, 8], "tsu": [base + gap_us, base + gap_us + 1]}
+    ).to_parquet(f"{d}/part-1.parquet")
+    schema = "user_id long, tsu long"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+        .withColumn("ts", F.timestamp_micros("tsu"))
+    )
+    q = (
+        streaming_session_windows(stream)
+        .writeStream.format("memory")
+        .queryName("x72_multibatch")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    assert len(q.recentProgress) >= 2
+    got = {
+        (r.user_id, r.start_us, r.end_us, r.n_events)
+        for r in spark.table("x72_multibatch").collect()
+    }
+    assert (7, base, base + 2 * gap_us, 2) in got  # merged across batches
+    assert (8, base, base + gap_us, 1) in got
+    assert (8, base + gap_us + 1, base + 2 * gap_us + 1, 1) in got
+    assert len(got) == 3
