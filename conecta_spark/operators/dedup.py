@@ -482,6 +482,78 @@ def minhash_lsh_pairs(
     order, cf. pipeline.py); and the cap changes candidate semantics, so
     the registry entries / oracle keep the default ``None``.
     """
+    hashed, banded, broadcast_verify = _mine_banded(
+        df, k, num_perms, bands, text_col, id_col, max_df,
+        broadcast_verify, max_band_width,
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .distinct()
+    )
+    return _verify_candidates(df, cands, hashed, threshold, id_col, broadcast_verify)
+
+
+def _verify_candidates(
+    df: DataFrame,
+    cands: DataFrame,
+    hashed: DataFrame,
+    threshold: float,
+    id_col: str,
+    broadcast_verify: bool,
+) -> DataFrame:
+    """Back half shared by the self-join and incremental miners: persist +
+    materialize the skinny candidate pair list, then exact-verify.
+
+    Exact-verification join on the raw hashed shingles (see
+    _verify_exact_jaccard on why BIGINT arrays + identical cross-engine
+    hashing + the |a|+|b|-|a^b| union identity).  The candidate relation
+    is tiny in *bytes* but each row costs an array intersection, so AQE
+    would coalesce it onto a core or two -- repartition explicitly to keep
+    verification as wide as the cluster (cf. plans.skew.spread).  Persist
+    + materialize the skinny (doc_a, doc_b) list so the verify join plans
+    from its REAL cardinality and runs as its own small, compilable
+    stage instead of being fused into one giant codegen unit with the
+    band join -- the fused form intermittently fell out of codegen and
+    burned ~250 s of interpreted CPU on a stage that takes ~7 s compiled."""
+    from pyspark import StorageLevel
+
+    cands = cands.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, "doc_a"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    _MINE_LIVE.append(cands)
+    cands.count()
+    sh = hashed.withColumn("n_sh", F.size("sh"))
+    return _verify_exact_jaccard(cands, sh, threshold, id_col, broadcast_verify)
+
+
+def _mine_banded(
+    df: DataFrame,
+    k: int,
+    num_perms: int,
+    bands: int,
+    text_col: str,
+    id_col: str,
+    max_df: float,
+    broadcast_verify: bool | str,
+    max_band_width: int | None,
+):
+    """Front half of the LSH mining pipeline, shared by
+    :func:`minhash_lsh_pairs` (self-join candidates) and
+    :func:`incremental_minhash_pairs` (new-batch-driven candidates):
+    hashed shingles (persisted), document-frequency filter, MinHash
+    signatures, banding (persisted, optionally width-capped).  Returns
+    ``(hashed, banded, broadcast_verify_resolved)``; persist/eviction
+    discipline documented at ``_MINE_LIVE``."""
     rows = bands and num_perms // bands
     # The hashed-shingle relation feeds three consumers (DF stats, filtered
     # signatures, exact verification); persist it so the shingle hashing
@@ -586,38 +658,78 @@ def minhash_lsh_pairs(
         banded = banded.join(
             F.broadcast(wide), ["band_idx", "band_key"], "left_anti"
         )
-    a, b = banded.alias("a"), banded.alias("b")
+    return hashed, banded, broadcast_verify
+
+
+def incremental_minhash_pairs(
+    corpus_df: DataFrame,
+    new_df: DataFrame,
+    threshold: float = 0.5,
+    k: int = 5,
+    num_perms: int = 16,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: float = 0.1,
+    broadcast_verify: bool | str = "auto",
+    max_band_width: int | None = None,
+) -> DataFrame:
+    """Incremental near-dup mining: exact-Jaccard-verified MinHash+LSH
+    pairs with AT LEAST ONE side in ``new_df`` -- the daily-ingest shape,
+    where a new crawl batch must be deduplicated against the standing
+    corpus AND against itself, but corpus-internal pairs are already
+    known and must not be re-mined.  (The exact-hash sibling is
+    :func:`incremental_dedup` / x46; this is its near-dup counterpart.)
+
+    Same signature pipeline as :func:`minhash_lsh_pairs`
+    (:func:`_mine_banded`, run over ``corpus UNION new`` -- a deployment
+    stores the corpus's banded relation and document-frequency table and
+    only computes the new batch's), but candidate generation is DRIVEN BY
+    THE NEW SIDE: the banded relation is semi-joined to the new batch's
+    ids (broadcast -- a daily batch is orders of magnitude smaller than
+    the corpus) and only then band-joined against the full relation.  At
+    100 TB the band join therefore streams corpus buckets past a
+    new-batch-sized build side instead of self-joining the corpus:
+    old x old candidate pairs -- the quadratic bulk -- are never
+    generated, rather than generated and filtered.  new x new pairs
+    arrive once per direction and are normalized with least/greatest +
+    distinct.  Verification and the band-width skew cap are shared with
+    the standing miner unchanged.
+
+    Doc ids are required to be distinct across the two inputs (a shared
+    id would make pair semantics ambiguous); the registry entry derives
+    both sides from one keyed table, which guarantees it.
+    """
+    union = corpus_df.select(id_col, text_col).unionByName(
+        new_df.select(id_col, text_col)
+    )
+    hashed, banded, broadcast_verify = _mine_banded(
+        union, k, num_perms, bands, text_col, id_col, max_df,
+        broadcast_verify, max_band_width,
+    )
+    new_ids = new_df.select(F.col(id_col).alias("_nid")).distinct()
+    banded_new = banded.join(
+        F.broadcast(new_ids),
+        F.col(id_col) == F.col("_nid"),
+        "left_semi",
+    )
+    a, b = banded_new.alias("a"), banded.alias("b")
     cands = (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
         )
         .select(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
+            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("doc_a"),
+            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("doc_b"),
         )
         .distinct()
     )
-    # Exact-verification join on the raw hashed shingles (see
-    # _verify_exact_jaccard on why BIGINT arrays + identical cross-engine
-    # hashing + the |a|+|b|-|a^b| union identity).  The candidate relation
-    # is tiny in *bytes* but each row costs an array intersection, so AQE
-    # would coalesce it onto a core or two -- repartition explicitly to keep
-    # verification as wide as the cluster (cf. plans.skew.spread).  Persist
-    # + materialize the skinny (doc_a, doc_b) list so the verify join plans
-    # from its REAL cardinality and runs as its own small, compilable
-    # stage instead of being fused into one giant codegen unit with the
-    # band join -- the fused form intermittently fell out of codegen and
-    # burned ~250 s of interpreted CPU on a stage that takes ~7 s compiled.
-    cands = cands.repartition(
-        df.sparkSession.sparkContext.defaultParallelism, "doc_a"
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    _MINE_LIVE.append(cands)
-    cands.count()
-    sh = hashed.withColumn("n_sh", F.size("sh"))
-    return _verify_exact_jaccard(cands, sh, threshold, id_col, broadcast_verify)
+    return _verify_candidates(
+        union, cands, hashed, threshold, id_col, broadcast_verify
+    )
 
 
 def simhash_signatures(
@@ -799,14 +911,17 @@ _DUCK_SH_HASHES = (
     f"list_transform({duck_shingles()}, s -> {duck_polyhash('s')})"
 )
 
-def _duck_mh_sigs(docs: str = "documents") -> str:
+def _duck_mh_sigs(docs: str = "documents", cand_pred: str = "") -> str:
     """The x07 MinHash+LSH pipeline as DuckDB SQL over relation ``docs``.
 
     Parameterized so consumers can run the identical pipeline over a
     corpus *slice* (x67 scopes its distributed-CC driver row to a bounded
     slice).  The document-frequency cutoff is relative to ``docs``'s own
     row count -- exactly how the Spark side derives ``n_docs`` from its
-    input DataFrame -- so slicing preserves cross-engine parity."""
+    input DataFrame -- so slicing preserves cross-engine parity.
+    ``cand_pred`` (an extra ``AND ...`` clause on the candidate join)
+    scopes the PAIR set without touching the signatures -- x73 keeps
+    only pairs with at least one side in the "new batch"."""
     return (
         f"WITH hashed AS (SELECT doc_id, {_DUCK_SH_HASHES} AS sh FROM {docs}), "
         "tok AS (SELECT doc_id, unnest(sh) AS h FROM hashed), "
@@ -822,7 +937,7 @@ def _duck_mh_sigs(docs: str = "documents") -> str:
         " FROM sigs CROSS JOIN range(0, 4) AS r(j)), "
         "cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
         " FROM banded a JOIN banded b ON a.band_idx = b.band_idx "
-        " AND a.band_key = b.band_key AND a.doc_id < b.doc_id) "
+        f" AND a.band_key = b.band_key AND a.doc_id < b.doc_id{cand_pred}) "
         "SELECT doc_a, doc_b, "
         " len(list_intersect(sa.sh, sb.sh))::DOUBLE / "
         " len(list_distinct(list_concat(sa.sh, sb.sh)))::DOUBLE AS jaccard "
@@ -905,6 +1020,38 @@ def shared_minhash_pairs(
 )
 def x07_minhash_lsh(spark, sf_dir) -> DataFrame:
     return shared_minhash_pairs(spark, sf_dir, threshold=0.5)
+
+
+#: x73's "new batch" = the newest fifth of doc ids (ids are ingestion-
+#: ordered in the testdata, so an id suffix IS the latest ingest).  Chosen
+#: over a modular holdout because near-dup pairs at sf0.01 never touch a
+#: 1-in-97 scatter (the vacuity guard fired); the suffix cut carries 10
+#: verified pairs there.  Integer arithmetic so both engines cut at the
+#: same id.
+_X73_CUT = "(4 * (SELECT COUNT(*) FROM documents)) // 5"
+
+
+@register(
+    "x73_incremental_near_dup",
+    _duck_mh_sigs(
+        cand_pred=(
+            f" AND (a.doc_id >= {_X73_CUT} OR b.doc_id >= {_X73_CUT})"
+        )
+    ),
+    "incremental near-dup mining: MinHash+LSH pairs with at least one "
+    "side in the 'new batch' (the newest fifth of doc ids = the latest "
+    "ingest) -- the daily-ingest shape where the band join is driven "
+    "by the broadcast new side so corpus x corpus candidates are never "
+    "generated; signatures/DF filter over the union, exact-Jaccard "
+    "verified, same oracle pipeline as x07 with the cross-side "
+    "candidate predicate",
+)
+def x73_incremental(spark, sf_dir) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    cut = (4 * docs.count()) // 5
+    new = docs.where(F.col("doc_id") >= cut)
+    corpus = docs.where(F.col("doc_id") < cut)
+    return incremental_minhash_pairs(corpus, new, threshold=0.5)
 
 
 @register(

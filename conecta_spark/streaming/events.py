@@ -97,6 +97,40 @@ def normalize_event_ts(df: DataFrame, ts_type) -> DataFrame:
     return df
 
 
+def _stage_stream_dir(src: str, prefix: str) -> str:
+    """Stage a parquet source as a flat symlink directory under /tmp for
+    the file-stream source (which requires a directory of FILES and does
+    not recurse).  Handles both testdata shapes: a single parquet file
+    (driver testdata) and a Spark-written parquet DIRECTORY of part files
+    (the SF10 rung) -- the latter is symlinked part-by-part; a directory
+    symlink would list as zero input files and the stream would drain
+    empty (the rung bug this fixed).  Idempotent per source path; a stale
+    layout from the other shape is rebuilt."""
+    import glob
+    import hashlib
+    import os
+
+    stage = os.path.join(
+        "/tmp/conecta_spark_stream",
+        hashlib.md5(src.encode()).hexdigest()[:12],
+    )
+    if os.path.isdir(src):
+        parts = sorted(glob.glob(os.path.join(src, "*.parquet")))
+    else:
+        parts = [src]
+    os.makedirs(stage, exist_ok=True)
+    want = {
+        f"{prefix}-{i:05d}.parquet": p for i, p in enumerate(parts)
+    }
+    have = set(os.listdir(stage))
+    if have != set(want):
+        for name in have:
+            os.unlink(os.path.join(stage, name))
+        for name, target in want.items():
+            os.symlink(target, os.path.join(stage, name))
+    return stage
+
+
 def read_event_stream(spark, sf_dir: str, max_files_per_trigger: int | None = None) -> DataFrame:
     """readStream over the events parquet (nanos ts handled like the batch
     reader: nanosAsLong + truncate to micros).
@@ -105,7 +139,6 @@ def read_event_stream(spark, sf_dir: str, max_files_per_trigger: int | None = No
     single read-only file, so we stage a symlink directory under /tmp.  On a
     real deployment the source is already a directory of files landing over
     time and this staging disappears."""
-    import hashlib
     import os
 
     try:
@@ -113,14 +146,7 @@ def read_event_stream(spark, sf_dir: str, max_files_per_trigger: int | None = No
     except Exception:
         pass
     src_file = os.path.join(sf_dir, "events.parquet")
-    stage = os.path.join(
-        "/tmp/conecta_spark_stream",
-        hashlib.md5(src_file.encode()).hexdigest()[:12],
-    )
-    os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, "events-000.parquet")
-    if not os.path.exists(link):
-        os.symlink(src_file, link)
+    stage = _stage_stream_dir(src_file, "events")
     # The streaming source must see the on-disk schema.  Historically the
     # testdata stored ts as TIMESTAMP(NANOS) (surfaced as raw long ns via
     # nanosAsLong); current testdata stores timestamp[us], which the session
@@ -499,18 +525,10 @@ def read_document_stream(spark, sf_dir: str) -> DataFrame:
     directory exactly like :func:`read_event_stream` (the file-stream
     source wants a directory; a deployment's landing zone already is
     one)."""
-    import hashlib
     import os
 
     src_file = os.path.join(sf_dir, "documents.parquet")
-    stage = os.path.join(
-        "/tmp/conecta_spark_stream",
-        hashlib.md5(src_file.encode()).hexdigest()[:12],
-    )
-    os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, "documents-000.parquet")
-    if not os.path.exists(link):
-        os.symlink(src_file, link)
+    stage = _stage_stream_dir(src_file, "documents")
     schema = spark.read.parquet(src_file).schema
     return spark.readStream.schema(schema).parquet(stage)
 

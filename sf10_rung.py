@@ -257,6 +257,59 @@ def _decontam_row(spark, reg, docs_dir: str) -> dict:
     return {"sec": sec, "contaminated": contaminated}
 
 
+def _streaming_session_row(spark, sf_dir: str) -> dict:
+    """SF10 row for the streaming family: the x72 native session_window
+    aggregation executed as a real availableNow streaming query over the
+    10M-row events table (100x the sweep-proven scale), drained to a
+    complete-mode memory sink and cross-checked against the batch gap
+    sessionization's session count.
+
+    What the row proves at this rung: the state store assembles millions
+    of per-user sessions (state is one row per session being merged, not
+    per event) and the drained table still equals the batch plan -- the
+    session-merge discipline survives 100x.  Two timed runs (run 1 warms
+    codegen + the streaming source's file listing); both counts must
+    agree with batch."""
+    from conecta_spark.streaming.events import (
+        read_event_stream,
+        sessionize_batch,
+        streaming_session_windows,
+    )
+
+    runs, n_sessions = [], None
+    for i in range(2):
+        spark.catalog.clearCache()
+        name = f"sf10_x72_run{i}"
+        t0 = time.perf_counter()
+        q = (
+            streaming_session_windows(read_event_stream(spark, sf_dir))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(1200):
+            q.stop()
+            raise RuntimeError("sf10 x72 run did not terminate in 1200s")
+        n_sessions = spark.table(name).count()
+        runs.append(round(time.perf_counter() - t0, 3))
+        spark.catalog.dropTempView(name)
+    t0 = time.perf_counter()
+    # epoch_micros inside sessionize_batch handles TIMESTAMP vs NTZ
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    batch_sessions = sessionize_batch(events).count()
+    batch_sec = round(time.perf_counter() - t0, 3)
+    return {
+        "events": events.count(),
+        "stream_runs_sec": runs,
+        "sessions": n_sessions,
+        "batch_sessions": batch_sessions,
+        "batch_sec": batch_sec,
+        "agree": n_sessions == batch_sessions,
+    }
+
+
 def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -307,7 +360,7 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
 
     timings = {}
-    for name in TIMED:
+    for name in TIMED if "--skip-timed" not in sys.argv else ():
         runs = []
         for _ in range(4):
             spark.catalog.clearCache()
@@ -346,6 +399,11 @@ def main() -> None:
         ann = _ann_row(spark, SF10_DIR)
         print(f"ann: {ann}", file=sys.stderr)
 
+    streaming_sessions = None
+    if "--skip-stream" not in sys.argv:
+        streaming_sessions = _streaming_session_row(spark, SF10_DIR)
+        print(f"streaming_sessions: {streaming_sessions}", file=sys.stderr)
+
     payload = {
         "metric": "sf10_rung",
         "lineitem_rows": n_lineitem,
@@ -355,6 +413,7 @@ def main() -> None:
         "cc": cc,
         "decontam": decontam,
         "ann": ann,
+        "streaming_sessions": streaming_sessions,
         "reference_sf10_scan_sec": [91.75, 152.2],
         "scan_vs_reference_indexed": round(
             timings["q01_full_scan"] / 91.75, 4

@@ -107,6 +107,56 @@ def test_minhash_lsh_always_finds_planted_exact_clones(spark, seeds):
     assert (1, 101) in pairs
 
 
+def test_incremental_near_dup_equals_filtered_standing_miner(spark):
+    """x73's defining identity: incremental_minhash_pairs(corpus, new)
+    must equal minhash_lsh_pairs(corpus UNION new) restricted to pairs
+    with at least one side in the new batch -- same pairs, same verified
+    jaccard values -- and must emit NO corpus-internal pair.  Planted
+    layout: clones spanning sides (corpus doc 0 == new doc 100), clones
+    within the new batch (101 == 102), and a corpus-internal clone pair
+    (1 == 50) that the standing miner finds but the incremental one must
+    not re-mine."""
+    from conecta_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_lsh_pairs,
+    )
+
+    texts = {
+        i: " ".join(f"w{(s * (j + 3)) % 9973}" for j in range(30))
+        for i, s in enumerate((7, 13, 29, 41, 53, 67))
+    }
+    corpus_rows = [Row(doc_id=i, text=t) for i, t in texts.items()]
+    corpus_rows += [Row(doc_id=50, text=texts[1])]  # corpus-internal clone
+    new_rows = [
+        Row(doc_id=100, text=texts[0]),   # cross-side clone
+        Row(doc_id=101, text=texts[2]),   # cross-side clone
+        Row(doc_id=102, text=texts[2]),   # new-internal clone (with 101)
+    ]
+    corpus = spark.createDataFrame(corpus_rows)
+    new = spark.createDataFrame(new_rows)
+
+    inc = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 9))
+        for r in incremental_minhash_pairs(corpus, new, max_df=1.0).collect()
+    }
+    new_ids = {100, 101, 102}
+    full = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 9))
+        for r in minhash_lsh_pairs(
+            corpus.unionByName(new), max_df=1.0
+        ).collect()
+    }
+    want = {p for p in full if p[0] in new_ids or p[1] in new_ids}
+    assert inc == want
+    # the planted shapes all present ...
+    got_pairs = {(a, b) for a, b, _ in inc}
+    assert {(0, 100), (2, 101), (2, 102), (101, 102)} <= got_pairs
+    # ... and the corpus-internal pair mined by the standing miner is
+    # genuinely excluded, not absent from the corpus
+    assert (1, 50) in {(a, b) for a, b, _ in full}
+    assert (1, 50) not in got_pairs
+
+
 def test_default_max_df_drops_clones_in_tiny_corpora_by_design(spark):
     """Documented trade-off, pinned so it stays deliberate: with the
     default max_df=0.1, a clone pair in a 7-doc corpus puts every shared
@@ -354,6 +404,64 @@ def test_sessionize_batch_matches_reference_scan(spark, evs):
         for sess in sessions:
             ts = [t for t, _ in sess]
             expect.add((u, len(sess), min(ts), max(ts), max(ts) - min(ts)))
+    assert got == expect
+
+
+@given(evs=_events)
+@settings(max_examples=6, deadline=None)
+def test_session_window_matches_reference_scan(spark, evs):
+    """Spark's native session_window aggregation (the x72 mechanism) must
+    equal the same pure-Python gap scan as sessionize_batch, with session
+    end = last event + gap: duplicate timestamps (gap 0), exact-boundary
+    gaps (an event at exactly prev+gap MERGES -- end-inclusive, identical
+    to the batch > rule), interleaved users."""
+    import datetime
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from conecta_spark.streaming.events import SESSION_GAP_US
+
+    rows = [
+        Row(
+            user_id=u,
+            ts=datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=s * 900),
+        )
+        for u, s in evs
+    ]
+    got = {
+        (r.user_id, r.start_us, r.end_us, r.n_events)
+        for r in spark.createDataFrame(rows)
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("session_window.start").alias("start_us"),
+            F.unix_micros("session_window.end").alias("end_us"),
+            "n_events",
+        )
+        .collect()
+    }
+
+    base_us = int(
+        datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc).timestamp()
+        * 1_000_000
+    )
+    by_user: dict[int, list[int]] = {}
+    for u, s in evs:
+        by_user.setdefault(u, []).append(base_us + s * 900 * 1_000_000)
+    expect = set()
+    for u, lst in by_user.items():
+        lst.sort()
+        sessions, cur = [], [lst[0]]
+        for t in lst[1:]:
+            if t - cur[-1] > SESSION_GAP_US:
+                sessions.append(cur)
+                cur = []
+            cur.append(t)
+        sessions.append(cur)
+        for sess in sessions:
+            expect.add((u, sess[0], sess[-1] + SESSION_GAP_US, len(sess)))
     assert got == expect
 
 

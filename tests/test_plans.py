@@ -152,6 +152,28 @@ def test_lsh_candidate_join_is_equi_join(spark, sf):
         assert "common_hs" in m.group(0), m.group(0)
 
 
+def test_x73_incremental_candidates_driven_by_new_side(spark, sf):
+    """x73: the incremental band join must (a) never cartesian, (b) keep
+    the band join a hash equi-join (same rule as x07), and (c) restrict
+    the driving side to the new batch with a BROADCAST semi-join on the
+    new-id set -- the property that keeps corpus x corpus candidates from
+    ever being generated at scale.  A shuffled semi-join here would mean
+    the corpus-sized relation moves to meet a batch-sized id list."""
+    import re
+
+    p = plan(REGISTRY["x73_incremental_near_dup"].fn(spark, sf))
+    assert "CartesianProduct" not in p
+    for m in re.finditer(
+        r"^\(\d+\) BroadcastNestedLoopJoin\n(?:.*\n){0,3}", p, flags=re.M
+    ):
+        assert "common_hs" in m.group(0), m.group(0)
+    semi = re.findall(
+        r"^\(\d+\) (\w+)(?=.*Join)(?:.*\n){0,4}?.*LeftSemi", p, flags=re.M
+    )
+    assert semi, "no semi-join on the new-id set in the plan"
+    assert all(kind.startswith("Broadcast") for kind in semi), semi
+
+
 def test_pii_redaction_is_pure_map(spark, sf):
     """x30: regex redaction is a single projection -- no shuffle, no UDF."""
     p = plan(REGISTRY["x30_pii_redaction"].fn(spark, sf))
