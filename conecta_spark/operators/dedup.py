@@ -733,12 +733,161 @@ def incremental_minhash_pairs(
 
 
 def simhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    backend: str = "expr",
 ) -> DataFrame:
+    """``(id, simhash)`` 32-bit SimHash signatures.
+
+    Two value-identical backends (the gopher/x19 discipline):
+
+    * ``expr`` (default) -- pure JVM-side SQL (:func:`simhash_expr`); the
+      parity reference and the scale default.
+    * ``pandas`` -- numpy over Arrow batches; all tokens of a batch hash
+      in one masked fold over char positions and all 32 bit votes reduce
+      in one segment-sum.
+
+    Measured at the SF10 rung's 500k docs (3 fresh-process runs each):
+    expr 7.6-9.2 s steady, pandas 8.5-14.6 s -- the interpreted-lambda
+    tax the x19 translate fix exploited does NOT dominate here (the expr
+    already hoists token hashes, and the pandas side pays Arrow text
+    transfer plus ~100 MB/batch vote matrices), so the JVM form keeps
+    the default.  The pandas backend wins fresh-session latency (0.6 s
+    vs 1.3 s at 5k docs -- no Janino compile) and is the cross-checked
+    second implementation the property suite leans on.
+
+    Parity notes (pinned by tests/test_corpus_properties.py's bit-vote
+    model test and the x08 DuckDB oracle): tokenization replicates the
+    expr EXACTLY -- lower, trim of SPACES only (Spark ``trim`` does not
+    strip tabs/newlines), Spark ``split('\\\\s+')`` = Java
+    ``split(regex, -1)`` semantics (ASCII whitespace class; leading AND
+    trailing empty tokens are both kept), token polyhash
+    ``(acc*31 + ord) % MOD`` in int64 (products < 2^63, exact).  The
+    lowercase caveat of :func:`hashed_shingles` (Python vs JVM casing
+    outside ASCII) applies here too.
+    """
     from ..plans.skew import spread
 
-    return spread(df.select(id_col, text_col)).select(
-        F.col(id_col), F.expr(simhash_expr(text_col)).alias("simhash")
+    if backend == "expr":
+        return spread(df.select(id_col, text_col)).select(
+            F.col(id_col), F.expr(simhash_expr(text_col)).alias("simhash")
+        )
+
+    import re as _re
+
+    import numpy as np
+    import pandas as pd
+
+    ws = _re.compile(r"\s+", _re.ASCII)
+
+    def batches(it):
+        for pdf in it:
+            # Per DOC: one lowercase+strip, one regex pass for token
+            # SPANS, one utf-32 decode of the whole doc.  Token code
+            # arrays are never materialized as Python objects -- span
+            # offsets drive a vectorized scatter below.  (A first cut
+            # encoded per token and filled the pad matrix in a Python
+            # loop: ~780k iterations per partition at the SF10 rung,
+            # which ate the numpy win and tied the expr backend at ~8 s.)
+            code_chunks: list = []
+            tok_lens: list = []  # int64 arrays, one per doc
+            doc_n_tokens: list[int] = []
+            null_mask: list[bool] = []
+            for s in pdf[text_col]:
+                if s is None:
+                    # expr parity: NULL text -> simhash 0, not NULL (the
+                    # per-bit IF(NULL > 0, ...) picks the 0 arm for every
+                    # bit, so the fold sums to 0)
+                    null_mask.append(True)
+                    doc_n_tokens.append(0)
+                    continue
+                null_mask.append(False)
+                s2 = s.lower().strip(" ")
+                # Spark's split() is Java split(regex, -1): EVERY
+                # complement span is a token, including leading AND
+                # trailing empty ones ('\\ta\\t' -> ['', 'a', ''];
+                # '' -> ['']).  The -1 limit matters: plain Java split
+                # drops trailing empties, Spark does not -- a dropped
+                # trailing '' flips signature bits for odd token counts
+                # (the '' hash is 0, voting -1 on every bit).
+                starts_d = [0]
+                ends_d = []
+                for m in ws.finditer(s2):
+                    ends_d.append(m.start())
+                    starts_d.append(m.end())
+                ends_d.append(len(s2))
+                doc_n_tokens.append(len(starts_d))
+                lens_d = np.array(ends_d, dtype=np.int64) - np.array(
+                    starts_d, dtype=np.int64
+                )
+                tok_lens.append(lens_d)
+                codes_d = np.frombuffer(
+                    s2.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                # concatenate only the token bytes (drop whitespace) so
+                # global offsets are exact cumulative token lengths
+                if lens_d.sum() == len(s2):
+                    code_chunks.append(codes_d)
+                else:
+                    keep = np.zeros(len(s2) + 1, dtype=np.int64)
+                    np.add.at(keep, np.array(starts_d, dtype=np.int64), 1)
+                    np.add.at(keep, np.array(ends_d, dtype=np.int64), -1)
+                    code_chunks.append(codes_d[np.cumsum(keep[:-1]) > 0])
+            n_tok = sum(doc_n_tokens)
+            out = pd.array([0] * len(null_mask), dtype="Int64")
+            if n_tok:
+                lens = np.concatenate(tok_lens)
+                lmax = int(lens.max()) if lens.size else 0
+                all_codes = (
+                    np.concatenate(code_chunks)
+                    if code_chunks
+                    else np.zeros(0, dtype=np.int64)
+                )
+                # vectorized scatter into the (n_tok, lmax) pad matrix
+                mat = np.zeros((n_tok, max(lmax, 1)), dtype=np.int64)
+                if all_codes.size:
+                    tok_of_char = np.repeat(
+                        np.arange(n_tok, dtype=np.int64), lens
+                    )
+                    off = np.zeros(n_tok, dtype=np.int64)
+                    np.cumsum(lens[:-1], out=off[1:])
+                    col_of_char = (
+                        np.arange(all_codes.size, dtype=np.int64)
+                        - off[tok_of_char]
+                    )
+                    mat[tok_of_char, col_of_char] = all_codes
+                acc = np.zeros(n_tok, dtype=np.int64)
+                for j in range(lmax):
+                    live = j < lens
+                    acc = np.where(live, (acc * 31 + mat[:, j]) % MOD, acc)
+                # votes: (32, n_tok) in {-1, +1}, segment-summed per doc.
+                # Segments cover NON-NULL docs only (every one has >= 1
+                # token -- '' still tokenizes to ['']), so reduceat never
+                # sees an empty segment; null docs keep their 0 slot.
+                bits = (
+                    (acc[None, :] >> np.arange(SIMHASH_BITS)[:, None]) & 1
+                ) * 2 - 1
+                nn_counts = np.array(
+                    [c for c, isnull in zip(doc_n_tokens, null_mask) if not isnull],
+                    dtype=np.int64,
+                )
+                starts = np.zeros(nn_counts.size, dtype=np.int64)
+                np.cumsum(nn_counts[:-1], out=starts[1:])
+                votes = np.add.reduceat(bits, starts, axis=1)
+                sims = (
+                    ((votes > 0).astype(np.int64)
+                     << np.arange(SIMHASH_BITS)[:, None]).sum(axis=0)
+                )
+                pos = 0
+                for i, isnull in enumerate(null_mask):
+                    if not isnull:
+                        out[i] = int(sims[pos])
+                        pos += 1
+            yield pd.DataFrame({id_col: pdf[id_col], "simhash": out})
+
+    return spread(df.select(id_col, text_col)).mapInPandas(
+        batches, f"{id_col} long, simhash long"
     )
 
 

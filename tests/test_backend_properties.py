@@ -68,6 +68,31 @@ class TestRepetitionBackendParity:
         assert a == b
 
 
+class TestSimhashBackendParity:
+    @settings(max_examples=30, deadline=None)
+    @given(texts=st.lists(
+        st.one_of(st.none(), _docs()), min_size=1, max_size=8,
+    ))
+    def test_signatures_identical_on_adversarial_whitespace(
+        self, spark, texts
+    ):
+        # The two traps this pins: Spark split() is Java split(regex, -1)
+        # -- trailing empty tokens are KEPT, and dropping one flips
+        # signature bits for odd token counts (the '' hash is 0, voting
+        # -1 on every bit); and Spark trim() strips SPACES only, so a
+        # leading tab must produce a leading empty token in both
+        # backends.  None rows: NULL text -> simhash 0 in both (the
+        # expr's per-bit IF(NULL > 0, ...) picks the 0 arm).
+        from conecta_spark.operators.dedup import simhash_signatures
+
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        a = sorted(map(tuple, simhash_signatures(df, backend="expr").collect()))
+        b = sorted(map(tuple, simhash_signatures(df, backend="pandas").collect()))
+        assert a == b
+
+
 class TestGopherBackendParity:
     @settings(max_examples=30, deadline=None)
     @given(texts=st.lists(
