@@ -1203,6 +1203,96 @@ def x73_incremental(spark, sf_dir) -> DataFrame:
     return incremental_minhash_pairs(corpus, new, threshold=0.5)
 
 
+def minhash_candidate_probe(
+    df: DataFrame,
+    caps: tuple[int, ...] = (100, 1000),
+    k: int = 5,
+    num_perms: int = 16,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: float = 0.1,
+) -> DataFrame:
+    """Mine-pricing probe: band the corpus WITHOUT generating pairs and
+    integrate ``w*(w-1)/2`` over the band-bucket width histogram -- the
+    exact raw candidate-pair count of :func:`minhash_lsh_pairs`,
+    uncapped and under each ``max_band_width`` choice in ``caps``, for
+    the cost of ONE aggregation over the skinny banded relation.
+
+    This is the planner-style metadata pass (the O8/O9 discipline
+    applied to mining) that should precede any big mine: the verify
+    join's intermediate carries a ~2.2 KB shingle array per candidate,
+    so ``raw_capN x 2.2 KB`` prices the peak shuffle before you pay for
+    it.  Measured at the 2M-doc rung: cap 1000 priced at 125M
+    candidates ~= 256 GB -- correctly predicting the death of a
+    76-GB-free box -- while cap 100 priced at 22M and completed in
+    97 s (SF10_RUNG.json ``mine_2m``).  Candidate volume from under-cap
+    template families grows ~4x per corpus doubling (each family
+    doubles its width), which is why the cap must scale with the corpus
+    on fixed hardware.
+
+    Returns one row: ``n_buckets``, ``max_width``, ``raw_uncapped``,
+    and ``raw_cap{c}`` per requested cap (all BIGINT; the per-bucket
+    pair counts are exact integers, so Spark and DuckDB agree
+    bit-for-bit).
+    """
+    _, banded, _ = _mine_banded(
+        df, k, num_perms, bands, text_col, id_col, max_df, False, None
+    )
+    w = banded.groupBy("band_idx", "band_key").agg(
+        F.count(F.lit(1)).alias("w")
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.max("w").cast("long").alias("max_width"),
+        F.sum(F.expr("w * (w - 1) DIV 2")).cast("long").alias("raw_uncapped"),
+    ]
+    for c in caps:
+        aggs.append(
+            F.sum(
+                F.expr(f"IF(w <= {c}, w * (w - 1) DIV 2, 0L)")
+            ).cast("long").alias(f"raw_cap{c}")
+        )
+    return w.agg(*aggs)
+
+
+_DUCK_PROBE = (
+    f"WITH hashed AS (SELECT doc_id, {{sh}} AS sh FROM documents), "
+    "tok AS (SELECT doc_id, unnest(sh) AS h FROM hashed), "
+    "common AS (SELECT h FROM (SELECT h, COUNT(*) AS c FROM tok GROUP BY h) "
+    " WHERE c > 0.1 * (SELECT COUNT(*) FROM documents)), "
+    "filtered AS (SELECT doc_id, list(h) AS shf FROM tok "
+    " WHERE h NOT IN (SELECT h FROM common) GROUP BY doc_id), "
+    "sigs AS (SELECT doc_id, {mh} AS mh FROM filtered), "
+    "banded AS (SELECT doc_id, j AS band_idx, "
+    " md5(array_to_string(mh[j*4+1 : j*4+4], '-')) AS band_key "
+    " FROM sigs CROSS JOIN range(0, 4) AS r(j)), "
+    "widths AS (SELECT band_idx, band_key, COUNT(*) AS w FROM banded "
+    " GROUP BY band_idx, band_key) "
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets, "
+    " CAST(MAX(w) AS BIGINT) AS max_width, "
+    " CAST(SUM(w * (w - 1) // 2) AS BIGINT) AS raw_uncapped, "
+    " CAST(SUM(CASE WHEN w <= 100 THEN w * (w - 1) // 2 ELSE 0 END) "
+    "  AS BIGINT) AS raw_cap100, "
+    " CAST(SUM(CASE WHEN w <= 1000 THEN w * (w - 1) // 2 ELSE 0 END) "
+    "  AS BIGINT) AS raw_cap1000 "
+    "FROM widths"
+)
+
+
+@register(
+    "x74_mining_cost_probe",
+    _DUCK_PROBE.format(sh=_DUCK_SH_HASHES, mh=duck_minhash("shf")),
+    "mine-pricing probe: exact raw LSH candidate-pair volume (uncapped "
+    "and under max_band_width 100/1000) from one aggregation over the "
+    "banded relation's width histogram -- no pairs generated; the "
+    "planner-style pass that priced (and predicted) the 2M-doc rung's "
+    "cap-1000 disk death before paying for it",
+)
+def x74_mining_probe(spark, sf_dir) -> DataFrame:
+    return minhash_candidate_probe(t(spark, sf_dir, "documents"))
+
+
 @register(
     "x08_dedup_simhash",
     f"SELECT doc_id, {duck_simhash()} AS simhash FROM documents",

@@ -113,35 +113,13 @@ def _free_gb(path: str = "/tmp") -> float:
 
 
 def _bucket_probe(spark, docs) -> dict:
-    """Candidate-volume probe: band the corpus WITHOUT generating pairs
-    and integrate w(w-1)/2 over the bucket-width distribution.  This is
-    the planner-style metadata pass that should precede any big mine --
-    it prices every cap choice for the cost of one aggregation."""
-    from pyspark.sql import functions as F
+    """Candidate-volume probe -- the library operator
+    (conecta_spark.operators.dedup.minhash_candidate_probe, registry
+    x74), called with this rung's cap choices.  It prices every cap for
+    the cost of one aggregation, no pairs generated."""
+    from conecta_spark.operators.dedup import minhash_candidate_probe
 
-    from conecta_spark.operators.dedup import _mine_banded
-
-    _, banded, _ = _mine_banded(
-        docs, 5, 16, 4, "text", "doc_id", 0.1, False, None
-    )
-    w = banded.groupBy("band_idx", "band_key").agg(
-        F.count(F.lit(1)).alias("w")
-    )
-    row = (
-        w.agg(
-            F.count(F.lit(1)).alias("buckets"),
-            F.max("w").alias("max_width"),
-            F.sum(F.expr("w*(w-1)/2")).alias("raw_uncapped"),
-            F.sum(
-                F.expr("CASE WHEN w <= 1000 THEN w*(w-1)/2 ELSE 0 END")
-            ).alias("raw_cap1000"),
-            F.sum(
-                F.expr(f"CASE WHEN w <= {CAP} THEN w*(w-1)/2 ELSE 0 END")
-            ).alias(f"raw_cap{CAP}"),
-        )
-        .first()
-        .asDict()
-    )
+    row = minhash_candidate_probe(docs, caps=(CAP, 1000)).first().asDict()
     return {k: int(v) for k, v in row.items()}
 
 

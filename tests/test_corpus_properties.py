@@ -157,6 +157,58 @@ def test_incremental_near_dup_equals_filtered_standing_miner(spark):
     assert (1, 50) not in got_pairs
 
 
+def test_mining_probe_prices_the_actual_candidate_volume(spark):
+    """x74's integral sum(w*(w-1)/2) over band-bucket widths must equal
+    the RAW (pre-distinct) pair count the band self-join would generate
+    -- recomputed here directly from the banded relation -- and the
+    capped variants must equal the same sum restricted to under-cap
+    buckets.  This is the identity that lets the probe price a mine
+    without running it."""
+    from pyspark.sql import functions as F
+
+    from conecta_spark.operators.dedup import (
+        _mine_banded,
+        minhash_candidate_probe,
+    )
+
+    texts = {
+        i: " ".join(f"w{(s * (j + 3)) % 9973}" for j in range(30))
+        for i, s in enumerate((7, 13, 29, 41, 53))
+    }
+    rows = [Row(doc_id=i, text=t) for i, t in texts.items()]
+    # clones widen buckets so the integral is non-trivial
+    rows += [Row(doc_id=100 + i, text=texts[0]) for i in range(3)]
+    rows += [Row(doc_id=200, text=texts[1])]
+    df = spark.createDataFrame(rows)
+
+    probe = minhash_candidate_probe(df, caps=(2, 3), max_df=1.0).first()
+
+    _, banded, _ = _mine_banded(
+        df, 5, 16, 4, "text", "doc_id", 1.0, False, None
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    raw = a.join(
+        b,
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).count()
+    assert probe.raw_uncapped == raw and raw > 0
+
+    w = banded.groupBy("band_idx", "band_key").agg(
+        F.count(F.lit(1)).alias("w")
+    )
+    for cap in (2, 3):
+        capped = (
+            w.where(F.col("w") <= cap)
+            .agg(F.sum(F.expr("w * (w - 1) DIV 2")))
+            .first()[0]
+            or 0
+        )
+        assert probe[f"raw_cap{cap}"] == capped
+    assert probe.raw_cap2 <= probe.raw_cap3 <= probe.raw_uncapped
+
+
 def test_default_max_df_drops_clones_in_tiny_corpora_by_design(spark):
     """Documented trade-off, pinned so it stays deliberate: with the
     default max_df=0.1, a clone pair in a 7-doc corpus puts every shared
