@@ -209,6 +209,95 @@ def test_mining_probe_prices_the_actual_candidate_volume(spark):
     assert probe.raw_cap2 <= probe.raw_cap3 <= probe.raw_uncapped
 
 
+@given(seeds=dup_corpus, cut_frac=st.integers(min_value=2, max_value=8))
+@settings(max_examples=5, deadline=None)
+def test_incremental_equals_filtered_full_on_random_corpora(
+    spark, seeds, cut_frac
+):
+    """Hypothesis form of the x73 identity: for ANY corpus and ANY id
+    split point, incremental_minhash_pairs(corpus, new) must equal
+    minhash_lsh_pairs(union) filtered to at-least-one-new -- same pairs,
+    same verified jaccard.  Random seed corpora with planted clones on
+    both sides of the cut exercise cross, new-internal, and
+    corpus-internal pair shapes."""
+    from conecta_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_lsh_pairs,
+    )
+
+    texts = {
+        i: " ".join(f"w{(s * (j + 3)) % 9973}" for j in range(30))
+        for i, s in enumerate(seeds)
+    }
+    rows = [Row(doc_id=i, text=t) for i, t in texts.items()]
+    # clones: one pair inside the low range, one clone under a high id
+    rows += [Row(doc_id=50, text=texts[0]), Row(doc_id=100, text=texts[1])]
+    df = spark.createDataFrame(rows)
+    cut = max(len(seeds) * cut_frac // 8, 1)
+    new = df.where(f"doc_id >= {cut}")
+    corpus = df.where(f"doc_id < {cut}")
+
+    inc = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 9))
+        for r in incremental_minhash_pairs(corpus, new, max_df=1.0).collect()
+    }
+    full = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 9))
+        for r in minhash_lsh_pairs(df, max_df=1.0).collect()
+    }
+    want = {p for p in full if p[0] >= cut or p[1] >= cut}
+    assert inc == want
+
+
+@given(seeds=dup_corpus, cap=st.integers(min_value=1, max_value=5))
+@settings(max_examples=5, deadline=None)
+def test_probe_integral_equals_join_count_on_random_corpora(
+    spark, seeds, cap
+):
+    """Hypothesis form of the x74 identity: on ANY corpus and ANY cap,
+    the probe's width-histogram integral must equal the band self-join's
+    raw pre-distinct pair count, and the capped column must equal the
+    integral restricted to under-cap buckets."""
+    from pyspark.sql import functions as F
+
+    from conecta_spark.operators.dedup import (
+        _mine_banded,
+        minhash_candidate_probe,
+    )
+
+    texts = {
+        i: " ".join(f"w{(s * (j + 3)) % 9973}" for j in range(30))
+        for i, s in enumerate(seeds)
+    }
+    rows = [Row(doc_id=i, text=t) for i, t in texts.items()]
+    rows += [Row(doc_id=100 + i, text=texts[0]) for i in range(2)]
+    df = spark.createDataFrame(rows)
+
+    probe = minhash_candidate_probe(df, caps=(cap,), max_df=1.0).first()
+
+    _, banded, _ = _mine_banded(
+        df, 5, 16, 4, "text", "doc_id", 1.0, False, None
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    raw = a.join(
+        b,
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).count()
+    assert probe.raw_uncapped == raw
+    w = banded.groupBy("band_idx", "band_key").agg(
+        F.count(F.lit(1)).alias("w")
+    )
+    capped = (
+        w.where(F.col("w") <= cap)
+        .agg(F.sum(F.expr("w * (w - 1) DIV 2")))
+        .first()[0]
+        or 0
+    )
+    assert probe[f"raw_cap{cap}"] == capped
+
+
 def test_default_max_df_drops_clones_in_tiny_corpora_by_design(spark):
     """Documented trade-off, pinned so it stays deliberate: with the
     default max_df=0.1, a clone pair in a 7-doc corpus puts every shared
