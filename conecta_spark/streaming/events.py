@@ -490,6 +490,47 @@ def x72_streaming_session_window(spark, sf_dir) -> DataFrame:
     return spark.table(name)
 
 
+_X75_SEQ = iter(range(1, 1 << 30))
+
+
+@register(
+    "x75_streaming_enrich",
+    "WITH dim AS (SELECT user_id, COUNT(*) AS lifetime_events, "
+    " CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS lifetime_value "
+    " FROM events GROUP BY user_id) "
+    "SELECT e.event_id, e.user_id, d.lifetime_events, d.lifetime_value "
+    "FROM events e LEFT JOIN dim d ON e.user_id = d.user_id",
+    "STREAMING stream-static enrichment: every event joined to the "
+    "static per-user profile snapshot (broadcast hash join, STATELESS -- "
+    "no watermark, no join state; statelessness is pinned in "
+    "tests/test_streaming.py via recentProgress stateOperators) as a "
+    "real availableNow streaming query in append mode; oracle = the "
+    "batch left join.  The fourth streaming mechanism with a driver "
+    "row: windowed agg (x65), running state (x71), session merge "
+    "(x72), and now the stateless dim join every micro-batch replans "
+    "against the dim's current contents",
+)
+def x75_streaming_enrich(spark, sf_dir) -> DataFrame:
+    events = t(spark, sf_dir, "events")
+    dim = user_profile_dim(events)
+    name = f"x75_enrich_{next(_X75_SEQ)}"
+    q = (
+        streaming_enrich(
+            read_event_stream(spark, sf_dir).select("event_id", "user_id"),
+            dim,
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("x75 streaming query did not terminate in 300s")
+    return spark.table(name)
+
+
 def user_profile_dim(events: DataFrame) -> DataFrame:
     """Static per-user profile snapshot from historical events (the
     feature-store side of a stream enrichment): lifetime event count and
