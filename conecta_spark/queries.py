@@ -423,11 +423,11 @@ def _load_extensions() -> None:
 # 50 has a green r6/r7/r8 row and stays locally oracle-checked every
 # test run -- EXCEPT x71 (streaming dedup state), x72 (native streaming
 # session windows), x73 (incremental near-dup mining), x74 (mining
-# cost probe), and x75 (streaming stream-static enrichment), all added
-# late-r9 after the window was spent: their proof this round is the
-# whole-registry twin + sf0.1 sweep (the same explicit trade the r8
-# verdict endorsed for x06/x52), and they take first-priority slots in
-# r10 alongside q04.
+# cost probe), x75 (streaming stream-static enrichment), and x76
+# (streaming stream-stream interval join), all added late-r9 after the
+# window was spent: their proof this round is the whole-registry twin +
+# sf0.1 sweep (the same explicit trade the r8 verdict endorsed for
+# x06/x52), and they take first-priority slots in r10 alongside q04.
 _CORE_SMOKE = ("q01", "q02", "q12")
 _REGRESSION_SENTINELS = ("x16", "x56", "x65")
 _REWRITTEN_ORACLE_PROOF = ("x52", "x70")
@@ -453,7 +453,7 @@ _PRIORITY_TIERS: tuple[tuple[str, ...], ...] = (
     # demote, oldest already above
     tuple(f"q{i:02d}" for i in range(3, 69) if f"q{i:02d}" not in _WINDOW),
     tuple(
-        f"x{i:02d}" for i in range(1, 76) if f"x{i:02d}" not in _WINDOW
+        f"x{i:02d}" for i in range(1, 77) if f"x{i:02d}" not in _WINDOW
     ),
 )
 

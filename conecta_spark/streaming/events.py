@@ -490,6 +490,44 @@ def x72_streaming_session_window(spark, sf_dir) -> DataFrame:
     return spark.table(name)
 
 
+_X76_SEQ = iter(range(1, 1 << 30))
+
+
+@register(
+    "x76_streaming_interval_join",
+    "WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tsu, "
+    " event_type FROM events) "
+    "SELECT DISTINCT p.user_id, p.tsu AS p_ts, a.tsu AS a_ts "
+    "FROM e p JOIN e a ON p.user_id = a.user_id "
+    " AND p.event_type = 'purchase' AND a.event_type = 'error' "
+    " AND abs(p.tsu - a.tsu) <= 300000000",
+    "STREAMING stream-stream interval join: purchase/error pairs within "
+    "5 minutes per user as a real availableNow append-mode query -- the "
+    "fifth streaming mechanism with a driver row (windowed agg x65, "
+    "running state x71, session merge x72, stateless dim join x75, and "
+    "now two-sided join state bounded by watermarks over the event-time "
+    "columns themselves).  Drained pairs DISTINCT-ed to match the "
+    "batch oracle's set semantics (duplicate event timestamps emit "
+    "per-occurrence rows in the stream); exact batch parity and the "
+    "left-outer absence-row form are pinned in tests/test_streaming.py; "
+    "oracle = the x23 theta-join SQL",
+)
+def x76_streaming_interval_join(spark, sf_dir) -> DataFrame:
+    name = f"x76_ij_{next(_X76_SEQ)}"
+    q = (
+        streaming_interval_pairs(read_event_stream(spark, sf_dir))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("x76 streaming query did not terminate in 300s")
+    return spark.table(name).distinct()
+
+
 _X75_SEQ = iter(range(1, 1 << 30))
 
 
