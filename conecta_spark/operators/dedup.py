@@ -673,6 +673,7 @@ def incremental_minhash_pairs(
     max_df: float = 0.1,
     broadcast_verify: bool | str = "auto",
     max_band_width: int | None = None,
+    validate_ids: bool = True,
 ) -> DataFrame:
     """Incremental near-dup mining: exact-Jaccard-verified MinHash+LSH
     pairs with AT LEAST ONE side in ``new_df`` -- the daily-ingest shape,
@@ -697,9 +698,28 @@ def incremental_minhash_pairs(
     the standing miner unchanged.
 
     Doc ids are required to be distinct across the two inputs (a shared
-    id would make pair semantics ambiguous); the registry entry derives
-    both sides from one keyed table, which guarantees it.
+    id would make pair semantics ambiguous: both texts feed one union,
+    the ``!=`` candidate join suppresses legitimate cross-side pairs of
+    that id, and least/greatest mislabels sides).  ``validate_ids``
+    (default on) raises on overlap instead of silently corrupting the
+    result -- the check is one broadcast semi-join of the corpus's id
+    column against the (small) new batch's ids, marginal next to the
+    mining scan of the full text; a deployment that guarantees
+    disjointness upstream (e.g. ingest-time id ranges) can pass False.
     """
+    if validate_ids:
+        overlap = corpus_df.select(id_col).join(
+            F.broadcast(new_df.select(id_col).distinct()),
+            id_col,
+            "left_semi",
+        )
+        if not overlap.isEmpty():
+            sample = [r[0] for r in overlap.limit(5).collect()]
+            raise ValueError(
+                "incremental_minhash_pairs: corpus_df and new_df share "
+                f"doc ids (e.g. {sample}); ids must be disjoint across "
+                "the two inputs"
+            )
     union = corpus_df.select(id_col, text_col).unionByName(
         new_df.select(id_col, text_col)
     )

@@ -104,30 +104,63 @@ def _stage_stream_dir(src: str, prefix: str) -> str:
     (driver testdata) and a Spark-written parquet DIRECTORY of part files
     (the SF10 rung) -- the latter is symlinked part-by-part; a directory
     symlink would list as zero input files and the stream would drain
-    empty (the rung bug this fixed).  Idempotent per source path; a stale
-    layout from the other shape is rebuilt."""
+    empty (the rung bug this fixed).
+
+    Layout: ``<root>/<md5(src)>`` is a SYMLINK to a content-addressed
+    immutable directory ``<root>/<md5(src)>.v-<md5(targets)>`` whose name
+    hashes the ordered list of resolved part paths.  Two properties this
+    buys over rebuild-in-place:
+
+    * staleness is detected by symlink TARGETS, not generated names -- a
+      source rewritten with the same part count but different Spark UUID
+      part filenames hashes to a new version dir and the stage repoints,
+      instead of silently replaying the old layout;
+    * concurrent sessions staging the same source converge on the same
+      version dir and never unlink anything another session's stream may
+      be listing -- the build goes into a unique temp dir, is renamed
+      into the content-addressed name (atomic; a racing duplicate is
+      discarded), and the top-level symlink is swapped with os.replace.
+    """
     import glob
     import hashlib
     import os
+    import shutil
+    import uuid
 
-    stage = os.path.join(
-        "/tmp/conecta_spark_stream",
-        hashlib.md5(src.encode()).hexdigest()[:12],
-    )
+    root = "/tmp/conecta_spark_stream"
+    key = hashlib.md5(src.encode()).hexdigest()[:12]
+    stage = os.path.join(root, key)
     if os.path.isdir(src):
         parts = sorted(glob.glob(os.path.join(src, "*.parquet")))
     else:
         parts = [src]
-    os.makedirs(stage, exist_ok=True)
     want = {
         f"{prefix}-{i:05d}.parquet": p for i, p in enumerate(parts)
     }
-    have = set(os.listdir(stage))
-    if have != set(want):
-        for name in have:
-            os.unlink(os.path.join(stage, name))
+    content = hashlib.md5(
+        "\n".join(f"{n}\t{t}" for n, t in sorted(want.items())).encode()
+    ).hexdigest()[:12]
+    version_dir = f"{stage}.v-{content}"
+    os.makedirs(root, exist_ok=True)
+    if not os.path.isdir(version_dir):
+        tmp = f"{stage}.tmp-{uuid.uuid4().hex[:12]}"
+        os.makedirs(tmp)
         for name, target in want.items():
-            os.symlink(target, os.path.join(stage, name))
+            os.symlink(target, os.path.join(tmp, name))
+        try:
+            os.rename(tmp, version_dir)
+        except OSError:
+            # another session won the rename race with identical content
+            shutil.rmtree(tmp, ignore_errors=True)
+    if os.path.islink(stage):
+        if os.readlink(stage) == version_dir:
+            return stage
+    elif os.path.isdir(stage):
+        # pre-content-addressing layout: a real directory of symlinks
+        shutil.rmtree(stage, ignore_errors=True)
+    tmp_link = os.path.join(root, f".{key}-{uuid.uuid4().hex[:12]}")
+    os.symlink(version_dir, tmp_link)
+    os.replace(tmp_link, stage)
     return stage
 
 
@@ -490,6 +523,65 @@ def x72_streaming_session_window(spark, sf_dir) -> DataFrame:
     return spark.table(name)
 
 
+#: Estimated in-store bytes per buffered stream-stream join state row
+#: (key + event-time + store/versioning overhead; HDFS-backed store).
+STATE_ROW_BYTES = 256
+#: Target state volume per state-store partition.  Each of a streaming
+#: join's 2 x N state stores pays a fixed open/commit cost per
+#: micro-batch, so partitions should be sized to state VOLUME, not the
+#: session's scan parallelism: measured ladder at sf0.1 (~40k buffered
+#: rows): 32 partitions = 5.9-10 s, 8 = 2.5-2.9 s, identical rows.
+STATE_PARTITION_TARGET_BYTES = 2 << 20
+
+
+def derive_state_partitions(
+    n_state_rows: int,
+    row_bytes: int = STATE_ROW_BYTES,
+    target_bytes: int = STATE_PARTITION_TARGET_BYTES,
+    max_partitions: int | None = None,
+) -> int:
+    """State-store partition count from estimated state volume: the
+    next power of two covering ``n_state_rows * row_bytes`` at
+    ``target_bytes`` per partition, clamped to ``[1, max_partitions]``.
+
+    Power of two so nearby corpus sizes don't thrash the count (a
+    streaming query freezes shuffle.partitions into its state layout at
+    first start, so the derivation must be stable run-to-run); the clamp
+    cap is the cluster's parallelism -- past that, more state partitions
+    only add fixed per-store overhead.  At sf0.1's ~40k buffered rows
+    this derives 8, reproducing the measured-optimal ladder point; at a
+    10M-event rung it derives the parallelism clamp, which is the
+    correct large-state answer."""
+    import math
+
+    need = math.ceil(max(1, n_state_rows) * row_bytes / target_bytes)
+    parts = 1 << max(0, math.ceil(math.log2(need))) if need > 1 else 1
+    if max_partitions is not None:
+        parts = max(1, min(parts, max_partitions))
+    return parts
+
+
+def _stream_session(spark, shuffle_partitions: int):
+    """A child SparkSession (shared SparkContext, isolated SQLConf) for
+    running one streaming query with its own state-partition count --
+    session-global conf mutation would leak the override into any query
+    planned concurrently (bench alongside driver).  The two
+    semantics-bearing confs are copied from the parent explicitly
+    because newSession() falls back to SparkConf, which does not see
+    runtime conf applied to a pre-existing parent."""
+    sess = spark.newSession()
+    for key in (
+        "spark.sql.session.timeZone",
+        "spark.sql.parquet.inferTimestampNTZ.enabled",
+    ):
+        try:
+            sess.conf.set(key, spark.conf.get(key))
+        except Exception:
+            pass
+    sess.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    return sess
+
+
 _X76_SEQ = iter(range(1, 1 << 30))
 
 
@@ -513,34 +605,41 @@ _X76_SEQ = iter(range(1, 1 << 30))
     "oracle = the x23 theta-join SQL",
 )
 def x76_streaming_interval_join(spark, sf_dir) -> DataFrame:
+    import os
+
     name = f"x76_ij_{next(_X76_SEQ)}"
-    # Size the state partitioning to the state volume, not the session's
-    # scan parallelism: a streaming query freezes shuffle.partitions into
-    # its state layout at first start, and each of the 2 x N state stores
-    # pays a fixed open/commit cost per micro-batch.  At this corpus's
-    # state size, 32 partitions measured 5.9-10 s vs 2.5-2.9 s at 8 --
-    # pure fixed overhead, identical rows.  This is the deployment knob
-    # (state partitions ~ state volume / target partition size), applied
-    # per-query and restored; it does not affect the batch session.
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            streaming_interval_pairs(read_event_stream(spark, sf_dir))
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
+    # Size the state partitioning to the state volume (the deployment
+    # knob: buffered rows x row width / target partition bytes -- see
+    # derive_state_partitions), estimated by a planner-style metadata
+    # probe: one event_type-column count of the join's two input slices,
+    # which under availableNow bounds the buffered state.  The override
+    # lives in a child session so concurrent queries in the parent never
+    # inherit it.
+    src = os.path.join(sf_dir, "events.parquet")
+    n_state = (
+        spark.read.parquet(src)
+        .where(F.col("event_type").isin("purchase", "error"))
+        .count()
+    )
+    parts = derive_state_partitions(
+        n_state,
+        max_partitions=spark.sparkContext.defaultParallelism,
+    )
+    sess = _stream_session(spark, parts)
+    q = (
+        streaming_interval_pairs(read_event_stream(sess, sf_dir))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError(
+            "x76 streaming query did not terminate in 300s"
         )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise RuntimeError(
-                "x76 streaming query did not terminate in 300s"
-            )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table(name).distinct()
+    return sess.table(name).distinct()
 
 
 _X75_SEQ = iter(range(1, 1 << 30))

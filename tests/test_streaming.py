@@ -627,3 +627,75 @@ def test_session_window_merges_across_microbatches(spark, tmp_path):
     assert (8, base, base + gap_us, 1) in got
     assert (8, base + gap_us + 1, base + 2 * gap_us + 1, 1) in got
     assert len(got) == 3
+
+
+# -- r10: state-partition derivation + staging atomicity ---------------------
+
+
+def test_derive_state_partitions_ladder():
+    """Pin the derivation at the two measured corpus sizes (sf0.1 derives
+    the ladder-optimal 8; sf0.01's ~4k state rows derive 1) and the
+    large-state clamp (a 10M-event rung saturates the parallelism cap)."""
+    from conecta_spark.streaming.events import derive_state_partitions
+
+    assert derive_state_partitions(39894, max_partitions=32) == 8
+    assert derive_state_partitions(3995, max_partitions=32) == 1
+    assert derive_state_partitions(4_000_000, max_partitions=32) == 32
+    # power-of-two stability: nearby sizes don't thrash the count
+    assert derive_state_partitions(35000, max_partitions=32) == 8
+    assert derive_state_partitions(45000, max_partitions=32) == 8
+    assert derive_state_partitions(0, max_partitions=32) == 1
+
+
+def test_x76_does_not_leak_shuffle_partitions(spark, sf_dir):
+    """The state-partition override must not escape into the parent
+    session (ADVICE r9: session-global conf mutation leaks into any
+    concurrently planned query)."""
+    from conecta_spark.queries import queries
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    queries()["x76_streaming_interval_join"](spark, sf_dir).collect()
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+
+
+def test_stage_dir_rebuilds_when_targets_change(spark, tmp_path):
+    """Same part COUNT but different part filenames (a Spark rewrite with
+    fresh UUID names) must repoint the stage -- staleness is detected by
+    symlink targets, not generated names (ADVICE r9)."""
+    import os
+
+    import pandas as pd
+
+    from conecta_spark.streaming.events import _stage_stream_dir
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    pd.DataFrame({"x": [1]}).to_parquet(f"{src}/part-aaaa.parquet")
+    s1 = _stage_stream_dir(src, "events")
+    v1 = os.readlink(s1)
+    t1 = os.readlink(os.path.join(s1, "events-00000.parquet"))
+    # rewrite: same count, different part name
+    os.unlink(f"{src}/part-aaaa.parquet")
+    pd.DataFrame({"x": [2]}).to_parquet(f"{src}/part-bbbb.parquet")
+    s2 = _stage_stream_dir(src, "events")
+    assert s2 == s1
+    v2 = os.readlink(s2)
+    t2 = os.readlink(os.path.join(s2, "events-00000.parquet"))
+    assert v2 != v1 and t2 != t1 and t2.endswith("part-bbbb.parquet")
+    # idempotent when nothing changed; old version dir still intact for
+    # any concurrent stream mid-listing (nothing is ever unlinked)
+    assert os.readlink(_stage_stream_dir(src, "events")) == v2
+    assert os.path.isdir(v1)
+
+
+def test_incremental_minhash_rejects_shared_ids(spark):
+    from conecta_spark.operators.dedup import incremental_minhash_pairs
+
+    corpus = spark.createDataFrame(
+        [(1, "aaaa bbbb cccc"), (2, "dddd eeee ffff")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(2, "gggg hhhh iiii")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="share doc ids"):
+        incremental_minhash_pairs(corpus, new)
