@@ -438,7 +438,8 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     max_df: float = 0.1,
     broadcast_verify: bool | str = "auto",
-    max_band_width: int | None = None,
+    max_band_width: int | str | None = None,
+    mine_disk_budget_bytes: int | None = None,
 ) -> DataFrame:
     """MinHash + LSH banding near-dup pairs with exact Jaccard verification.
 
@@ -481,10 +482,18 @@ def minhash_lsh_pairs(
     every band, so collapse them first (x05 -- the standard pipeline
     order, cf. pipeline.py); and the cap changes candidate semantics, so
     the registry entries / oracle keep the default ``None``.
+
+    ``max_band_width="auto"`` makes the miner self-protecting: the x74
+    width-histogram probe runs over the already-persisted banded
+    relation and picks the largest cap whose predicted candidate volume
+    (x :data:`CANDIDATE_BYTES`) fits ``mine_disk_budget_bytes``
+    (default: half the free shuffle-disk bytes) -- or no cap at all
+    when the uncapped mine fits, preserving default semantics.  See
+    :func:`auto_band_width`.
     """
     hashed, banded, broadcast_verify = _mine_banded(
         df, k, num_perms, bands, text_col, id_col, max_df,
-        broadcast_verify, max_band_width,
+        broadcast_verify, max_band_width, mine_disk_budget_bytes,
     )
     a, b = banded.alias("a"), banded.alias("b")
     cands = (
@@ -501,6 +510,81 @@ def minhash_lsh_pairs(
         .distinct()
     )
     return _verify_candidates(df, cands, hashed, threshold, id_col, broadcast_verify)
+
+
+#: Measured verify-join intermediate per candidate pair: the skinny
+#: (doc_a, doc_b) row plus the ~2.2 KB shingle array it drags through the
+#: exact-Jaccard join (SF10_RUNG mine_2m: 125M candidates ~= 256 GB).
+CANDIDATE_BYTES = 2200
+
+
+def _shuffle_disk_budget(spark) -> int:
+    """Half the free bytes on the shuffle-local volume -- the default
+    budget :func:`auto_band_width` prices candidate volume against.
+    Half, not all: the verify join's spill shares the volume with every
+    other stage's shuffle files."""
+    import os
+    import shutil
+
+    local = (
+        os.environ.get("SPARK_LOCAL_DIRS", "").split(",")[0]
+        or spark.conf.get("spark.local.dir", "/tmp")
+    ).split(",")[0]
+    if not os.path.isdir(local):
+        local = "/tmp"
+    return shutil.disk_usage(local).free // 2
+
+
+def auto_band_width(
+    banded: DataFrame,
+    disk_budget_bytes: int | None = None,
+    bytes_per_candidate: int = CANDIDATE_BYTES,
+) -> int | None:
+    """Pick ``max_band_width`` from the banded relation's width histogram
+    so predicted candidate volume fits the shuffle-disk budget -- the x74
+    pricing probe wired into the miner itself, so the operator is
+    self-protecting instead of requiring the user to know to probe (the
+    2M-doc rung at cap 1000 predicted 125M candidates ~= 256 GB and died
+    on a 76 GB-free box; cap 100 completed in 97 s).
+
+    One aggregation over the (persisted) banded relation groups bucket
+    widths into a histogram -- distinct-width cardinality, a
+    planner-scale relation -- which is collected and integrated
+    exactly: the chosen cap is the LARGEST bucket width ``w*`` such that
+    ``sum(w*(w-1)/2 for w <= w*) * bytes_per_candidate`` fits the
+    budget, i.e. maximal recall within the budget.  Returns ``None``
+    (no cap -- default semantics preserved) when the uncapped volume
+    already fits; raises when not even the narrowest buckets fit, which
+    means the corpus needs more disk, not a silent empty result."""
+    if disk_budget_bytes is None:
+        disk_budget_bytes = _shuffle_disk_budget(banded.sparkSession)
+    hist = (
+        banded.groupBy("band_idx", "band_key")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_buckets"))
+        .collect()
+    )
+    budget_pairs = disk_budget_bytes // bytes_per_candidate
+    total = 0
+    cap = None
+    for row in sorted(hist, key=lambda r: r["w"]):
+        w = row["w"]
+        total += row["n_buckets"] * (w * (w - 1) // 2)
+        if total > budget_pairs:
+            if cap is None or cap < 2:
+                # width-1 buckets generate zero pairs, so a "fitting"
+                # cap of 1 would be a silent empty mine, not protection
+                raise ValueError(
+                    "auto_band_width: even width-"
+                    f"{w} buckets exceed the candidate budget "
+                    f"({total} pairs x {bytes_per_candidate} B > "
+                    f"{disk_budget_bytes} B); increase shuffle disk or "
+                    "lower bytes_per_candidate if measured smaller"
+                )
+            return cap
+        cap = w
+    return None  # uncapped volume fits: keep default semantics
 
 
 def _verify_candidates(
@@ -545,7 +629,8 @@ def _mine_banded(
     id_col: str,
     max_df: float,
     broadcast_verify: bool | str,
-    max_band_width: int | None,
+    max_band_width: int | str | None,
+    mine_disk_budget_bytes: int | None = None,
 ):
     """Front half of the LSH mining pipeline, shared by
     :func:`minhash_lsh_pairs` (self-join candidates) and
@@ -645,6 +730,8 @@ def _mine_banded(
         "band_key",
     ).persist(StorageLevel.MEMORY_AND_DISK)
     _MINE_LIVE.append(banded)
+    if max_band_width == "auto":
+        max_band_width = auto_band_width(banded, mine_disk_budget_bytes)
     if max_band_width is not None:
         # Skew guard (see docstring): the over-cap key set is tiny (a
         # handful of hash-collapse artifacts), so the anti-join
@@ -672,8 +759,9 @@ def incremental_minhash_pairs(
     id_col: str = "doc_id",
     max_df: float = 0.1,
     broadcast_verify: bool | str = "auto",
-    max_band_width: int | None = None,
+    max_band_width: int | str | None = None,
     validate_ids: bool = True,
+    mine_disk_budget_bytes: int | None = None,
 ) -> DataFrame:
     """Incremental near-dup mining: exact-Jaccard-verified MinHash+LSH
     pairs with AT LEAST ONE side in ``new_df`` -- the daily-ingest shape,
@@ -725,7 +813,7 @@ def incremental_minhash_pairs(
     )
     hashed, banded, broadcast_verify = _mine_banded(
         union, k, num_perms, bands, text_col, id_col, max_df,
-        broadcast_verify, max_band_width,
+        broadcast_verify, max_band_width, mine_disk_budget_bytes,
     )
     new_ids = new_df.select(F.col(id_col).alias("_nid")).distinct()
     banded_new = banded.join(

@@ -134,3 +134,67 @@ def test_pipeline_survives_adversarial_corpus(spark):
     assert 0 < len(pairs) < 200  # cohort-quadratic would be ~11k
     for p in pairs:
         assert p.jaccard >= 0.5
+
+
+# -- r10: probe-driven auto cap (max_band_width="auto") -----------------------
+
+
+def _pair_set(df):
+    return {(r.doc_a, r.doc_b) for r in df.collect()}
+
+
+def test_auto_band_width_matches_explicit_cap(spark, oracle_dir):
+    """The probe-driven cap must mine exactly the pairs of the same cap
+    passed explicitly (the r9 verdict's done-criterion for making the
+    miner self-protecting), and a budget that fits the uncapped volume
+    must choose NO cap, preserving default semantics."""
+    from conecta_spark.operators.dedup import (
+        CANDIDATE_BYTES,
+        _mine_banded,
+        auto_band_width,
+        minhash_lsh_pairs,
+    )
+    from conecta_spark.queries import t
+
+    docs = t(spark, oracle_dir, "documents")
+    _, banded, _ = _mine_banded(
+        docs, 5, 16, 4, "text", "doc_id", 0.1, False, None
+    )
+    # a budget below the uncapped volume forces a real cap; the histogram
+    # at sf0.01 integrates to ~1.4k raw candidates, so 800 pairs of
+    # budget lands mid-ladder
+    budget = 800 * CANDIDATE_BYTES
+    cap = auto_band_width(banded, disk_budget_bytes=budget)
+    assert isinstance(cap, int) and cap >= 1
+    auto_pairs = _pair_set(
+        minhash_lsh_pairs(
+            docs, max_band_width="auto", mine_disk_budget_bytes=budget
+        )
+    )
+    explicit_pairs = _pair_set(minhash_lsh_pairs(docs, max_band_width=cap))
+    assert auto_pairs == explicit_pairs and auto_pairs
+    # a budget covering the uncapped volume chooses no cap at all
+    assert auto_band_width(banded, disk_budget_bytes=1 << 40) is None
+    uncapped = _pair_set(minhash_lsh_pairs(docs))
+    assert (
+        _pair_set(
+            minhash_lsh_pairs(
+                docs, max_band_width="auto", mine_disk_budget_bytes=1 << 40
+            )
+        )
+        == uncapped
+    )
+
+
+def test_auto_band_width_raises_when_nothing_fits(spark, oracle_dir):
+    """A budget below even the narrowest buckets' volume must raise (more
+    disk is the fix), never silently return an empty mine."""
+    from conecta_spark.operators.dedup import CANDIDATE_BYTES, _mine_banded, auto_band_width
+    from conecta_spark.queries import t
+
+    docs = t(spark, oracle_dir, "documents")
+    _, banded, _ = _mine_banded(
+        docs, 5, 16, 4, "text", "doc_id", 0.1, False, None
+    )
+    with pytest.raises(ValueError, match="auto_band_width"):
+        auto_band_width(banded, disk_budget_bytes=10 * CANDIDATE_BYTES)
