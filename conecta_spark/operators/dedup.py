@@ -428,6 +428,17 @@ def _prune_by_size_ratio(
 _MINE_LIVE: list = []
 
 
+def _evict_mine_live() -> None:
+    """Unpersist the previous mining pass's cached relations BEFORE the
+    next persist (never after -- CacheManager dedupes canonically-equal
+    plans, so unpersist-after would uncache the new entries too)."""
+    while _MINE_LIVE:
+        try:
+            _MINE_LIVE.pop().unpersist()
+        except Exception:
+            pass
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     threshold: float = 0.5,
@@ -510,6 +521,37 @@ def minhash_lsh_pairs(
         .distinct()
     )
     return _verify_candidates(df, cands, hashed, threshold, id_col, broadcast_verify)
+
+
+def band_signatures(
+    sigs: DataFrame, num_perms: int, bands: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, band_idx, band_key) from a MinHash signature relation
+    (``mh`` BIGINT array): explode ``bands`` band indices per row and md5
+    the signature slice.  Band key via element_at + concat_ws rather than
+    the equivalent transform(slice(...)) lambda: higher-order functions
+    are always interpreted (no whole-stage codegen), and this expression
+    runs once per (doc, band).  The two forms produce byte-identical
+    strings -- concat_ws on BIGINTs casts exactly like the lambda did --
+    so band keys, candidates, and the oracle twin are unchanged.
+    Measured steady-state for the full x07 operator: 3.7 s -> 2.7 s at
+    sf0.1.  Shared by the inline miner (:func:`_mine_banded`) and the
+    persisted signature store (minhash_store) -- the store's batch-side
+    banding must be byte-identical to the corpus-build-time banding or
+    candidates silently vanish."""
+    rows = num_perms // bands
+    band_elems = ", ".join(
+        f"element_at(mh, band_idx * {rows} + {j + 1})" for j in range(rows)
+    )
+    return sigs.select(
+        id_col,
+        F.explode(F.expr(f"sequence(0, {bands - 1})")).alias("band_idx"),
+        F.col("mh"),
+    ).select(
+        id_col,
+        "band_idx",
+        F.expr(f"md5(concat_ws('-', {band_elems}))").alias("band_key"),
+    )
 
 
 #: Measured verify-join intermediate per candidate pair: the skinny
@@ -639,18 +681,13 @@ def _mine_banded(
     signatures, banding (persisted, optionally width-capped).  Returns
     ``(hashed, banded, broadcast_verify_resolved)``; persist/eviction
     discipline documented at ``_MINE_LIVE``."""
-    rows = bands and num_perms // bands
     # The hashed-shingle relation feeds three consumers (DF stats, filtered
     # signatures, exact verification); persist it so the shingle hashing
     # runs once, not once per consumer.  MEMORY_AND_DISK: spills instead of
     # recomputing at scale.
     from pyspark import StorageLevel
 
-    while _MINE_LIVE:
-        try:
-            _MINE_LIVE.pop().unpersist()
-        except Exception:
-            pass
+    _evict_mine_live()
     hashed = hashed_shingles(df, k, text_col, id_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )
@@ -696,25 +733,7 @@ def _mine_banded(
         .where(F.size("shf") > 0)
     )
     sigs = minhash_signatures(filtered, num_perms, id_col)
-    # Band key via element_at + concat_ws rather than the equivalent
-    # transform(slice(...)) lambda: higher-order functions are always
-    # interpreted (no whole-stage codegen), and this expression runs once
-    # per (doc, band).  The two forms produce byte-identical strings --
-    # concat_ws on BIGINTs casts exactly like the lambda did -- so band
-    # keys, candidates, and the oracle twin are unchanged.  Measured
-    # steady-state for the full operator: 3.7 s -> 2.7 s at sf0.1.
-    band_elems = ", ".join(
-        f"element_at(mh, band_idx * {rows} + {j + 1})" for j in range(rows)
-    )
-    banded = sigs.select(
-        id_col,
-        F.explode(F.expr(f"sequence(0, {bands - 1})")).alias("band_idx"),
-        F.col("mh"),
-    ).select(
-        id_col,
-        "band_idx",
-        F.expr(f"md5(concat_ws('-', {band_elems}))").alias("band_key"),
-    )
+    banded = band_signatures(sigs, num_perms, bands, id_col)
     # Repartition by the band key so pair generation runs as wide as the
     # cluster instead of on AQE's byte-coalesced partitioning, then persist:
     # the banded relation is skinny (id, band_idx, 32-char key = KBs per
@@ -1168,7 +1187,9 @@ _DUCK_SH_HASHES = (
     f"list_transform({duck_shingles()}, s -> {duck_polyhash('s')})"
 )
 
-def _duck_mh_sigs(docs: str = "documents", cand_pred: str = "") -> str:
+def _duck_mh_sigs(
+    docs: str = "documents", cand_pred: str = "", df_pred: str = ""
+) -> str:
     """The x07 MinHash+LSH pipeline as DuckDB SQL over relation ``docs``.
 
     Parameterized so consumers can run the identical pipeline over a
@@ -1178,12 +1199,19 @@ def _duck_mh_sigs(docs: str = "documents", cand_pred: str = "") -> str:
     input DataFrame -- so slicing preserves cross-engine parity.
     ``cand_pred`` (an extra ``AND ...`` clause on the candidate join)
     scopes the PAIR set without touching the signatures -- x73 keeps
-    only pairs with at least one side in the "new batch"."""
+    only pairs with at least one side in the "new batch".  ``df_pred``
+    (a ``WHERE ...`` clause on doc_id) scopes the DOCUMENT-FREQUENCY
+    statistics -- both the boilerplate counts and the max_df denominator
+    -- to a corpus slice while signatures still span all of ``docs``:
+    the frozen-DF semantics of the persisted signature store (x77),
+    where a new batch is signed against the corpus-build-time DF table."""
+    df_and = df_pred and f" WHERE {df_pred}"
     return (
         f"WITH hashed AS (SELECT doc_id, {_DUCK_SH_HASHES} AS sh FROM {docs}), "
         "tok AS (SELECT doc_id, unnest(sh) AS h FROM hashed), "
-        "common AS (SELECT h FROM (SELECT h, COUNT(*) AS c FROM tok GROUP BY h) "
-        f" WHERE c > 0.1 * (SELECT COUNT(*) FROM {docs})), "
+        "common AS (SELECT h FROM (SELECT h, COUNT(*) AS c FROM tok"
+        f"{df_and} GROUP BY h) "
+        f" WHERE c > 0.1 * (SELECT COUNT(*) FROM {docs}{df_and})), "
         "filtered AS (SELECT doc_id, list(h) AS shf FROM tok "
         " WHERE h NOT IN (SELECT h FROM common) GROUP BY doc_id), "
         "sigs AS (SELECT doc_id, "

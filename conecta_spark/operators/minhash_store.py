@@ -1,0 +1,376 @@
+"""Persisted MinHash signature store: the daily-ingest contract for
+incremental near-dup mining at 100 TB.
+
+:func:`..operators.dedup.incremental_minhash_pairs` (x73) drives candidate
+generation from the new batch, so corpus x corpus pairs are never
+generated -- but it still RECOMPUTES the corpus's shingle hashes, DF
+filter, and MinHash signatures every run, an O(corpus) CPU pass that
+dwarfs the batch at a steady 100 TB corpus with a small daily crawl.
+This module persists that work once:
+
+* :func:`write_signature_store` -- one full mining front-half over the
+  corpus (shared code path with the inline miner: ``hashed_shingles``,
+  DF filter, ``minhash_signatures``, ``band_signatures``), written as
+  parquet relations plus a params manifest;
+* :func:`incremental_pairs_stored` -- signs ONLY the new batch (against
+  the store's frozen DF table), band-joins it against the stored banded
+  relation, and exact-verifies with shingle arrays read from the store;
+* :func:`append_batch` -- folds the batch's banded/shingle rows into the
+  store so tomorrow's batch mines against today's corpus.
+
+Frozen-DF semantics -- the one deliberate divergence from x73: the
+document-frequency statistics (boilerplate set and the ``max_df``
+denominator) are computed at store-build time over the CORPUS and reused
+verbatim for every batch, instead of recomputed over corpus-union-batch.
+That is what makes the batch pass O(batch): a union-DF would re-aggregate
+the corpus's token relation every day.  The trade is bounded and
+monitorable -- a shingle drifts across the threshold only when batch
+volume shifts its corpus-wide frequency past ``max_df``, so rebuild the
+store when cumulative appends exceed ~10-20% of the corpus (the manifest
+tracks ``n_docs`` at build vs appended).  The DuckDB oracle twin
+(``_duck_mh_sigs(df_pred=...)``) mirrors frozen-DF exactly, so the
+semantics are pinned cross-engine, not hand-waved.
+
+Store layout (all paths under ``path/``)::
+
+    manifest.json   params (k, num_perms, bands, max_df), n_docs at
+                    build, n_appended, schema version
+    banded/         (id, band_idx, band_key) parquet, repartitioned by
+                    (band_idx, band_key) so candidate-join buckets are
+                    file-clustered
+    shingles/       (id, sh array<bigint>) parquet, sorted by id within
+                    partitions so the verify join's row-group stats
+                    enable runtime skipping on selective candidates
+    common/         (h bigint) -- the frozen boilerplate shingle set
+
+Reference parity note: the reference engine has no incremental mining;
+this extends its dedup surface with the operation a training-data
+pipeline actually runs daily (SURVEY.md section 2.4 extension family).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dedup import (
+    VERIFY_BROADCAST_MAX_BYTES,
+    _estimate_shingle_bytes,
+    _evict_mine_live,
+    _MINE_LIVE,
+    _verify_candidates,
+    auto_band_width,
+    band_signatures,
+    hashed_shingles,
+    minhash_signatures,
+)
+
+from ..queries import register, t
+
+MANIFEST = "manifest.json"
+STORE_VERSION = 1
+
+
+def _manifest_path(path: str) -> str:
+    return os.path.join(path, MANIFEST)
+
+
+def read_manifest(path: str) -> dict:
+    with open(_manifest_path(path)) as f:
+        m = json.load(f)
+    if m.get("version") != STORE_VERSION:
+        raise ValueError(
+            f"signature store at {path}: version {m.get('version')} "
+            f"!= supported {STORE_VERSION}"
+        )
+    return m
+
+
+def write_signature_store(
+    df: DataFrame,
+    path: str,
+    k: int = 5,
+    num_perms: int = 16,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: float = 0.1,
+) -> dict:
+    """Build the corpus's signature store at ``path`` (parquet + manifest)
+    and return the manifest.  One pass of the mining front-half -- the
+    same relations the inline miner persists in memory, written durable.
+
+    The manifest is written LAST, so a crashed build leaves no manifest
+    and the store reads as absent rather than half-built."""
+    spark = df.sparkSession
+    parallelism = spark.sparkContext.defaultParallelism
+
+    hashed = hashed_shingles(df, k, text_col, id_col)
+    hashed.repartition(parallelism, id_col).sortWithinPartitions(
+        id_col
+    ).write.mode("overwrite").parquet(os.path.join(path, "shingles"))
+    # re-read rather than recompute: the shingle pass is the expensive
+    # CPU; everything downstream derives from the written relation, which
+    # also guarantees the store is self-consistent even if df is
+    # nondeterministic upstream
+    hashed = spark.read.parquet(os.path.join(path, "shingles"))
+    stats = hashed.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.size("sh")).alias("tot")
+    ).first()
+    n_docs, tot_hashes = stats["n"], stats["tot"] or 0
+
+    tok = hashed.select(F.col(id_col), F.explode("sh").alias("h"))
+    common = (
+        tok.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > F.lit(max_df) * F.lit(n_docs))
+        .select("h")
+    )
+    common.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "common")
+    )
+    common = spark.read.parquet(os.path.join(path, "common"))
+
+    banded = _sign_and_band(
+        hashed, common, num_perms, bands, id_col
+    )
+    banded.repartition(parallelism, "band_idx", "band_key").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "banded"))
+
+    manifest = {
+        "version": STORE_VERSION,
+        "k": k,
+        "num_perms": num_perms,
+        "bands": bands,
+        "max_df": max_df,
+        "id_col": id_col,
+        "text_col": text_col,
+        "n_docs": int(n_docs),
+        "tot_hashes": int(tot_hashes),
+        "n_appended": 0,
+    }
+    with open(_manifest_path(path), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest
+
+
+def _sign_and_band(
+    hashed: DataFrame,
+    common: DataFrame,
+    num_perms: int,
+    bands: int,
+    id_col: str,
+) -> DataFrame:
+    """Signature + banding back-half shared by store build and batch-side
+    signing: subtract the boilerplate set (broadcast 1-row array, the
+    same zero-extra-shuffle form as the inline miner), drop
+    boilerplate-only docs, MinHash, band."""
+    common_arr = common.agg(F.collect_list("h").alias("common_hs"))
+    filtered = (
+        hashed.crossJoin(F.broadcast(common_arr))
+        .select(
+            F.col(id_col), F.array_except("sh", "common_hs").alias("shf")
+        )
+        .where(F.size("shf") > 0)
+    )
+    return band_signatures(
+        minhash_signatures(filtered, num_perms, id_col),
+        num_perms,
+        bands,
+        id_col,
+    )
+
+
+def incremental_pairs_stored(
+    spark: SparkSession,
+    store_path: str,
+    new_df: DataFrame,
+    threshold: float = 0.5,
+    broadcast_verify: bool | str = "auto",
+    max_band_width: int | str | None = None,
+    mine_disk_budget_bytes: int | None = None,
+    validate_ids: bool = True,
+) -> DataFrame:
+    """Exact-Jaccard-verified near-dup pairs with at least one side in
+    ``new_df``, mining against the persisted store: the batch side is
+    hashed/signed/banded fresh (against the store's frozen DF table),
+    the corpus side is READ, never recomputed.
+
+    Per-run work: O(batch) CPU (shingle hashing, signatures) + one scan
+    of the skinny stored banded relation (the candidate join's big side)
+    + the verify join against stored shingle arrays.  Corpus x corpus
+    candidates are never generated -- the candidate join is driven by
+    the batch's banded rows, exactly like
+    :func:`..operators.dedup.incremental_minhash_pairs`.
+
+    ``max_band_width`` behaves as in the inline miner, including
+    ``"auto"`` (priced over stored-plus-batch band widths).  Width is
+    evaluated over the UNION, so a batch that lands in an already-wide
+    stored bucket is capped consistently with a from-scratch mine."""
+    from pyspark import StorageLevel
+
+    m = read_manifest(store_path)
+    id_col = m["id_col"]
+    stored_banded = spark.read.parquet(os.path.join(store_path, "banded"))
+    stored_sh = spark.read.parquet(os.path.join(store_path, "shingles"))
+    common = spark.read.parquet(os.path.join(store_path, "common"))
+
+    if validate_ids:
+        overlap = stored_sh.select(id_col).join(
+            F.broadcast(new_df.select(id_col).distinct()),
+            id_col,
+            "left_semi",
+        )
+        if not overlap.isEmpty():
+            sample = [r[0] for r in overlap.limit(5).collect()]
+            raise ValueError(
+                f"incremental_pairs_stored: store at {store_path} and "
+                f"new_df share doc ids (e.g. {sample}); ids must be "
+                "disjoint (append_batch after mining keeps them so)"
+            )
+
+    _evict_mine_live()
+    hashed_new = hashed_shingles(
+        new_df, m["k"], m["text_col"], id_col
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    _MINE_LIVE.append(hashed_new)
+    new_stats = hashed_new.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.size("sh")).alias("tot")
+    ).first()
+    if broadcast_verify == "auto":
+        broadcast_verify = (
+            _estimate_shingle_bytes(
+                m["n_docs"] + new_stats["n"],
+                m["tot_hashes"] + (new_stats["tot"] or 0),
+            )
+            <= VERIFY_BROADCAST_MAX_BYTES
+        )
+
+    banded_new = _sign_and_band(
+        hashed_new, common, m["num_perms"], m["bands"], id_col
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    _MINE_LIVE.append(banded_new)
+    banded_all = stored_banded.unionByName(banded_new)
+    if max_band_width == "auto":
+        max_band_width = auto_band_width(banded_all, mine_disk_budget_bytes)
+    if max_band_width is not None:
+        wide = (
+            banded_all.groupBy("band_idx", "band_key")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > max_band_width)
+            .select("band_idx", "band_key")
+        )
+        banded_all = banded_all.join(
+            F.broadcast(wide), ["band_idx", "band_key"], "left_anti"
+        )
+        banded_new = banded_new.join(
+            F.broadcast(wide), ["band_idx", "band_key"], "left_anti"
+        )
+
+    a, b = banded_new.alias("a"), banded_all.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias(
+                "doc_a"
+            ),
+            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias(
+                "doc_b"
+            ),
+        )
+        .distinct()
+    )
+    sh_all = stored_sh.unionByName(hashed_new)
+    return _verify_candidates(
+        sh_all, cands, sh_all, threshold, id_col, broadcast_verify
+    )
+
+
+def append_batch(
+    spark: SparkSession, store_path: str, new_df: DataFrame
+) -> dict:
+    """Fold a mined batch into the store: append its shingle and banded
+    rows (signed against the frozen DF table -- identical to what
+    :func:`incremental_pairs_stored` just banded) and bump the
+    manifest's ``n_appended``.  The DF table stays frozen; rebuild the
+    store when ``n_appended`` approaches ~10-20% of ``n_docs``."""
+    from pyspark import StorageLevel
+
+    m = read_manifest(store_path)
+    id_col = m["id_col"]
+    hashed_new = hashed_shingles(
+        new_df, m["k"], m["text_col"], id_col
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        n_new = hashed_new.count()
+        hashed_new.write.mode("append").parquet(
+            os.path.join(store_path, "shingles")
+        )
+        common = spark.read.parquet(os.path.join(store_path, "common"))
+        banded_new = _sign_and_band(
+            hashed_new, common, m["num_perms"], m["bands"], id_col
+        )
+        banded_new.write.mode("append").parquet(
+            os.path.join(store_path, "banded")
+        )
+    finally:
+        hashed_new.unpersist()
+    m["n_appended"] = int(m["n_appended"]) + n_new
+    with open(_manifest_path(store_path), "w") as f:
+        json.dump(m, f, indent=1)
+    return m
+
+
+# -- registry -----------------------------------------------------------------
+
+from .dedup import _duck_mh_sigs, _X73_CUT  # noqa: E402
+
+
+def _store_path(spark: SparkSession, sf_dir: str, n_docs: int, cut: int) -> str:
+    import hashlib
+
+    key = hashlib.md5(
+        f"{sf_dir}|{n_docs}|{cut}|v{STORE_VERSION}".encode()
+    ).hexdigest()[:12]
+    return os.path.join("/tmp/conecta_spark_sigstore", key)
+
+
+@register(
+    "x77_stored_incremental_near_dup",
+    _duck_mh_sigs(
+        cand_pred=(
+            f" AND (a.doc_id >= {_X73_CUT} OR b.doc_id >= {_X73_CUT})"
+        ),
+        df_pred=f"doc_id < {_X73_CUT}",
+    ),
+    "PERSISTED-STORE incremental near-dup mining: the corpus's banded "
+    "signatures, shingle arrays, and frozen DF table are built once and "
+    "written as a parquet signature store; the 'new batch' (newest fifth "
+    "of doc ids) is hashed/signed/banded fresh against the frozen DF "
+    "table and band-joined against the STORED relation -- corpus "
+    "signatures are read, never recomputed (the r9 verdict's daily-"
+    "ingest contract; x73 recomputes both sides every run).  Oracle = "
+    "the x07 pipeline with DF statistics scoped to the corpus slice "
+    "(frozen-DF semantics, df_pred) and the x73 cross-side candidate "
+    "predicate",
+)
+def x77_stored_incremental(spark, sf_dir) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    n = docs.count()
+    cut = (4 * n) // 5
+    id_col = "doc_id"
+    corpus = docs.where(F.col(id_col) < cut)
+    new = docs.where(F.col(id_col) >= cut)
+    path = _store_path(spark, sf_dir, n, cut)
+    if not os.path.exists(_manifest_path(path)):
+        write_signature_store(corpus, path)
+    return incremental_pairs_stored(spark, path, new, threshold=0.5)

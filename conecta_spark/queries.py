@@ -378,6 +378,7 @@ def _load_extensions() -> None:
         "conecta_spark.operators.asof",
         "conecta_spark.operators.cluster",
         "conecta_spark.operators.skyline",
+        "conecta_spark.operators.minhash_store",
         "conecta_spark.operators.stringsim",
         "conecta_spark.functions.sampling",
         "conecta_spark.functions.zorder",
@@ -402,58 +403,59 @@ def _load_extensions() -> None:
 # extension operator (x01-x29), then the SQL-surface queries whose oracle SQL
 # changed this round (re-proof needed), then the remaining SQL-surface
 # variants that were already hash-green in round 1.
-# Window composition for round 9 (exactly 50 slots), per the round-8
-# verdict (task 1):
-#   1. core q01/q02/q12 (every-round scan/projection/agg smoke);
-#   2. standing regression sentinels: x16 (TIMESTAMP_NTZ testdata drift),
-#      x56 (oracle numeric-kind class), x65 (real Structured Streaming
-#      driver row);
-#   3. x52, whose oracle SQL was rewritten sub-quadratic (SFS 3-phase)
-#      in r8 and has never had a driver row behind the new oracle
-#      (twin-proven only until now), plus x70, NEW this round (real-PNG
-#      decode proof) and needing its first driver row;
-#   4. 42 of the 43-entry r6 freshness floor (histogram r6:43 / r7:44 /
-#      r8:50 going in, computed from CORRECTNESS_r01-r08) -- this set
-#      already includes x06, the other r8-rewritten oracle, so both
-#      never-driver-run oracles land rows this round.
-# 3 + 3 + 2 + 42 = 50 with exactly ONE carried entry: q04_bounded_last
-# (its class twin q03_bounded_interior stays in-window; q04 rotates
-# FIRST in r10 -- the one documented r6 carry the verdict budgeted).
-# Post-r9 freshness floor: r7, one r6 row (q04).  Everything below slot
-# 50 has a green r6/r7/r8 row and stays locally oracle-checked every
-# test run -- EXCEPT x71 (streaming dedup state), x72 (native streaming
-# session windows), x73 (incremental near-dup mining), x74 (mining
-# cost probe), x75 (streaming stream-static enrichment), and x76
-# (streaming stream-stream interval join), all added late-r9 after the
-# window was spent: their proof this round is the whole-registry twin +
-# sf0.1 sweep (the same explicit trade the r8 verdict endorsed for
-# x06/x52), and they take first-priority slots in r10 alongside q04.
+# Window composition for round 10 (exactly 50 slots), per the round-9
+# verdict (task 1 -- the budgeted rotation):
+#   1. the seven entries with NO driver row in the freshness policy:
+#      q04 (the one r6 carry) and x71-x76 (added late-r9 after the
+#      window was spent; twin/sweep + judge-rerun proven until now);
+#   2. x77, NEW this round (persisted-signature-store incremental
+#      mining, frozen-DF oracle) -- first driver row;
+#   3. core q01/q02/q12 (every-round scan/projection/agg smoke);
+#   4. standing regression sentinels: x16 (TIMESTAMP_NTZ testdata
+#      drift), x56 (oracle numeric-kind class), x65 (real Structured
+#      Streaming driver row);
+#   5. 36 of the 43-entry r7 freshness floor (histogram going into r10:
+#      r6:1 / r7:43 / r8:44 / r9:50, computed from CORRECTNESS_r01-r09).
+# 7 + 1 + 3 + 3 + 36 = 50 with exactly SEVEN carried r7 entries
+# (q45-q51): all pure SQL-surface variants (sql_surface.py) whose
+# engine-side code hasn't moved since r7 and whose classes (string agg,
+# range frames, set ops, outer/right joins, recursion, lateral) each
+# stay locally oracle-checked every test run; they rotate FIRST in r11.
+# Post-r10 freshness floor: r7 (those seven), then r8.
+_ROTATION_FIRSTS = ("q04", "x71", "x72", "x73", "x74", "x75", "x76")
+_NEW_THIS_ROUND = ("x77",)
 _CORE_SMOKE = ("q01", "q02", "q12")
 _REGRESSION_SENTINELS = ("x16", "x56", "x65")
-_REWRITTEN_ORACLE_PROOF = ("x52", "x70")
-_STALE_R6_REFRESH = (
-    "q03", "q05", "q06", "q07", "q08", "q09", "q10", "q11",
-    "q13", "q14", "q15", "q16", "q24", "q35", "q37",
-    "x01", "x02", "x03", "x04", "x06", "x09", "x10", "x12", "x13",
-    "x14", "x15", "x17", "x19", "x20", "x21", "x24", "x25", "x27",
-    "x28", "x29", "x30", "x31", "x32", "x33", "x67", "x68", "x69",
+_STALE_R7_REFRESH = (
+    "q40", "q41", "q42", "q43", "q44",
+    "x11", "x22", "x23", "x34", "x35", "x36", "x37", "x38", "x39",
+    "x40", "x41", "x42", "x43", "x44", "x45", "x46", "x47", "x48",
+    "x49", "x50", "x51", "x53", "x54", "x55", "x57", "x58", "x59",
+    "x60", "x61", "x62", "x63",
 )
 _WINDOW = (
-    _CORE_SMOKE
+    _ROTATION_FIRSTS
+    + _NEW_THIS_ROUND
+    + _CORE_SMOKE
     + _REGRESSION_SENTINELS
-    + _REWRITTEN_ORACLE_PROOF
-    + _STALE_R6_REFRESH
+    + _STALE_R7_REFRESH
 )
 _PRIORITY_TIERS: tuple[tuple[str, ...], ...] = (
+    _ROTATION_FIRSTS,
+    _NEW_THIS_ROUND,
     _CORE_SMOKE,
     _REGRESSION_SENTINELS,
-    _REWRITTEN_ORACLE_PROOF,
-    _STALE_R6_REFRESH,
-    # below the 50-slot window: r7/r8 greens -- newest proofs last to
-    # demote, oldest already above
-    tuple(f"q{i:02d}" for i in range(3, 69) if f"q{i:02d}" not in _WINDOW),
+    _STALE_R7_REFRESH,
+    # below the 50-slot window: the seven r7 carries first (they lead
+    # the r11 rotation), then r8/r9 greens -- newest proofs last
+    ("q45", "q46", "q47", "q48", "q49", "q50", "q51"),
     tuple(
-        f"x{i:02d}" for i in range(1, 77) if f"x{i:02d}" not in _WINDOW
+        f"q{i:02d}"
+        for i in range(3, 69)
+        if f"q{i:02d}" not in _WINDOW and not 45 <= i <= 51
+    ),
+    tuple(
+        f"x{i:02d}" for i in range(1, 78) if f"x{i:02d}" not in _WINDOW
     ),
 )
 

@@ -1,0 +1,149 @@
+"""Persisted MinHash signature store (operators/minhash_store.py, x77).
+
+The frozen-DF registry semantics are pinned cross-engine by the x77
+DuckDB oracle (test_oracle.py runs every registry entry); these tests pin
+the store mechanics the oracle can't see: recompute-equivalence when DF
+statistics coincide, append-then-mine (the actual daily loop), id
+hygiene, and manifest crash-safety.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _pairs(df):
+    return {(r.doc_a, r.doc_b) for r in df.collect()}
+
+
+@pytest.fixture()
+def corpus(spark):
+    # 30 unique-text docs + 3 near-dup partners of docs 0-2: no shingle
+    # reaches the 10% DF threshold, so frozen-DF == union-DF and the
+    # store must reproduce the recompute path exactly
+    base = [
+        (i, f"document number {i} about topic-{i % 7} with unique tail "
+            f"{'x' * (i % 5)}{i * 1234567}")
+        for i in range(30)
+    ]
+    return _docs(spark, base)
+
+
+@pytest.fixture()
+def batch(spark):
+    return _docs(
+        spark,
+        [
+            (100, "document number 0 about topic-0 with unique tail 0"),
+            (101, "document number 1 about topic-1 with unique tail x1234567"),
+            (102, "completely unrelated fresh text nothing shared qqq"),
+        ],
+    )
+
+
+def test_store_matches_recompute(spark, corpus, batch, tmp_path):
+    """When no shingle crosses the DF threshold, the stored-incremental
+    mine must equal the full-recompute incremental mine pair-for-pair --
+    the store changes WHERE signatures come from, not what they are."""
+    from conecta_spark.operators.dedup import incremental_minhash_pairs
+    from conecta_spark.operators.minhash_store import (
+        incremental_pairs_stored,
+        write_signature_store,
+    )
+
+    path = str(tmp_path / "store")
+    m = write_signature_store(corpus, path)
+    assert m["n_docs"] == 30
+    stored = _pairs(
+        incremental_pairs_stored(spark, path, batch, threshold=0.3)
+    )
+    recompute = _pairs(
+        incremental_minhash_pairs(corpus, batch, threshold=0.3)
+    )
+    assert stored == recompute and stored  # non-vacuous
+
+
+def test_append_then_mine_next_batch(spark, corpus, batch, tmp_path):
+    """The daily loop: mine batch-1, append it, then batch-2's mine must
+    find pairs against batch-1 docs read from the store."""
+    from conecta_spark.operators.minhash_store import (
+        append_batch,
+        incremental_pairs_stored,
+        read_manifest,
+        write_signature_store,
+    )
+
+    path = str(tmp_path / "store")
+    write_signature_store(corpus, path)
+    append_batch(spark, path, batch)
+    assert read_manifest(path)["n_appended"] == 3
+    batch2 = _docs(
+        spark,
+        [(200, "completely unrelated fresh text nothing shared qqq")],
+    )
+    pairs = _pairs(
+        incremental_pairs_stored(spark, path, batch2, threshold=0.3)
+    )
+    # doc 200 duplicates batch-1's doc 102, now served from the store
+    assert (102, 200) in pairs
+    # corpus x corpus / batch1-internal pairs are NOT re-emitted: every
+    # pair has the new side in it
+    assert all(b == 200 or a == 200 for a, b in pairs)
+
+
+def test_store_rejects_overlapping_ids(spark, corpus, batch, tmp_path):
+    from conecta_spark.operators.minhash_store import (
+        append_batch,
+        incremental_pairs_stored,
+        write_signature_store,
+    )
+
+    path = str(tmp_path / "store")
+    write_signature_store(corpus, path)
+    append_batch(spark, path, batch)
+    with pytest.raises(ValueError, match="share doc ids"):
+        incremental_pairs_stored(spark, path, batch)
+
+
+def test_half_built_store_reads_as_absent(spark, corpus, tmp_path):
+    """The manifest is written last: a build that died mid-write leaves
+    parquet dirs but no manifest, and consumers must see no store."""
+    from conecta_spark.operators.minhash_store import (
+        MANIFEST,
+        read_manifest,
+        write_signature_store,
+    )
+
+    path = str(tmp_path / "store")
+    write_signature_store(corpus, path)
+    os.remove(os.path.join(path, MANIFEST))
+    with pytest.raises(FileNotFoundError):
+        read_manifest(path)
+
+
+def test_batch_is_signed_against_frozen_common_set(spark, tmp_path):
+    """A batch doc made entirely of corpus boilerplate (every shingle in
+    the frozen common set) must produce no bands and no pairs -- the
+    frozen DF table really is applied to the batch side."""
+    from conecta_spark.operators.minhash_store import (
+        incremental_pairs_stored,
+        write_signature_store,
+    )
+
+    boiler = "subscribe to our newsletter for updates "
+    corpus = _docs(
+        spark,
+        [(i, boiler + f"unique trailer {i * 999331}") for i in range(20)],
+    )
+    path = str(tmp_path / "store")
+    write_signature_store(corpus, path)
+    batch = _docs(spark, [(100, boiler.strip())])
+    out = incremental_pairs_stored(spark, path, batch, threshold=0.1)
+    assert out.count() == 0

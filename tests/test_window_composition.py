@@ -32,19 +32,17 @@ def test_sentinels_and_core_smoke_stay_in_window():
         assert required in window_prefixes, required
 
 
-def test_r9_rewritten_oracles_get_driver_rows():
-    """Round-9 promise (r8 verdict task 1): x06 and x52 -- the two entries
-    whose oracle SQL was rewritten sub-quadratic in r8 -- must sit inside
-    the 50-slot window so the new oracles finally earn driver rows."""
-    window_prefixes = {
-        n.split("_", 1)[0] for n in list(entry.queries())[:50]
-    }
-    assert "x06" in window_prefixes
-    assert "x52" in window_prefixes
-    # x70 is NEW in r9 (real-PNG decode proof): a new entry outside the
-    # window would be a never-driver-run gap; its slot is the one
-    # documented r6 carry (q04, rotating first in r10)
-    assert "x70" in window_prefixes
+def test_r10_rotation_firsts_get_driver_rows():
+    """Round-10 promise (r9 verdict task 1): the seven entries with no
+    driver row under the freshness policy -- q04 (the one r6 carry) and
+    x71-x76 (added late-r9 after the window was spent) -- plus x77 (NEW
+    this round: persisted-signature-store incremental mining) must lead
+    the window so every registry entry has a driver row."""
+    window = list(entry.queries())[:50]
+    leaders = [n.split("_", 1)[0] for n in window[:8]]
+    assert leaders == [
+        "q04", "x71", "x72", "x73", "x74", "x75", "x76", "x77"
+    ], leaders
 
 
 def test_every_entry_is_oracled():
