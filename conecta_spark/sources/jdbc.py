@@ -51,6 +51,21 @@ PG_TYPEOF_ALIASES: dict[str, str] = {
 }
 
 
+def normalize_pg_typeof(t: str) -> str:
+    """``pg_typeof(...)::text`` spelling -> the bridge's internal name.
+
+    Arrays: pg_typeof spells them ``integer[]`` / ``double precision[]``,
+    while the bridge (types.PG_TO_SPARK) keys them in catalog form
+    ``_int4`` / ``_float8`` -- normalize the element spelling first, then
+    prefix.  Before this the bridge raised UnsupportedPgTypeError on
+    every array column a real query returned (the element aliases never
+    matched the ``[]`` spelling); pinned e2e by the recorded array
+    fixture in tests/test_jdbc_fixture_e2e.py."""
+    if t.endswith("[]"):
+        return "_" + normalize_pg_typeof(t[:-2])
+    return PG_TYPEOF_ALIASES.get(t, t)
+
+
 def min_max_sql(query: str, column: str) -> str:
     """The exact aggregate shape the reference pushes down
     (postgres.rs:585-592)."""
@@ -123,9 +138,7 @@ class JDBCSource(Source):
         ).collect()
         if not row:  # empty result set: nothing to normalize
             return {}
-        return {
-            c: PG_TYPEOF_ALIASES.get(row[0][c], row[0][c]) for c in cols
-        }
+        return {c: normalize_pg_typeof(row[0][c]) for c in cols}
 
     def _bridge(self, df: DataFrame, sql: str) -> DataFrame:
         """Unconditional post-read normalization, matching the reference's

@@ -40,18 +40,24 @@ class ReplayJDBC(JDBCSource):
     must match a recorded statement (no fallback -- the statement script is
     part of the contract)."""
 
-    def __init__(self, spark):
+    def __init__(
+        self,
+        spark,
+        rows_file: str = "rows.parquet",
+        typeof_file: str = "typeof.parquet",
+        sql: str = SQL,
+    ):
         super().__init__(spark, url="jdbc:postgresql://recorded/db")
-        rows = spark.read.parquet(os.path.join(FIXDIR, "rows.parquet"))
+        rows = spark.read.parquet(os.path.join(FIXDIR, rows_file))
         cols = rows.columns
         typed = ", ".join(f'pg_typeof("{c}")::text as "{c}"' for c in cols)
         typeof_sql = (
-            f"select {typed} from ({SQL}) as typeof_inner limit 1"
+            f"select {typed} from ({sql}) as typeof_inner limit 1"
         )
         self._exchange = {
-            SQL: rows,
+            sql: rows,
             typeof_sql: spark.read.parquet(
-                os.path.join(FIXDIR, "typeof.parquet")
+                os.path.join(FIXDIR, typeof_file)
             ),
         }
         self.statements: list[str] = []
@@ -116,3 +122,72 @@ def test_typeof_alias_normalization_applies_on_the_recorded_probe(spark):
     assert types["t"] == "time"
     assert types["id"] == "int4"
     assert types["pt"] == "point"
+
+
+# -- r10: arrays through the bridge + the binary geo decode path -------------
+
+ARR_SQL = "select * from typed_rows_arr"
+
+
+def test_array_columns_bridge_end_to_end(spark):
+    """pg arrays land list-typed from Spark's JDBC layer while pg_typeof
+    reports 'integer[]' spellings: the alias layer must normalize them to
+    the bridge's '_int4' catalog names, or every array column raises
+    UnsupportedPgTypeError (the pre-r10 behavior this pins against)."""
+    src = ReplayJDBC(
+        spark, "rows_arr.parquet", "typeof_arr.parquet", ARR_SQL
+    )
+    types = src.pg_column_types(ARR_SQL)
+    assert types == {
+        "id": "int4",
+        "tags": "_text",
+        "scores": "_float8",
+        "counts": "_int4",
+        "bigs": "_int8",
+        "flags": "_bool",
+    }
+    tbl = read_sql(src, ARR_SQL, return_backend="pyarrow")
+    d = tbl.to_pydict()
+    assert d["tags"] == [["a", "b"], [], None]
+    assert d["scores"] == [[1.5, -2.25], [0.0], None]
+    assert d["counts"] == [[1, 2, 3], [0], None]
+    assert d["bigs"] == [[9007199254740993], [], None]
+    assert d["flags"] == [[True, False], [True], None]
+
+
+def test_binary_geo_decoders_equal_text_path_on_same_geometries(
+    spark, replayed
+):
+    """Every O17 geo type end-to-end through the BINARY wire decoders
+    (bytea-staged parquet, the COPY BINARY ingestion path): decoding the
+    recorded wire bytes must land exactly the text-path result for the
+    same geometries -- the two wire forms are one logical type."""
+    from conecta_spark.types import decode_geo_binary
+
+    _, text_tbl = replayed
+    staged = spark.read.parquet(
+        os.path.join(FIXDIR, "rows_geo_binary.parquet")
+    )
+    geo_types = {
+        "pt": "point",
+        "poly": "polygon",
+        "circ": "circle",
+        "bx": "box",
+        "seg": "lseg",
+        "ln": "line",
+        "pth": "path",
+    }
+    decoded = staged.select(
+        "id",
+        *[
+            decode_geo_binary(c, pg).alias(c)
+            for c, pg in geo_types.items()
+        ],
+    )
+    got = decoded.orderBy("id").toPandas()
+    text = text_tbl.to_pydict()
+    for c in geo_types:
+        binary_vals = [
+            None if v is None else [float(x) for x in v] for v in got[c]
+        ]
+        assert binary_vals == text[c], c
