@@ -98,6 +98,7 @@ def write_signature_store(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_df: float = 0.1,
+    manifest_extra: dict | None = None,
 ) -> dict:
     """Build the corpus's signature store at ``path`` (parquet + manifest)
     and return the manifest.  One pass of the mining front-half -- the
@@ -152,6 +153,7 @@ def write_signature_store(
         "n_docs": int(n_docs),
         "tot_hashes": int(tot_hashes),
         "n_appended": 0,
+        **(manifest_extra or {}),
     }
     with open(_manifest_path(path), "w") as f:
         json.dump(manifest, f, indent=1)
@@ -335,7 +337,38 @@ def append_batch(
 from .dedup import _duck_mh_sigs, _X73_CUT  # noqa: E402
 
 
+def _corpus_fingerprint(sf_dir: str) -> str:
+    """Content fingerprint of the documents source: every parquet file
+    (recursive -- partitioned layouts keep part files in subdirectories)
+    with its size and mtime.  Raises on an empty file set rather than
+    degenerating to a fingerprint that can't detect regeneration."""
+    import glob
+    import hashlib
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    parts = (
+        sorted(
+            glob.glob(os.path.join(src, "**", "*.parquet"), recursive=True)
+        )
+        if os.path.isdir(src)
+        else [src]
+    )
+    if not parts:
+        raise ValueError(f"no parquet files under {src}")
+    stats = []
+    for p in parts:
+        st = os.stat(p)
+        stats.append(f"{p}:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.md5("|".join(stats).encode()).hexdigest()[:16]
+
+
 def _store_path(spark: SparkSession, sf_dir: str, n_docs: int, cut: int) -> str:
+    """Cache path for the registry's corpus store: STABLE key (one dir
+    per config, never orphaned), with staleness handled by comparing the
+    manifest's ``corpus_fingerprint`` against the current source and
+    rebuilding IN PLACE on mismatch -- regenerated testdata with the
+    same row count must not serve a stale store whose signatures no
+    longer match the corpus."""
     import hashlib
 
     key = hashlib.md5(
@@ -371,6 +404,13 @@ def x77_stored_incremental(spark, sf_dir) -> DataFrame:
     corpus = docs.where(F.col(id_col) < cut)
     new = docs.where(F.col(id_col) >= cut)
     path = _store_path(spark, sf_dir, n, cut)
-    if not os.path.exists(_manifest_path(path)):
-        write_signature_store(corpus, path)
+    fp = _corpus_fingerprint(sf_dir)
+    try:
+        current = read_manifest(path).get("corpus_fingerprint") == fp
+    except (OSError, ValueError):
+        current = False
+    if not current:  # absent, half-built, or stale: rebuild in place
+        write_signature_store(
+            corpus, path, manifest_extra={"corpus_fingerprint": fp}
+        )
     return incremental_pairs_stored(spark, path, new, threshold=0.5)

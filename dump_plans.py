@@ -51,6 +51,14 @@ SHOWCASE: list[tuple[str, str]] = [
         "No CartesianProduct node anywhere.",
     ),
     (
+        "x77_stored_incremental_near_dup",
+        "Stored-incremental mining: the corpus side of the candidate join "
+        "is a parquet SCAN of the persisted banded relation (ReadSchema = "
+        "the three skinny band columns) driven by the batch's freshly "
+        "banded rows; corpus signatures are read, never recomputed, and "
+        "no CartesianProduct node appears.",
+    ),
+    (
         "x10_knn_cosine_topk",
         "Brute-force kNN ranks via TakeOrderedAndProject: a k-row heap per "
         "partition merged on the driver, not a global sort.",

@@ -355,3 +355,19 @@ def test_x69_tokens_split_once_in_plan(spark, sf):
     p = plan(REGISTRY["x69_gopher_repetition"].fn(spark, sf))
     assert p.count("split(") == 1, p.count("split(")
     assert p.count("aggregate(") == 4, p.count("aggregate(")
+
+
+def test_x77_store_is_scanned_not_recomputed(spark, sf):
+    """x77: the corpus side of the candidate join must be a parquet SCAN
+    of the persisted banded relation (skinny 3-column ReadSchema), with
+    no CartesianProduct anywhere -- corpus signatures are read, never
+    recomputed (the store's whole point)."""
+    p = plan(REGISTRY["x77_stored_incremental_near_dup"].fn(spark, sf))
+    banded_scans = [
+        ln
+        for ln in p.splitlines()
+        if "ReadSchema" in ln and "band_key" in ln
+    ]
+    assert banded_scans, p
+    assert all("sh" not in ln.split("ReadSchema")[1] for ln in banded_scans)
+    assert "CartesianProduct" not in p
