@@ -41,6 +41,11 @@ import sf10_rung
 
 CAP = int(os.environ.get("STORE_RUNG_CAP", "100"))
 STORE_DIR = os.environ.get("STORE_RUNG_DIR", "/tmp/conecta_spark_store_rung")
+#: Corpus override: a documents.parquet dir/file and a block-key label,
+#: e.g. STORE_RUNG_SF=/root/repo/testdata_sf20 STORE_RUNG_LABEL=1m for
+#: the 1M-doc second corpus point (default: the 500k SF10 corpus).
+SF_OVERRIDE = os.environ.get("STORE_RUNG_SF", "")
+LABEL = os.environ.get("STORE_RUNG_LABEL", "500k")
 
 
 def main() -> None:
@@ -68,7 +73,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     from pyspark.sql import functions as F
 
-    docs = spark.read.parquet(f"{sf10_rung.SF10_DIR}/documents.parquet")
+    src_dir = SF_OVERRIDE or sf10_rung.SF10_DIR
+    docs = spark.read.parquet(f"{src_dir}/documents.parquet")
     n = docs.count()
     cut_row = docs.selectExpr(
         "percentile_disc(0.8) WITHIN GROUP (ORDER BY doc_id) AS cut"
@@ -78,7 +84,7 @@ def main() -> None:
     corpus = docs.where(F.col("doc_id") < cut)
     n_new = new.count()
 
-    store_path = os.path.join(STORE_DIR, f"cap{CAP}")
+    store_path = os.path.join(STORE_DIR, f"{LABEL}-cap{CAP}")
     shutil.rmtree(store_path, ignore_errors=True)
     t0 = time.perf_counter()
     manifest = write_signature_store(corpus, store_path)
@@ -136,7 +142,7 @@ def main() -> None:
             rung = json.load(f)
     except OSError:
         rung = {}
-    rung[f"stored_incremental_500k_cap{CAP}"] = block
+    rung[f"stored_incremental_{LABEL}_cap{CAP}"] = block
     with open(rung_path, "w") as f:
         json.dump(rung, f, indent=1)
     print(json.dumps({"metric": "store_rung", **block}))
