@@ -1489,18 +1489,23 @@ _X09_ORACLE = (
 def x09_minhash_ml(spark, sf_dir) -> DataFrame:
     from pyspark.sql.window import Window
 
-    docs = t(spark, sf_dir, "documents").where(F.col("doc_id") < X09_SLICE)
-    ml_pairs = [
-        (r.doc_a, r.doc_b)
-        for r in minhash_lsh_ml(docs, threshold=0.5)
-        .select("doc_a", "doc_b")
-        .collect()
-    ]
+    # evict the PREVIOUS call's ml internals before this call persists
+    # its own (the _MINE_LIVE evict-before-persist rule); the relations
+    # stay referenced by this call's lazy plan until execution, where
+    # they re-persist
     while _X09_LIVE:
         try:
             _X09_LIVE.pop().unpersist()
         except Exception:
             pass
+    docs = t(spark, sf_dir, "documents").where(F.col("doc_id") < X09_SLICE)
+    # ml pair relation kept DISTRIBUTED end-to-end (pre-r10 this was a
+    # driver collect + re-createDataFrame -- bounded by the slice but
+    # still the anti-pattern); the total ml pair count the precision
+    # flag needs rides in as a broadcast 1-row count join (the q07
+    # merged-count pattern) instead of a driver-side len().
+    ml = minhash_lsh_ml(docs, threshold=0.5).select("doc_a", "doc_b")
+    ml_n = ml.agg(F.count(F.lit(1)).cast("double").alias("__n_ml"))
     # inverted index: (doc, set size, shingle) exploded from the distinct
     # shingle array.  Self-joined on the shingle -> persist the skinny
     # relation (AQE never reuses exchanges across self-join sides).
@@ -1540,19 +1545,17 @@ def x09_minhash_ml(spark, sf_dir) -> DataFrame:
         )
         .where(F.col("j") >= 0.5)
     )
-    hits = docs.sparkSession.createDataFrame(
-        ml_pairs or [], "doc_a long, doc_b long"
-    ).withColumn("__hit", F.lit(1))
+    hits = ml.withColumn("__hit", F.lit(1))
     w = Window.partitionBy(F.lit(0))  # the <= |true pairs| surviving rows
     found = F.sum(F.coalesce(F.col("__hit"), F.lit(0))).over(w)
     n = F.count(F.lit(1)).over(w)
     return (
         exact.join(hits, ["doc_a", "doc_b"], "left")
+        .crossJoin(F.broadcast(ml_n))
         .withColumn("recall_ok", found / n >= 0.8)
         .withColumn(
             "precision_ok",
-            (F.lit(len(ml_pairs)) - found)
-            <= F.greatest(F.lit(1.0), 0.04 * n),
+            (F.col("__n_ml") - found) <= F.greatest(F.lit(1.0), 0.04 * n),
         )
         .select(
             "doc_a",

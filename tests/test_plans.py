@@ -272,14 +272,25 @@ def test_ann_metric_panel_broadcasts_and_never_cartesians(spark, sf):
 def test_x09_exact_pairs_inverted_index(spark, sf):
     """x09's exact-reference half is an inverted-index EQUI-join on the
     exploded shingle (candidate generation bounded by true shingle
-    co-occurrence, never |docs|^2): no nested-loop operator anywhere,
-    and the per-pair intersection count is a hash/sort aggregate over
-    the join output, not an array-intersect over enumerated pairs."""
+    co-occurrence, never |docs|^2); the per-pair intersection count is a
+    hash/sort aggregate over the join output, not an array-intersect
+    over enumerated pairs.  The ONE permitted nested-loop node is the
+    broadcast 1-row ml-pair-count attach (the q07 1x1-row count-join
+    class -- r10 replaced the driver collect+len() with it), which is
+    O(rows) with a single-row build side; any other nested loop is a
+    plan regression."""
     qd = REGISTRY["x09_dedup_minhash_ml"]
     df = qd.fn(spark, sf)
     p = plan(df)
     assert "CartesianProduct" not in p
-    assert "BroadcastNestedLoopJoin" not in p
+    assert node_count(p, "BroadcastNestedLoopJoin") == 1
+    bnlj = [
+        ln
+        for ln in p.splitlines()
+        if "BroadcastNestedLoopJoin Cross" in ln
+    ]
+    assert bnlj, p
+    assert "__n_ml" in p  # ...and it is the 1-row count relation
     assert "Join" in p  # the shingle equi-join survives optimization
     assert "Aggregate" in p  # per-pair shared-shingle count
 
