@@ -244,9 +244,12 @@ def incremental_pairs_stored(
         F.count(F.lit(1)).alias("n"), F.sum(F.size("sh")).alias("tot")
     ).first()
     if broadcast_verify == "auto":
+        # the gate must size the WHOLE shingle relation the verify join
+        # builds from: base corpus + every appended batch + this batch
+        # (append_batch keeps tot_hashes current for exactly this)
         broadcast_verify = (
             _estimate_shingle_bytes(
-                m["n_docs"] + new_stats["n"],
+                m["n_docs"] + m.get("n_appended", 0) + new_stats["n"],
                 m["tot_hashes"] + (new_stats["tot"] or 0),
             )
             <= VERIFY_BROADCAST_MAX_BYTES
@@ -313,7 +316,10 @@ def append_batch(
         new_df, m["k"], m["text_col"], id_col
     ).persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        n_new = hashed_new.count()
+        stats = hashed_new.agg(
+            F.count(F.lit(1)).alias("n"), F.sum(F.size("sh")).alias("tot")
+        ).first()
+        n_new, tot_new = stats["n"], stats["tot"] or 0
         hashed_new.write.mode("append").parquet(
             os.path.join(store_path, "shingles")
         )
@@ -326,7 +332,9 @@ def append_batch(
         )
     finally:
         hashed_new.unpersist()
-    m["n_appended"] = int(m["n_appended"]) + n_new
+    m["n_appended"] = int(m["n_appended"]) + int(n_new)
+    # keep the verify-broadcast size gate honest as the store grows
+    m["tot_hashes"] = int(m["tot_hashes"]) + int(tot_new)
     with open(_manifest_path(store_path), "w") as f:
         json.dump(m, f, indent=1)
     return m

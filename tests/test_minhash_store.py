@@ -147,3 +147,22 @@ def test_batch_is_signed_against_frozen_common_set(spark, tmp_path):
     batch = _docs(spark, [(100, boiler.strip())])
     out = incremental_pairs_stored(spark, path, batch, threshold=0.1)
     assert out.count() == 0
+
+
+def test_append_updates_size_gate_inputs(spark, corpus, batch, tmp_path):
+    """append_batch must keep tot_hashes/n_appended current: the verify
+    join's broadcast-vs-shuffle gate sizes the WHOLE stored shingle
+    relation from the manifest, and a stale estimate under-counts the
+    corpus until the broadcast blows past its 64 MB bound at scale."""
+    from conecta_spark.operators.minhash_store import (
+        append_batch,
+        read_manifest,
+        write_signature_store,
+    )
+
+    path = str(tmp_path / "store")
+    before = write_signature_store(corpus, path)
+    after = append_batch(spark, path, batch)
+    assert after["n_appended"] == 3
+    assert after["tot_hashes"] > before["tot_hashes"]
+    assert read_manifest(path)["tot_hashes"] == after["tot_hashes"]
