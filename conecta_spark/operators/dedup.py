@@ -581,6 +581,7 @@ def auto_band_width(
     banded: DataFrame,
     disk_budget_bytes: int | None = None,
     bytes_per_candidate: int = CANDIDATE_BYTES,
+    new_banded: DataFrame | None = None,
 ) -> int | None:
     """Pick ``max_band_width`` from the banded relation's width histogram
     so predicted candidate volume fits the shuffle-disk budget -- the x74
@@ -593,18 +594,43 @@ def auto_band_width(
     widths into a histogram -- distinct-width cardinality, a
     planner-scale relation -- which is collected and integrated
     exactly: the chosen cap is the LARGEST bucket width ``w*`` such that
-    ``sum(w*(w-1)/2 for w <= w*) * bytes_per_candidate`` fits the
-    budget, i.e. maximal recall within the budget.  Returns ``None``
-    (no cap -- default semantics preserved) when the uncapped volume
-    already fits; raises when not even the narrowest buckets fit, which
-    means the corpus needs more disk, not a silent empty result."""
+    the predicted volume for buckets of width ``<= w*`` times
+    ``bytes_per_candidate`` fits the budget, i.e. maximal recall within
+    the budget.  Returns ``None`` (no cap -- default semantics
+    preserved) when the uncapped volume already fits; raises when not
+    even the narrowest buckets fit, which means the corpus needs more
+    disk, not a silent empty result.
+
+    ``new_banded`` switches the volume model to the INCREMENTAL miners'
+    candidate shape: their band join is driven by the new batch, so a
+    bucket of total width ``w`` with ``wn`` batch members generates
+    ``wn*(w-wn) + wn*(wn-1)/2`` pairs, not the self-join's
+    ``w*(w-1)/2``.  Pricing a 100M-doc store's self-join volume against
+    a 10k-doc batch would spuriously raise (or over-cap and drop
+    legitimate batch pairs) on exactly the corpora the store exists
+    for; the cap is still expressed over TOTAL bucket width, which is
+    what the anti-join drops."""
     if disk_budget_bytes is None:
         disk_budget_bytes = _shuffle_disk_budget(banded.sparkSession)
+    widths = banded.groupBy("band_idx", "band_key").agg(
+        F.count(F.lit(1)).alias("w")
+    )
+    if new_banded is None:
+        vol = F.expr("w * (w - 1) DIV 2")
+    else:
+        new_widths = new_banded.groupBy("band_idx", "band_key").agg(
+            F.count(F.lit(1)).alias("wn")
+        )
+        widths = widths.join(
+            new_widths, ["band_idx", "band_key"], "left"
+        ).withColumn("wn", F.coalesce(F.col("wn"), F.lit(0)))
+        vol = F.expr("wn * (w - wn) + wn * (wn - 1) DIV 2")
     hist = (
-        banded.groupBy("band_idx", "band_key")
-        .agg(F.count(F.lit(1)).alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("n_buckets"))
+        widths.groupBy("w")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum(vol).alias("vol"),
+        )
         .collect()
     )
     budget_pairs = disk_budget_bytes // bytes_per_candidate
@@ -612,7 +638,7 @@ def auto_band_width(
     cap = None
     for row in sorted(hist, key=lambda r: r["w"]):
         w = row["w"]
-        total += row["n_buckets"] * (w * (w - 1) // 2)
+        total += row["vol"] or 0
         if total > budget_pairs:
             if cap is None or cap < 2:
                 # width-1 buckets generate zero pairs, so a "fitting"
@@ -673,6 +699,7 @@ def _mine_banded(
     broadcast_verify: bool | str,
     max_band_width: int | str | None,
     mine_disk_budget_bytes: int | None = None,
+    auto_price_new_ids: DataFrame | None = None,
 ):
     """Front half of the LSH mining pipeline, shared by
     :func:`minhash_lsh_pairs` (self-join candidates) and
@@ -750,17 +777,36 @@ def _mine_banded(
     ).persist(StorageLevel.MEMORY_AND_DISK)
     _MINE_LIVE.append(banded)
     if max_band_width == "auto":
-        max_band_width = auto_band_width(banded, mine_disk_budget_bytes)
+        # incremental callers hand their new-id set down so the probe
+        # prices THEIR batch-driven candidate shape, not the self-join's
+        # (see auto_band_width on why that matters at 100 TB)
+        new_banded = (
+            banded.join(
+                F.broadcast(auto_price_new_ids),
+                F.col(id_col) == F.col("_nid"),
+                "left_semi",
+            )
+            if auto_price_new_ids is not None
+            else None
+        )
+        max_band_width = auto_band_width(
+            banded, mine_disk_budget_bytes, new_banded=new_banded
+        )
     if max_band_width is not None:
         # Skew guard (see docstring): the over-cap key set is tiny (a
         # handful of hash-collapse artifacts), so the anti-join
         # broadcasts and pair generation never sees the mega-buckets.
+        # Persisted: the capped relation feeds BOTH sides of the
+        # candidate self-join, and each side's broadcast exchange would
+        # otherwise re-run the width aggregation.
         wide = (
             banded.groupBy("band_idx", "band_key")
             .agg(F.count(F.lit(1)).alias("n"))
             .where(F.col("n") > max_band_width)
             .select("band_idx", "band_key")
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        _MINE_LIVE.append(wide)
         banded = banded.join(
             F.broadcast(wide), ["band_idx", "band_key"], "left_anti"
         )
@@ -830,11 +876,12 @@ def incremental_minhash_pairs(
     union = corpus_df.select(id_col, text_col).unionByName(
         new_df.select(id_col, text_col)
     )
+    new_ids = new_df.select(F.col(id_col).alias("_nid")).distinct()
     hashed, banded, broadcast_verify = _mine_banded(
         union, k, num_perms, bands, text_col, id_col, max_df,
         broadcast_verify, max_band_width, mine_disk_budget_bytes,
+        auto_price_new_ids=new_ids,
     )
-    new_ids = new_df.select(F.col(id_col).alias("_nid")).distinct()
     banded_new = banded.join(
         F.broadcast(new_ids),
         F.col(id_col) == F.col("_nid"),
@@ -1336,7 +1383,12 @@ def x73_incremental(spark, sf_dir) -> DataFrame:
     cut = (4 * docs.count()) // 5
     new = docs.where(F.col("doc_id") >= cut)
     corpus = docs.where(F.col("doc_id") < cut)
-    return incremental_minhash_pairs(corpus, new, threshold=0.5)
+    # validate_ids=False: both sides are cut from ONE keyed table, so
+    # overlap is impossible by construction -- the guard's own documented
+    # escape hatch; no point paying its corpus id-scan every run
+    return incremental_minhash_pairs(
+        corpus, new, threshold=0.5, validate_ids=False
+    )
 
 
 def minhash_candidate_probe(
@@ -1503,8 +1555,19 @@ def x09_minhash_ml(spark, sf_dir) -> DataFrame:
     # driver collect + re-createDataFrame -- bounded by the slice but
     # still the anti-pattern); the total ml pair count the precision
     # flag needs rides in as a broadcast 1-row count join (the q07
-    # merged-count pattern) instead of a driver-side len().
-    ml = minhash_lsh_ml(docs, threshold=0.5).select("doc_a", "doc_b")
+    # merged-count pattern) instead of a driver-side len().  Persisted:
+    # the returned plan references it twice (count + hits join), and
+    # without the persist the OR-amplified approxSimilarityJoin -- the
+    # operator's dominant cost -- would execute twice per
+    # materialization.
+    from pyspark import StorageLevel
+
+    ml = (
+        minhash_lsh_ml(docs, threshold=0.5)
+        .select("doc_a", "doc_b")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _X09_LIVE.append(ml)
     ml_n = ml.agg(F.count(F.lit(1)).cast("double").alias("__n_ml"))
     # inverted index: (doc, set size, shingle) exploded from the distinct
     # shingle array.  Self-joined on the shingle -> persist the skinny

@@ -78,6 +78,29 @@ def _manifest_path(path: str) -> str:
     return os.path.join(path, MANIFEST)
 
 
+def _write_manifest(path: str, m: dict) -> None:
+    """Atomic manifest replace (tmp + os.replace): the manifest is the
+    store's commit record -- a torn write must never be readable."""
+    import uuid
+
+    tmp = os.path.join(path, f".{MANIFEST}.tmp-{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as f:
+        json.dump(m, f, indent=1)
+    os.replace(tmp, _manifest_path(path))
+
+
+def _store_relation(spark: SparkSession, path: str, m: dict, name: str):
+    """Read a store relation: the base parquet plus every APPLIED batch
+    directory (manifest-listed -- a batch dir that exists but is not in
+    ``applied_batches`` is an uncommitted append and must be invisible,
+    exactly like data written before a crashed manifest update)."""
+    paths = [os.path.join(path, name)] + [
+        os.path.join(path, "batches", b, name)
+        for b in m.get("applied_batches", [])
+    ]
+    return spark.read.parquet(*paths)
+
+
 def read_manifest(path: str) -> dict:
     with open(_manifest_path(path)) as f:
         m = json.load(f)
@@ -105,9 +128,18 @@ def write_signature_store(
     same relations the inline miner persists in memory, written durable.
 
     The manifest is written LAST, so a crashed build leaves no manifest
-    and the store reads as absent rather than half-built."""
+    and the store reads as absent rather than half-built.  Rebuilding
+    over an EXISTING store first removes its manifest (the old manifest
+    must not vouch for half-overwritten data) and its batch dirs (stale
+    appends signed against the old corpus's DF table)."""
+    import shutil
+
     spark = df.sparkSession
     parallelism = spark.sparkContext.defaultParallelism
+
+    if os.path.exists(_manifest_path(path)):
+        os.remove(_manifest_path(path))
+    shutil.rmtree(os.path.join(path, "batches"), ignore_errors=True)
 
     hashed = hashed_shingles(df, k, text_col, id_col)
     hashed.repartition(parallelism, id_col).sortWithinPartitions(
@@ -153,10 +185,10 @@ def write_signature_store(
         "n_docs": int(n_docs),
         "tot_hashes": int(tot_hashes),
         "n_appended": 0,
+        "applied_batches": [],
         **(manifest_extra or {}),
     }
-    with open(_manifest_path(path), "w") as f:
-        json.dump(manifest, f, indent=1)
+    _write_manifest(path, manifest)
     return manifest
 
 
@@ -217,8 +249,8 @@ def incremental_pairs_stored(
 
     m = read_manifest(store_path)
     id_col = m["id_col"]
-    stored_banded = spark.read.parquet(os.path.join(store_path, "banded"))
-    stored_sh = spark.read.parquet(os.path.join(store_path, "shingles"))
+    stored_banded = _store_relation(spark, store_path, m, "banded")
+    stored_sh = _store_relation(spark, store_path, m, "shingles")
     common = spark.read.parquet(os.path.join(store_path, "common"))
 
     if validate_ids:
@@ -261,14 +293,26 @@ def incremental_pairs_stored(
     _MINE_LIVE.append(banded_new)
     banded_all = stored_banded.unionByName(banded_new)
     if max_band_width == "auto":
-        max_band_width = auto_band_width(banded_all, mine_disk_budget_bytes)
+        # price the batch-driven candidate shape (wn*(w-wn) + wn-choose-2
+        # per bucket), not the self-join's w-choose-2 -- a huge store
+        # with a small batch would otherwise spuriously raise or over-cap
+        max_band_width = auto_band_width(
+            banded_all, mine_disk_budget_bytes, new_banded=banded_new
+        )
     if max_band_width is not None:
+        from pyspark import StorageLevel as _SL
+
+        # persisted: consumed by TWO anti-joins (banded_all, banded_new),
+        # each of whose broadcast exchanges would otherwise re-run the
+        # full width aggregation over the stored banded parquet
         wide = (
             banded_all.groupBy("band_idx", "band_key")
             .agg(F.count(F.lit(1)).alias("n"))
             .where(F.col("n") > max_band_width)
             .select("band_idx", "band_key")
+            .persist(_SL.MEMORY_AND_DISK)
         )
+        _MINE_LIVE.append(wide)
         banded_all = banded_all.join(
             F.broadcast(wide), ["band_idx", "band_key"], "left_anti"
         )
@@ -301,42 +345,79 @@ def incremental_pairs_stored(
 
 
 def append_batch(
-    spark: SparkSession, store_path: str, new_df: DataFrame
+    spark: SparkSession,
+    store_path: str,
+    new_df: DataFrame,
+    batch_id: str | None = None,
 ) -> dict:
-    """Fold a mined batch into the store: append its shingle and banded
-    rows (signed against the frozen DF table -- identical to what
-    :func:`incremental_pairs_stored` just banded) and bump the
-    manifest's ``n_appended``.  The DF table stays frozen; rebuild the
-    store when ``n_appended`` approaches ~10-20% of ``n_docs``."""
+    """Fold a mined batch into the store: its shingle and banded rows
+    (signed against the frozen DF table -- identical to what
+    :func:`incremental_pairs_stored` just banded) land as ONE batch
+    directory, committed by the manifest.  The DF table stays frozen;
+    rebuild the store when ``n_appended`` approaches ~10-20% of
+    ``n_docs``.
+
+    Crash-safe and idempotent (the write_signature_store manifest-last
+    discipline, extended to appends): the batch is built in a temp dir,
+    atomically renamed to ``batches/<batch_id>/``, and only then listed
+    in the manifest's ``applied_batches`` (readers ignore unlisted batch
+    dirs).  A crash mid-build leaves an invisible temp dir; a crash
+    between rename and manifest is healed by retrying with the SAME
+    ``batch_id`` -- the completed dir is adopted and just committed; a
+    retry of an already-applied id is a no-op.  Callers wanting retry
+    safety must therefore pass a stable ``batch_id`` (e.g. the ingest
+    date); the default is a fresh UUID (no retry identity)."""
+    import shutil
+    import uuid
+
     from pyspark import StorageLevel
 
     m = read_manifest(store_path)
+    if batch_id is None:
+        batch_id = uuid.uuid4().hex[:12]
+    applied = list(m.get("applied_batches", []))
+    if batch_id in applied:
+        return m  # already committed: idempotent no-op
     id_col = m["id_col"]
-    hashed_new = hashed_shingles(
-        new_df, m["k"], m["text_col"], id_col
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    try:
-        stats = hashed_new.agg(
+    batches_root = os.path.join(store_path, "batches")
+    final_dir = os.path.join(batches_root, batch_id)
+    if not os.path.isdir(final_dir):
+        tmp = os.path.join(batches_root, f".tmp-{uuid.uuid4().hex[:12]}")
+        hashed_new = hashed_shingles(
+            new_df, m["k"], m["text_col"], id_col
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            hashed_new.write.mode("overwrite").parquet(
+                os.path.join(tmp, "shingles")
+            )
+            common = spark.read.parquet(
+                os.path.join(store_path, "common")
+            )
+            _sign_and_band(
+                hashed_new, common, m["num_perms"], m["bands"], id_col
+            ).write.mode("overwrite").parquet(os.path.join(tmp, "banded"))
+        finally:
+            hashed_new.unpersist()
+        try:
+            os.rename(tmp, final_dir)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.isdir(final_dir):
+                raise
+    # stats from the COMMITTED files, so a heal-retry (dir present,
+    # manifest behind) books exactly what the store actually holds
+    stats = (
+        spark.read.parquet(os.path.join(final_dir, "shingles"))
+        .agg(
             F.count(F.lit(1)).alias("n"), F.sum(F.size("sh")).alias("tot")
-        ).first()
-        n_new, tot_new = stats["n"], stats["tot"] or 0
-        hashed_new.write.mode("append").parquet(
-            os.path.join(store_path, "shingles")
         )
-        common = spark.read.parquet(os.path.join(store_path, "common"))
-        banded_new = _sign_and_band(
-            hashed_new, common, m["num_perms"], m["bands"], id_col
-        )
-        banded_new.write.mode("append").parquet(
-            os.path.join(store_path, "banded")
-        )
-    finally:
-        hashed_new.unpersist()
-    m["n_appended"] = int(m["n_appended"]) + int(n_new)
+        .first()
+    )
+    m["applied_batches"] = applied + [batch_id]
+    m["n_appended"] = int(m["n_appended"]) + int(stats["n"])
     # keep the verify-broadcast size gate honest as the store grows
-    m["tot_hashes"] = int(m["tot_hashes"]) + int(tot_new)
-    with open(_manifest_path(store_path), "w") as f:
-        json.dump(m, f, indent=1)
+    m["tot_hashes"] = int(m["tot_hashes"]) + int(stats["tot"] or 0)
+    _write_manifest(store_path, m)
     return m
 
 
@@ -413,12 +494,25 @@ def x77_stored_incremental(spark, sf_dir) -> DataFrame:
     new = docs.where(F.col(id_col) >= cut)
     path = _store_path(spark, sf_dir, n, cut)
     fp = _corpus_fingerprint(sf_dir)
-    try:
-        current = read_manifest(path).get("corpus_fingerprint") == fp
-    except (OSError, ValueError):
-        current = False
-    if not current:  # absent, half-built, or stale: rebuild in place
-        write_signature_store(
-            corpus, path, manifest_extra={"corpus_fingerprint": fp}
-        )
+
+    def _current() -> bool:
+        try:
+            return read_manifest(path).get("corpus_fingerprint") == fp
+        except (OSError, ValueError):
+            return False
+
+    if not _current():  # absent, half-built, or stale: rebuild
+        # flock serializes concurrent sessions on the shared cache path
+        # (bench alongside pytest): the loser of the race re-checks
+        # under the lock and adopts the winner's store instead of
+        # racing mode("overwrite") writes into the same directory
+        import fcntl
+
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, ".build.lock"), "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            if not _current():
+                write_signature_store(
+                    corpus, path, manifest_extra={"corpus_fingerprint": fp}
+                )
     return incremental_pairs_stored(spark, path, new, threshold=0.5)

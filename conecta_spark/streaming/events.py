@@ -150,8 +150,15 @@ def _stage_stream_dir(src: str, prefix: str) -> str:
         try:
             os.rename(tmp, version_dir)
         except OSError:
-            # another session won the rename race with identical content
             shutil.rmtree(tmp, ignore_errors=True)
+            # the benign cause is another session winning the rename race
+            # with identical content -- in which case the version dir now
+            # exists.  Any other cause (EACCES, EXDEV, a stray FILE
+            # occupying the name) must raise here, or the stage symlink
+            # below would point at a missing directory and the stream
+            # would silently drain empty.
+            if not os.path.isdir(version_dir):
+                raise
     if os.path.islink(stage):
         if os.readlink(stage) == version_dir:
             return stage
@@ -561,6 +568,17 @@ def derive_state_partitions(
     return parts
 
 
+#: One child session per (application, partition count), reused across
+#: invocations: a bench/twin loop calls x76 many times per process, and a
+#: fresh newSession() each time would accumulate JVM session state and
+#: memory-sink buffers for the lifetime of the context.  Keyed by
+#: applicationId (id() values can be reused across GC'd sessions -- the
+#: shared_minhash_pairs convention); the previous call's memory-sink view
+#: is dropped at the NEXT call, after the driver has consumed it.
+_STREAM_SESSIONS: dict = {}
+_STREAM_LAST_VIEW: dict = {}
+
+
 def _stream_session(spark, shuffle_partitions: int):
     """A child SparkSession (shared SparkContext, isolated SQLConf) for
     running one streaming query with its own state-partition count --
@@ -569,17 +587,43 @@ def _stream_session(spark, shuffle_partitions: int):
     semantics-bearing confs are copied from the parent explicitly
     because newSession() falls back to SparkConf, which does not see
     runtime conf applied to a pre-existing parent."""
-    sess = spark.newSession()
-    for key in (
-        "spark.sql.session.timeZone",
-        "spark.sql.parquet.inferTimestampNTZ.enabled",
-    ):
+    key = (spark.sparkContext.applicationId, shuffle_partitions)
+    sess = _STREAM_SESSIONS.get(key)
+    if sess is None:
+        sess = spark.newSession()
+        for conf_key in (
+            "spark.sql.session.timeZone",
+            "spark.sql.parquet.inferTimestampNTZ.enabled",
+        ):
+            try:
+                sess.conf.set(conf_key, spark.conf.get(conf_key))
+            except Exception:
+                pass
+        sess.conf.set(
+            "spark.sql.shuffle.partitions", str(shuffle_partitions)
+        )
+        _STREAM_SESSIONS.clear()  # at most one app live per process
+        _STREAM_LAST_VIEW.clear()
+        _STREAM_SESSIONS[key] = sess
+    prev_view = _STREAM_LAST_VIEW.pop(key, None)
+    if prev_view is not None:
         try:
-            sess.conf.set(key, spark.conf.get(key))
+            sess.catalog.dropTempView(prev_view)
         except Exception:
             pass
-    sess.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
     return sess
+
+
+def _remember_stream_view(spark, shuffle_partitions: int, name: str) -> None:
+    _STREAM_LAST_VIEW[
+        (spark.sparkContext.applicationId, shuffle_partitions)
+    ] = name
+
+
+#: (source path, size, mtime) -> purchase/error row count: the x76 state
+#: probe is one filtered column scan; caching it per source fingerprint
+#: keeps repeated registry invocations from re-scanning a static corpus.
+_STATE_PROBE_CACHE: dict = {}
 
 
 _X76_SEQ = iter(range(1, 1 << 30))
@@ -616,16 +660,22 @@ def x76_streaming_interval_join(spark, sf_dir) -> DataFrame:
     # lives in a child session so concurrent queries in the parent never
     # inherit it.
     src = os.path.join(sf_dir, "events.parquet")
-    n_state = (
-        spark.read.parquet(src)
-        .where(F.col("event_type").isin("purchase", "error"))
-        .count()
-    )
+    st = os.stat(src)
+    probe_key = (src, st.st_size, st.st_mtime_ns)
+    n_state = _STATE_PROBE_CACHE.get(probe_key)
+    if n_state is None:
+        n_state = (
+            spark.read.parquet(src)
+            .where(F.col("event_type").isin("purchase", "error"))
+            .count()
+        )
+        _STATE_PROBE_CACHE[probe_key] = n_state
     parts = derive_state_partitions(
         n_state,
         max_partitions=spark.sparkContext.defaultParallelism,
     )
     sess = _stream_session(spark, parts)
+    _remember_stream_view(spark, parts, name)
     q = (
         streaming_interval_pairs(read_event_stream(sess, sf_dir))
         .writeStream.format("memory")
