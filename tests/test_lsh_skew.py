@@ -198,3 +198,40 @@ def test_auto_band_width_raises_when_nothing_fits(spark, oracle_dir):
     )
     with pytest.raises(ValueError, match="auto_band_width"):
         auto_band_width(banded, disk_budget_bytes=10 * CANDIDATE_BYTES)
+
+
+def test_auto_band_width_prices_incremental_shape(spark):
+    """The r10 review fix pinned: for incremental miners the probe must
+    price the batch-driven candidate shape (wn*(w-wn) + wn-choose-2 per
+    bucket), not the self-join's w-choose-2 -- a wide stored bucket with
+    two batch members generates ~2w pairs, not w^2/2.  Synthetic banded
+    relations exercise the math directly."""
+    from conecta_spark.operators.dedup import CANDIDATE_BYTES, auto_band_width
+
+    banded = spark.createDataFrame(
+        [(i, 0, "k") for i in range(100)],
+        "doc_id long, band_idx int, band_key string",
+    )
+    new_banded = spark.createDataFrame(
+        [(0, 0, "k"), (1, 0, "k")],
+        "doc_id long, band_idx int, band_key string",
+    )
+    budget = 1000 * CANDIDATE_BYTES
+    # self-join pricing: the single width-100 bucket = 4950 pairs > 1000
+    # and no narrower width exists -> raises (nothing mineable fits)
+    with pytest.raises(ValueError, match="auto_band_width"):
+        auto_band_width(banded, disk_budget_bytes=budget)
+    # batch-driven pricing: 2*98 + 1 = 197 pairs <= 1000 -> NO cap
+    assert (
+        auto_band_width(
+            banded, disk_budget_bytes=budget, new_banded=new_banded
+        )
+        is None
+    )
+    # and with a budget below even the batch volume, it still raises
+    with pytest.raises(ValueError, match="auto_band_width"):
+        auto_band_width(
+            banded,
+            disk_budget_bytes=100 * CANDIDATE_BYTES,
+            new_banded=new_banded,
+        )

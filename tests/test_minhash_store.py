@@ -166,3 +166,43 @@ def test_append_updates_size_gate_inputs(spark, corpus, batch, tmp_path):
     assert after["n_appended"] == 3
     assert after["tot_hashes"] > before["tot_hashes"]
     assert read_manifest(path)["tot_hashes"] == after["tot_hashes"]
+
+
+def test_append_batch_is_idempotent_by_batch_id(spark, corpus, batch, tmp_path):
+    """Retrying an applied batch_id must be a no-op (no double counting,
+    no duplicated rows for the verify join), and a batch dir that exists
+    WITHOUT a manifest entry (crash between rename and commit) must be
+    invisible to readers until a retry adopts and commits it."""
+    from conecta_spark.operators.minhash_store import (
+        _store_relation,
+        append_batch,
+        read_manifest,
+        write_signature_store,
+    )
+
+    path = str(tmp_path / "store")
+    write_signature_store(corpus, path)
+    m1 = append_batch(spark, path, batch, batch_id="day-001")
+    m2 = append_batch(spark, path, batch, batch_id="day-001")
+    assert m1["n_appended"] == m2["n_appended"] == 3
+    assert m2["applied_batches"] == ["day-001"]
+    m = read_manifest(path)
+    sh = _store_relation(spark, path, m, "shingles")
+    assert sh.where(sh.doc_id >= 100).count() == 3  # once, not twice
+
+    # simulate the crash window: batch dir present, manifest behind
+    import os
+    import shutil
+
+    shutil.copytree(
+        os.path.join(path, "batches", "day-001"),
+        os.path.join(path, "batches", "day-002"),
+    )
+    m = read_manifest(path)
+    assert "day-002" not in m["applied_batches"]
+    # invisible until committed
+    assert _store_relation(spark, path, m, "shingles").count() == 33
+    # retry with the same id adopts the completed dir and commits it
+    m3 = append_batch(spark, path, batch, batch_id="day-002")
+    assert m3["applied_batches"] == ["day-001", "day-002"]
+    assert m3["n_appended"] == 6
