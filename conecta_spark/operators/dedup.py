@@ -539,6 +539,14 @@ def band_signatures(
     persisted signature store (minhash_store) -- the store's batch-side
     banding must be byte-identical to the corpus-build-time banding or
     candidates silently vanish."""
+    if bands < 1:
+        raise ValueError(f"bands must be >= 1, got {bands}")
+    if num_perms % bands:
+        raise ValueError(
+            f"num_perms ({num_perms}) must be divisible by bands "
+            f"({bands}): a fractional rows-per-band would silently drop "
+            "signature positions from every band key"
+        )
     rows = num_perms // bands
     band_elems = ", ".join(
         f"element_at(mh, band_idx * {rows} + {j + 1})" for j in range(rows)

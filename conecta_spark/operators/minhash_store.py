@@ -72,10 +72,33 @@ from ..queries import register, t
 
 MANIFEST = "manifest.json"
 STORE_VERSION = 1
+LOCKFILE = ".store.lock"
 
 
 def _manifest_path(path: str) -> str:
     return os.path.join(path, MANIFEST)
+
+
+from contextlib import contextmanager  # noqa: E402
+
+
+@contextmanager
+def _store_lock(path: str):
+    """Exclusive flock serializing store MUTATORS (build, append,
+    compact) on one store directory.  The manifest commit is a
+    read-modify-write of ``applied_batches``: two unserialized appends
+    would each read the old list and the last writer would silently drop
+    the other's committed batch forever.  Readers don't take the lock --
+    a committed manifest only ever points at immutable relation files
+    (appends add NEW batch dirs; compaction writes NEW generation dirs),
+    so a reader's snapshot stays intact regardless of concurrent
+    mutation."""
+    import fcntl
+
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, LOCKFILE), "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        yield
 
 
 def _write_manifest(path: str, m: dict) -> None:
@@ -137,58 +160,62 @@ def write_signature_store(
     spark = df.sparkSession
     parallelism = spark.sparkContext.defaultParallelism
 
-    if os.path.exists(_manifest_path(path)):
-        os.remove(_manifest_path(path))
-    shutil.rmtree(os.path.join(path, "batches"), ignore_errors=True)
+    # serialized with appends/compactions on the same path: a rebuild
+    # racing an in-flight append would otherwise interleave overwrite
+    # writes with the append's manifest commit
+    with _store_lock(path):
+        if os.path.exists(_manifest_path(path)):
+            os.remove(_manifest_path(path))
+        shutil.rmtree(os.path.join(path, "batches"), ignore_errors=True)
 
-    hashed = hashed_shingles(df, k, text_col, id_col)
-    hashed.repartition(parallelism, id_col).sortWithinPartitions(
-        id_col
-    ).write.mode("overwrite").parquet(os.path.join(path, "shingles"))
-    # re-read rather than recompute: the shingle pass is the expensive
-    # CPU; everything downstream derives from the written relation, which
-    # also guarantees the store is self-consistent even if df is
-    # nondeterministic upstream
-    hashed = spark.read.parquet(os.path.join(path, "shingles"))
-    stats = hashed.agg(
-        F.count(F.lit(1)).alias("n"), F.sum(F.size("sh")).alias("tot")
-    ).first()
-    n_docs, tot_hashes = stats["n"], stats["tot"] or 0
+        hashed = hashed_shingles(df, k, text_col, id_col)
+        hashed.repartition(parallelism, id_col).sortWithinPartitions(
+            id_col
+        ).write.mode("overwrite").parquet(os.path.join(path, "shingles"))
+        # re-read rather than recompute: the shingle pass is the expensive
+        # CPU; everything downstream derives from the written relation,
+        # which also guarantees the store is self-consistent even if df is
+        # nondeterministic upstream
+        hashed = spark.read.parquet(os.path.join(path, "shingles"))
+        stats = hashed.agg(
+            F.count(F.lit(1)).alias("n"), F.sum(F.size("sh")).alias("tot")
+        ).first()
+        n_docs, tot_hashes = stats["n"], stats["tot"] or 0
 
-    tok = hashed.select(F.col(id_col), F.explode("sh").alias("h"))
-    common = (
-        tok.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .where(F.col("c") > F.lit(max_df) * F.lit(n_docs))
-        .select("h")
-    )
-    common.coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(path, "common")
-    )
-    common = spark.read.parquet(os.path.join(path, "common"))
+        tok = hashed.select(F.col(id_col), F.explode("sh").alias("h"))
+        common = (
+            tok.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .where(F.col("c") > F.lit(max_df) * F.lit(n_docs))
+            .select("h")
+        )
+        common.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(path, "common")
+        )
+        common = spark.read.parquet(os.path.join(path, "common"))
 
-    banded = _sign_and_band(
-        hashed, common, num_perms, bands, id_col
-    )
-    banded.repartition(parallelism, "band_idx", "band_key").write.mode(
-        "overwrite"
-    ).parquet(os.path.join(path, "banded"))
+        banded = _sign_and_band(
+            hashed, common, num_perms, bands, id_col
+        )
+        banded.repartition(parallelism, "band_idx", "band_key").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(path, "banded"))
 
-    manifest = {
-        "version": STORE_VERSION,
-        "k": k,
-        "num_perms": num_perms,
-        "bands": bands,
-        "max_df": max_df,
-        "id_col": id_col,
-        "text_col": text_col,
-        "n_docs": int(n_docs),
-        "tot_hashes": int(tot_hashes),
-        "n_appended": 0,
-        "applied_batches": [],
-        **(manifest_extra or {}),
-    }
-    _write_manifest(path, manifest)
+        manifest = {
+            "version": STORE_VERSION,
+            "k": k,
+            "num_perms": num_perms,
+            "bands": bands,
+            "max_df": max_df,
+            "id_col": id_col,
+            "text_col": text_col,
+            "n_docs": int(n_docs),
+            "tot_hashes": int(tot_hashes),
+            "n_appended": 0,
+            "applied_batches": [],
+            **(manifest_extra or {}),
+        }
+        _write_manifest(path, manifest)
     return manifest
 
 
@@ -366,7 +393,10 @@ def append_batch(
     ``batch_id`` -- the completed dir is adopted and just committed; a
     retry of an already-applied id is a no-op.  Callers wanting retry
     safety must therefore pass a stable ``batch_id`` (e.g. the ingest
-    date); the default is a fresh UUID (no retry identity)."""
+    date); the default is a fresh UUID (no retry identity).  The
+    manifest commit itself re-reads and merges ``applied_batches`` under
+    the store's exclusive flock, so two concurrent appends never drop
+    each other's committed batch in a last-writer-wins overwrite."""
     import shutil
     import uuid
 
@@ -413,11 +443,22 @@ def append_batch(
         )
         .first()
     )
-    m["applied_batches"] = applied + [batch_id]
-    m["n_appended"] = int(m["n_appended"]) + int(stats["n"])
-    # keep the verify-broadcast size gate honest as the store grows
-    m["tot_hashes"] = int(m["tot_hashes"]) + int(stats["tot"] or 0)
-    _write_manifest(store_path, m)
+    # the manifest commit is a read-modify-write of applied_batches:
+    # re-read and merge UNDER the store lock, so a concurrent append (or
+    # a compaction that just folded earlier batches) committed between
+    # our opening read and now is never silently dropped by a stale
+    # last-writer-wins overwrite
+    with _store_lock(store_path):
+        m = read_manifest(store_path)
+        if batch_id in m.get("applied_batches", []):
+            return m  # a racing retry committed first: no-op
+        m["applied_batches"] = list(m.get("applied_batches", [])) + [
+            batch_id
+        ]
+        m["n_appended"] = int(m["n_appended"]) + int(stats["n"])
+        # keep the verify-broadcast size gate honest as the store grows
+        m["tot_hashes"] = int(m["tot_hashes"]) + int(stats["tot"] or 0)
+        _write_manifest(store_path, m)
     return m
 
 
@@ -451,19 +492,54 @@ def _corpus_fingerprint(sf_dir: str) -> str:
     return hashlib.md5("|".join(stats).encode()).hexdigest()[:16]
 
 
-def _store_path(spark: SparkSession, sf_dir: str, n_docs: int, cut: int) -> str:
-    """Cache path for the registry's corpus store: STABLE key (one dir
-    per config, never orphaned), with staleness handled by comparing the
-    manifest's ``corpus_fingerprint`` against the current source and
-    rebuilding IN PLACE on mismatch -- regenerated testdata with the
-    same row count must not serve a stale store whose signatures no
-    longer match the corpus."""
+#: Stale sibling stores (older corpus fingerprints of the same config)
+#: are pruned only past this age: an in-flight mine against the old
+#: corpus must not have its parquet yanked mid-scan by a rebuild.
+_STALE_STORE_GRACE_NS = 3600 * 1_000_000_000
+
+
+def _store_path(
+    spark: SparkSession, sf_dir: str, n_docs: int, cut: int, fp: str
+) -> str:
+    """Cache path for the registry's corpus store: CONTENT-ADDRESSED --
+    the corpus fingerprint is part of the directory name, so regenerated
+    testdata builds into a NEW directory instead of rebuilding in place
+    under a concurrent reader mid-mine (a reader's store is immutable
+    for its lifetime).  Superseded fingerprints of the same config are
+    pruned after :data:`_STALE_STORE_GRACE_NS` by :func:`_prune_stale_stores`."""
     import hashlib
 
     key = hashlib.md5(
         f"{sf_dir}|{n_docs}|{cut}|v{STORE_VERSION}".encode()
     ).hexdigest()[:12]
-    return os.path.join("/tmp/conecta_spark_sigstore", key)
+    return os.path.join("/tmp/conecta_spark_sigstore", key, fp)
+
+
+def _prune_stale_stores(path: str) -> None:
+    """Remove sibling fingerprint dirs of ``path`` untouched for longer
+    than the grace period -- retention for the content-addressed cache
+    (without it every testdata regeneration would orphan a store
+    forever).  Age is judged on the dir mtime; a store being BUILT right
+    now is fresh and skipped, and one hour bounds any plausible
+    in-flight mine against a superseded corpus."""
+    import shutil
+    import time
+
+    parent = os.path.dirname(path)
+    now_ns = time.time_ns()
+    try:
+        siblings = os.listdir(parent)
+    except OSError:
+        return
+    for name in siblings:
+        sib = os.path.join(parent, name)
+        if sib == path or not os.path.isdir(sib):
+            continue
+        try:
+            if now_ns - os.stat(sib).st_mtime_ns > _STALE_STORE_GRACE_NS:
+                shutil.rmtree(sib, ignore_errors=True)
+        except OSError:
+            continue
 
 
 @register(
@@ -492,8 +568,8 @@ def x77_stored_incremental(spark, sf_dir) -> DataFrame:
     id_col = "doc_id"
     corpus = docs.where(F.col(id_col) < cut)
     new = docs.where(F.col(id_col) >= cut)
-    path = _store_path(spark, sf_dir, n, cut)
     fp = _corpus_fingerprint(sf_dir)
+    path = _store_path(spark, sf_dir, n, cut, fp)
 
     def _current() -> bool:
         try:
@@ -501,7 +577,10 @@ def x77_stored_incremental(spark, sf_dir) -> DataFrame:
         except (OSError, ValueError):
             return False
 
-    if not _current():  # absent, half-built, or stale: rebuild
+    if not _current():  # absent or half-built: build (the path is
+        # content-addressed, so "stale" cannot happen -- a regenerated
+        # corpus lands in a fresh directory and never overwrites a store
+        # a concurrent reader is mid-mining)
         # flock serializes concurrent sessions on the shared cache path
         # (bench alongside pytest): the loser of the race re-checks
         # under the lock and adopts the winner's store instead of
@@ -515,4 +594,5 @@ def x77_stored_incremental(spark, sf_dir) -> DataFrame:
                 write_signature_store(
                     corpus, path, manifest_extra={"corpus_fingerprint": fp}
                 )
+        _prune_stale_stores(path)
     return incremental_pairs_stored(spark, path, new, threshold=0.5)

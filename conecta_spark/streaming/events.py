@@ -19,6 +19,8 @@ Scale notes (100 TB / real streams):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -602,8 +604,22 @@ def _stream_session(spark, shuffle_partitions: int):
         sess.conf.set(
             "spark.sql.shuffle.partitions", str(shuffle_partitions)
         )
-        _STREAM_SESSIONS.clear()  # at most one app live per process
-        _STREAM_LAST_VIEW.clear()
+        # evict only DEAD-app entries: same-app sessions with other
+        # partition counts are exactly what this cache exists to reuse
+        # (alternating derived counts in one process must not thrash a
+        # fresh newSession() per call), and each evicted session's
+        # remembered memory-sink view is dropped before discarding it
+        # so the buffer doesn't outlive the cache entry
+        for stale_key in [
+            k for k in _STREAM_SESSIONS if k[0] != key[0]
+        ]:
+            old_sess = _STREAM_SESSIONS.pop(stale_key)
+            old_view = _STREAM_LAST_VIEW.pop(stale_key, None)
+            if old_view is not None:
+                try:
+                    old_sess.catalog.dropTempView(old_view)
+                except Exception:
+                    pass
         _STREAM_SESSIONS[key] = sess
     prev_view = _STREAM_LAST_VIEW.pop(key, None)
     if prev_view is not None:
@@ -620,10 +636,36 @@ def _remember_stream_view(spark, shuffle_partitions: int, name: str) -> None:
     ] = name
 
 
-#: (source path, size, mtime) -> purchase/error row count: the x76 state
+#: source content fingerprint -> purchase/error row count: the x76 state
 #: probe is one filtered column scan; caching it per source fingerprint
 #: keeps repeated registry invocations from re-scanning a static corpus.
 _STATE_PROBE_CACHE: dict = {}
+
+
+def _source_fingerprint(src: str) -> str:
+    """Content fingerprint of a parquet source: every part file
+    (recursive) with its size and mtime_ns.  A single os.stat of the
+    top-level path is NOT enough when the source is a Spark-written
+    directory -- the dir's st_size never reflects content and its mtime
+    misses an in-place part rewrite with identical filenames, so a
+    regenerated corpus could reuse a stale cached state-row count and
+    mis-size state partitions.  Same discipline as
+    minhash_store._corpus_fingerprint."""
+    import glob
+    import hashlib
+
+    parts = (
+        sorted(
+            glob.glob(os.path.join(src, "**", "*.parquet"), recursive=True)
+        )
+        if os.path.isdir(src)
+        else [src]
+    )
+    stats = []
+    for p in parts:
+        st = os.stat(p)
+        stats.append(f"{p}:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.md5("|".join(stats).encode()).hexdigest()[:16]
 
 
 _X76_SEQ = iter(range(1, 1 << 30))
@@ -660,8 +702,7 @@ def x76_streaming_interval_join(spark, sf_dir) -> DataFrame:
     # lives in a child session so concurrent queries in the parent never
     # inherit it.
     src = os.path.join(sf_dir, "events.parquet")
-    st = os.stat(src)
-    probe_key = (src, st.st_size, st.st_mtime_ns)
+    probe_key = (src, _source_fingerprint(src))
     n_state = _STATE_PROBE_CACHE.get(probe_key)
     if n_state is None:
         n_state = (

@@ -235,3 +235,20 @@ def test_auto_band_width_prices_incremental_shape(spark):
             disk_budget_bytes=100 * CANDIDATE_BYTES,
             new_banded=new_banded,
         )
+
+
+def test_band_signatures_validates_bands(spark):
+    """bands=0 must be an explicit plan-build ValueError, not a
+    ZeroDivisionError (the r10 refactor dropped the old `bands and`
+    tolerance; the advice pins the failure mode as a real validation),
+    and a non-divisor band count would silently drop signature positions
+    from every band key."""
+    from conecta_spark.operators.dedup import band_signatures
+
+    sigs = spark.createDataFrame(
+        [(1, [1, 2, 3, 4])], "doc_id long, mh array<bigint>"
+    )
+    with pytest.raises(ValueError, match="bands must be >= 1"):
+        band_signatures(sigs, 4, 0)
+    with pytest.raises(ValueError, match="divisible by bands"):
+        band_signatures(sigs, 16, 3)

@@ -206,3 +206,70 @@ def test_append_batch_is_idempotent_by_batch_id(spark, corpus, batch, tmp_path):
     m3 = append_batch(spark, path, batch, batch_id="day-002")
     assert m3["applied_batches"] == ["day-001", "day-002"]
     assert m3["n_appended"] == 6
+
+
+def test_concurrent_appends_both_commit(spark, corpus, tmp_path):
+    """Two appends racing on one store must BOTH land in
+    applied_batches: the manifest commit is a read-modify-write, and
+    without the store flock each racer reads the old list and the last
+    writer silently drops the other's committed batch forever (r10
+    advice, medium)."""
+    import threading
+
+    from conecta_spark.operators.minhash_store import (
+        append_batch,
+        read_manifest,
+        write_signature_store,
+    )
+
+    path = str(tmp_path / "store")
+    write_signature_store(corpus, path)
+    batches = {
+        "day-a": _docs(spark, [(300, "racer text alpha unique aaaa")]),
+        "day-b": _docs(spark, [(301, "racer text beta unique bbbb")]),
+    }
+    errors = []
+
+    def _run(bid):
+        try:
+            append_batch(spark, path, batches[bid], batch_id=bid)
+        except Exception as e:  # surfaced below; a swallowed raise
+            errors.append(e)  # would vacuously pass the assert
+
+    threads = [
+        threading.Thread(target=_run, args=(b,)) for b in batches
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors
+    m = read_manifest(path)
+    assert sorted(m["applied_batches"]) == ["day-a", "day-b"]
+    assert m["n_appended"] == 2
+
+
+def test_prune_stale_stores_respects_grace(tmp_path):
+    """Retention for the content-addressed registry cache: superseded
+    fingerprint dirs are pruned only past the grace period, so a mine
+    in flight against the old corpus never has its parquet yanked."""
+    import os
+    import time
+
+    from conecta_spark.operators.minhash_store import (
+        _STALE_STORE_GRACE_NS,
+        _prune_stale_stores,
+    )
+
+    root = tmp_path / "cfgkey"
+    current = root / "fp-current"
+    fresh = root / "fp-fresh"
+    stale = root / "fp-stale"
+    for d in (current, fresh, stale):
+        d.mkdir(parents=True)
+    old = time.time_ns() - _STALE_STORE_GRACE_NS - 10**9
+    os.utime(stale, ns=(old, old))
+    _prune_stale_stores(str(current))
+    assert current.exists()  # never prunes itself
+    assert fresh.exists()  # inside the grace window
+    assert not stale.exists()  # superseded and aged out

@@ -699,3 +699,55 @@ def test_incremental_minhash_rejects_shared_ids(spark):
     )
     with pytest.raises(ValueError, match="share doc ids"):
         incremental_minhash_pairs(corpus, new)
+
+
+def test_stream_session_cache_keeps_same_app_entries(spark):
+    """Alternating derived partition counts within one app must reuse
+    cached child sessions, not thrash a fresh newSession() per call --
+    the blanket clear() evicted same-app siblings and orphaned their
+    undropped memory-sink views (r10 advice)."""
+    from conecta_spark.streaming.events import (
+        _STREAM_SESSIONS,
+        _remember_stream_view,
+        _stream_session,
+    )
+
+    s4 = _stream_session(spark, 4)
+    s8 = _stream_session(spark, 8)
+    assert s4 is not s8
+    # both keys survive; a repeat call is a cache hit, not a rebuild
+    assert _stream_session(spark, 4) is s4
+    assert _stream_session(spark, 8) is s8
+    app = spark.sparkContext.applicationId
+    assert {(app, 4), (app, 8)} <= set(_STREAM_SESSIONS)
+    # a dead-app entry IS evicted, and its remembered view is dropped
+    s4.createDataFrame([(1,)], "a long").createOrReplaceTempView(
+        "dead_app_view"
+    )
+    _STREAM_SESSIONS[("dead-app", 4)] = s4
+    _remember_stream_view(spark, 4, "dead_app_view")
+    from conecta_spark.streaming import events as _ev
+
+    _ev._STREAM_LAST_VIEW[("dead-app", 4)] = "dead_app_view"
+    _stream_session(spark, 16)
+    assert ("dead-app", 4) not in _STREAM_SESSIONS
+    assert not any(v.name == "dead_app_view" for v in s4.catalog.listTables())
+
+
+def test_source_fingerprint_sees_part_rewrite(spark, tmp_path):
+    """An in-place part rewrite with identical filenames must change the
+    source fingerprint: the x76 state probe sized state partitions from
+    one os.stat of the top-level dir, which misses exactly that (r10
+    advice)."""
+    import os
+
+    from conecta_spark.streaming.events import _source_fingerprint
+
+    src = str(tmp_path / "events.parquet")
+    spark.createDataFrame([(1,)], "a long").coalesce(1).write.parquet(src)
+    fp1 = _source_fingerprint(src)
+    part = next(
+        p for p in os.listdir(src) if p.endswith(".parquet")
+    )
+    os.utime(os.path.join(src, part), ns=(1, 1))  # same name, same size
+    assert _source_fingerprint(src) != fp1
