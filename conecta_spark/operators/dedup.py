@@ -663,6 +663,75 @@ def auto_band_width(
     return None  # uncapped volume fits: keep default semantics
 
 
+def _drop_wide_buckets(
+    banded_all: DataFrame, max_band_width: int, *others: DataFrame
+):
+    """Width-cap skew guard shared by the standing and incremental
+    miners: aggregate the over-cap (band_idx, band_key) set once
+    (persisted -- every consumer's broadcast exchange would otherwise
+    re-run the width aggregation over the banded relation), then
+    anti-join it out of ``banded_all`` and each relation in ``others``
+    (the incremental miners cap their new-side relation against the SAME
+    key set, so both sides of the candidate join see one consistent
+    bucket universe).  Returns the filtered relation, or a list when
+    ``others`` are passed."""
+    from pyspark import StorageLevel
+
+    wide = (
+        banded_all.groupBy("band_idx", "band_key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > max_band_width)
+        .select("band_idx", "band_key")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _MINE_LIVE.append(wide)
+    out = [
+        rel.join(F.broadcast(wide), ["band_idx", "band_key"], "left_anti")
+        for rel in (banded_all, *others)
+    ]
+    return out[0] if not others else out
+
+
+def _new_driven_pairs(
+    banded_new: DataFrame,
+    banded_all: DataFrame,
+    hashed_all: DataFrame,
+    threshold: float,
+    id_col: str,
+    broadcast_verify: bool,
+) -> DataFrame:
+    """Candidate generation + exact verification shared by the two
+    incremental miners (:func:`incremental_minhash_pairs` and
+    minhash_store's ``incremental_pairs_stored``): the band join is
+    DRIVEN BY THE NEW SIDE, so corpus x corpus candidates -- the
+    quadratic bulk -- are never generated; new x new pairs arrive once
+    per direction and are normalized with least/greatest + distinct;
+    verification re-joins the raw shingle arrays (``hashed_all`` must
+    cover BOTH sides' ids).  One body so a verify/filter fix lands once
+    for both miners."""
+    a, b = banded_new.alias("a"), banded_all.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias(
+                "doc_a"
+            ),
+            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias(
+                "doc_b"
+            ),
+        )
+        .distinct()
+    )
+    return _verify_candidates(
+        hashed_all, cands, hashed_all, threshold, id_col, broadcast_verify
+    )
+
+
 def _verify_candidates(
     df: DataFrame,
     cands: DataFrame,
@@ -804,20 +873,7 @@ def _mine_banded(
         # Skew guard (see docstring): the over-cap key set is tiny (a
         # handful of hash-collapse artifacts), so the anti-join
         # broadcasts and pair generation never sees the mega-buckets.
-        # Persisted: the capped relation feeds BOTH sides of the
-        # candidate self-join, and each side's broadcast exchange would
-        # otherwise re-run the width aggregation.
-        wide = (
-            banded.groupBy("band_idx", "band_key")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .where(F.col("n") > max_band_width)
-            .select("band_idx", "band_key")
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
-        _MINE_LIVE.append(wide)
-        banded = banded.join(
-            F.broadcast(wide), ["band_idx", "band_key"], "left_anti"
-        )
+        banded = _drop_wide_buckets(banded, max_band_width)
     return hashed, banded, broadcast_verify
 
 
@@ -895,22 +951,8 @@ def incremental_minhash_pairs(
         F.col(id_col) == F.col("_nid"),
         "left_semi",
     )
-    a, b = banded_new.alias("a"), banded.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("doc_a"),
-            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("doc_b"),
-        )
-        .distinct()
-    )
-    return _verify_candidates(
-        union, cands, hashed, threshold, id_col, broadcast_verify
+    return _new_driven_pairs(
+        banded_new, banded, hashed, threshold, id_col, broadcast_verify
     )
 
 

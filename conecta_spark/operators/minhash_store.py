@@ -58,10 +58,11 @@ from pyspark.sql import functions as F
 
 from .dedup import (
     VERIFY_BROADCAST_MAX_BYTES,
+    _drop_wide_buckets,
     _estimate_shingle_bytes,
     _evict_mine_live,
     _MINE_LIVE,
-    _verify_candidates,
+    _new_driven_pairs,
     auto_band_width,
     band_signatures,
     hashed_shingles,
@@ -327,47 +328,13 @@ def incremental_pairs_stored(
             banded_all, mine_disk_budget_bytes, new_banded=banded_new
         )
     if max_band_width is not None:
-        from pyspark import StorageLevel as _SL
-
-        # persisted: consumed by TWO anti-joins (banded_all, banded_new),
-        # each of whose broadcast exchanges would otherwise re-run the
-        # full width aggregation over the stored banded parquet
-        wide = (
-            banded_all.groupBy("band_idx", "band_key")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .where(F.col("n") > max_band_width)
-            .select("band_idx", "band_key")
-            .persist(_SL.MEMORY_AND_DISK)
-        )
-        _MINE_LIVE.append(wide)
-        banded_all = banded_all.join(
-            F.broadcast(wide), ["band_idx", "band_key"], "left_anti"
-        )
-        banded_new = banded_new.join(
-            F.broadcast(wide), ["band_idx", "band_key"], "left_anti"
+        banded_all, banded_new = _drop_wide_buckets(
+            banded_all, max_band_width, banded_new
         )
 
-    a, b = banded_new.alias("a"), banded_all.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias(
-                "doc_a"
-            ),
-            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias(
-                "doc_b"
-            ),
-        )
-        .distinct()
-    )
     sh_all = stored_sh.unionByName(hashed_new)
-    return _verify_candidates(
-        sh_all, cands, sh_all, threshold, id_col, broadcast_verify
+    return _new_driven_pairs(
+        banded_new, banded_all, sh_all, threshold, id_col, broadcast_verify
     )
 
 
