@@ -16,7 +16,10 @@ This module persists that work once:
   the store's frozen DF table), band-joins it against the stored banded
   relation, and exact-verifies with shingle arrays read from the store;
 * :func:`append_batch` -- folds the batch's banded/shingle rows into the
-  store so tomorrow's batch mines against today's corpus.
+  store so tomorrow's batch mines against today's corpus;
+* :func:`compact_store` -- rewrites base + applied batch dirs into one
+  well-partitioned relation per store (generation-suffixed, manifest-
+  swapped), so read-side cost stays flat as daily appends accumulate.
 
 Frozen-DF semantics -- the one deliberate divergence from x73: the
 document-frequency statistics (boilerplate set and the ``max_df``
@@ -34,14 +37,18 @@ semantics are pinned cross-engine, not hand-waved.
 Store layout (all paths under ``path/``)::
 
     manifest.json   params (k, num_perms, bands, max_df), n_docs at
-                    build, n_appended, schema version
+                    build, n_appended, applied_batches, generation,
+                    schema version
     banded/         (id, band_idx, band_key) parquet, repartitioned by
                     (band_idx, band_key) so candidate-join buckets are
-                    file-clustered
+                    file-clustered; named banded-g<N> after N compactions
     shingles/       (id, sh array<bigint>) parquet, sorted by id within
                     partitions so the verify join's row-group stats
-                    enable runtime skipping on selective candidates
+                    enable runtime skipping on selective candidates;
+                    named shingles-g<N> after N compactions
     common/         (h bigint) -- the frozen boilerplate shingle set
+    batches/<id>/   per-append shingles/banded dirs, unioned on read
+                    until a compaction folds them into the base
 
 Reference parity note: the reference engine has no incremental mining;
 this extends its dedup surface with the operation a training-data
@@ -113,12 +120,25 @@ def _write_manifest(path: str, m: dict) -> None:
     os.replace(tmp, _manifest_path(path))
 
 
+def _rel_dir(path: str, m: dict, name: str) -> str:
+    """Base relation directory for the manifest's current generation:
+    ``name`` for generation 0 (the layout every pre-compaction store
+    has), ``name-g<N>`` after N compactions.  Generation-suffixed names
+    let :func:`compact_store` write the folded relation NEXT TO the old
+    one and commit by manifest swap -- os.replace can't atomically swap
+    non-empty directories, but a manifest that names its generation
+    can."""
+    gen = m.get("generation", 0)
+    return os.path.join(path, name if gen == 0 else f"{name}-g{gen}")
+
+
 def _store_relation(spark: SparkSession, path: str, m: dict, name: str):
-    """Read a store relation: the base parquet plus every APPLIED batch
-    directory (manifest-listed -- a batch dir that exists but is not in
-    ``applied_batches`` is an uncommitted append and must be invisible,
-    exactly like data written before a crashed manifest update)."""
-    paths = [os.path.join(path, name)] + [
+    """Read a store relation: the current generation's base parquet plus
+    every APPLIED batch directory (manifest-listed -- a batch dir that
+    exists but is not in ``applied_batches`` is an uncommitted append
+    and must be invisible, exactly like data written before a crashed
+    manifest update)."""
+    paths = [_rel_dir(path, m, name)] + [
         os.path.join(path, "batches", b, name)
         for b in m.get("applied_batches", [])
     ]
@@ -429,6 +449,91 @@ def append_batch(
     return m
 
 
+def compact_store(spark: SparkSession, store_path: str) -> dict:
+    """Fold every applied batch into the base relations -- the retention
+    half of the daily-ingest contract.  :func:`append_batch` accumulates
+    one directory per batch and :func:`_store_relation` unions them all
+    on every read, so after months of daily appends a mine pays N-dir
+    scan overhead (file listing, footer reads, small-file parquet scans)
+    that compaction folds back to one well-partitioned relation per
+    store.  Run it on the same cadence you'd vacuum any LSM-shaped
+    store -- e.g. every ~10 appends (the SF10 rung records read-side
+    wall flat after compaction at exactly that point).
+
+    Semantics are purely physical: the folded relations hold exactly the
+    union of base + applied batches (pinned by the equality test), the
+    frozen DF table (``common/``) is untouched, and ``n_docs`` /
+    ``n_appended`` keep their meanings (appends since DF freeze -- the
+    rebuild-the-store drift signal must survive compaction, so
+    compaction does NOT fold ``n_appended`` into ``n_docs``).
+
+    Same crash discipline as build/append, extended with generations:
+    the folded relations are written to ``<name>-g<gen+1>`` NEXT TO the
+    live ones, and the manifest -- rewritten last, atomically -- is what
+    flips readers to the new generation and empties
+    ``applied_batches``.  A crash before the manifest write leaves
+    orphan next-gen dirs (removed by the next compaction's sweep); a
+    crash after it leaves orphan old-gen/batch dirs (ditto); neither is
+    ever readable as data.  The whole fold runs under the store's
+    exclusive flock, serialized with builds and with append commits --
+    an append racing a compaction either commits first (its batch is
+    folded) or re-reads the post-compaction manifest under the lock and
+    lands in the fresh ``applied_batches``."""
+    import re
+    import shutil
+
+    parallelism = spark.sparkContext.defaultParallelism
+    with _store_lock(store_path):
+        m = read_manifest(store_path)
+        if not m.get("applied_batches"):
+            return m  # nothing to fold: no-op
+        gen = m.get("generation", 0)
+        new_gen = gen + 1
+        id_col = m["id_col"]
+
+        sh = _store_relation(spark, store_path, m, "shingles")
+        sh.repartition(parallelism, id_col).sortWithinPartitions(
+            id_col
+        ).write.mode("overwrite").parquet(
+            os.path.join(store_path, f"shingles-g{new_gen}")
+        )
+        banded = _store_relation(spark, store_path, m, "banded")
+        banded.repartition(
+            parallelism, "band_idx", "band_key"
+        ).write.mode("overwrite").parquet(
+            os.path.join(store_path, f"banded-g{new_gen}")
+        )
+
+        folded = list(m["applied_batches"])
+        m["generation"] = new_gen
+        m["applied_batches"] = []
+        m["compacted_batches"] = m.get("compacted_batches", []) + folded
+        _write_manifest(store_path, m)
+
+        # post-commit sweep: the old generation's dirs and the folded
+        # batch dirs are no longer referenced by any manifest.  Batch
+        # dirs NOT in the folded list are left alone -- they are either
+        # crash garbage or an in-flight append between its rename and
+        # its manifest commit (which this lock excludes only at commit
+        # time), and deleting those would break append's heal-retry.
+        gen_re = re.compile(r"^(shingles|banded)(-g(\d+))?$")
+        for entry in os.listdir(store_path):
+            match = gen_re.match(entry)
+            if match:
+                entry_gen = int(match.group(3) or 0)
+                if entry_gen != new_gen:
+                    shutil.rmtree(
+                        os.path.join(store_path, entry),
+                        ignore_errors=True,
+                    )
+        for b in folded:
+            shutil.rmtree(
+                os.path.join(store_path, "batches", b),
+                ignore_errors=True,
+            )
+    return m
+
+
 # -- registry -----------------------------------------------------------------
 
 from .dedup import _duck_mh_sigs, _X73_CUT  # noqa: E402
@@ -563,3 +668,72 @@ def x77_stored_incremental(spark, sf_dir) -> DataFrame:
                 )
         _prune_stale_stores(path)
     return incremental_pairs_stored(spark, path, new, threshold=0.5)
+
+
+#: x78's store is built on the OLDEST three fifths of doc ids, one
+#: "day-1" batch (the fourth fifth) is appended and compacted, and the
+#: newest fifth is the mined batch -- the full store lifecycle (build,
+#: append, compact, mine) behind one oracle-checked pair set.  The DF
+#: table freezes at build time over the 3/5 base slice; the pair
+#: predicate is x73/x77's "at least one side in the newest fifth".
+_X78_BASE_CUT = "(3 * (SELECT COUNT(*) FROM documents)) // 5"
+
+
+@register(
+    "x78_compacted_store_near_dup",
+    _duck_mh_sigs(
+        cand_pred=(
+            f" AND (a.doc_id >= {_X73_CUT} OR b.doc_id >= {_X73_CUT})"
+        ),
+        df_pred=f"doc_id < {_X78_BASE_CUT}",
+    ),
+    "COMPACTED-STORE incremental near-dup mining -- the full daily-"
+    "ingest lifecycle: the signature store is built on the oldest three "
+    "fifths of doc ids (DF table frozen there), a day-1 batch (the "
+    "fourth fifth) is appended as a batch dir and then COMPACTED into "
+    "the base relations (generation swap, manifest-last), and the "
+    "newest fifth is mined against the folded store -- pinning that "
+    "compaction is purely physical: the pair set equals what the "
+    "uncompacted union of base + batch dirs yields.  Oracle = the x07 "
+    "pipeline with DF statistics scoped to the 3/5 base slice "
+    "(frozen-DF semantics) and the x73 cross-side candidate predicate",
+)
+def x78_compacted_store(spark, sf_dir) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    n = docs.count()
+    base_cut = (3 * n) // 5
+    new_cut = (4 * n) // 5
+    id_col = "doc_id"
+    base = docs.where(F.col(id_col) < base_cut)
+    day1 = docs.where(
+        (F.col(id_col) >= base_cut) & (F.col(id_col) < new_cut)
+    )
+    day2 = docs.where(F.col(id_col) >= new_cut)
+    fp = _corpus_fingerprint(sf_dir)
+    path = _store_path(spark, sf_dir, n, base_cut, fp)
+
+    def _ready() -> bool:
+        try:
+            mm = read_manifest(path)
+            return (
+                mm.get("corpus_fingerprint") == fp
+                and mm.get("generation", 0) >= 1
+                and not mm.get("applied_batches")
+            )
+        except (OSError, ValueError):
+            return False
+
+    if not _ready():
+        import fcntl
+
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, ".build.lock"), "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            if not _ready():
+                write_signature_store(
+                    base, path, manifest_extra={"corpus_fingerprint": fp}
+                )
+                append_batch(spark, path, day1, batch_id="day-001")
+                compact_store(spark, path)
+        _prune_stale_stores(path)
+    return incremental_pairs_stored(spark, path, day2, threshold=0.5)

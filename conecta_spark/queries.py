@@ -403,59 +403,64 @@ def _load_extensions() -> None:
 # extension operator (x01-x29), then the SQL-surface queries whose oracle SQL
 # changed this round (re-proof needed), then the remaining SQL-surface
 # variants that were already hash-green in round 1.
-# Window composition for round 10 (exactly 50 slots), per the round-9
-# verdict (task 1 -- the budgeted rotation):
-#   1. the seven entries with NO driver row in the freshness policy:
-#      q04 (the one r6 carry) and x71-x76 (added late-r9 after the
-#      window was spent; twin/sweep + judge-rerun proven until now);
-#   2. x77, NEW this round (persisted-signature-store incremental
-#      mining, frozen-DF oracle) -- first driver row;
+# Window composition for round 11 (exactly 50 slots), per the round-10
+# verdict (task 1 -- rotate the r7-stale carries first):
+#   1. q45-q51, the seven entries whose last driver row is r7 (the only
+#      three-round-old proofs in the registry; the r10 verdict's top
+#      task);
+#   2. x78, NEW this round (compacted-store incremental mining: build ->
+#      append -> compact -> mine behind one frozen-DF oracle) -- first
+#      driver row;
 #   3. core q01/q02/q12 (every-round scan/projection/agg smoke);
 #   4. standing regression sentinels: x16 (TIMESTAMP_NTZ testdata
 #      drift), x56 (oracle numeric-kind class), x65 (real Structured
 #      Streaming driver row);
-#   5. 36 of the 43-entry r7 freshness floor (histogram going into r10:
-#      r6:1 / r7:43 / r8:44 / r9:50, computed from CORRECTNESS_r01-r09).
-# 7 + 1 + 3 + 3 + 36 = 50 with exactly SEVEN carried r7 entries
-# (q45-q51): all pure SQL-surface variants (sql_surface.py) whose
-# engine-side code hasn't moved since r7 and whose classes (string agg,
-# range frames, set ops, outer/right joins, recursion, lateral) each
-# stay locally oracle-checked every test run; they rotate FIRST in r11.
-# Post-r10 freshness floor: r7 (those seven), then r8.
-_ROTATION_FIRSTS = ("q04", "x71", "x72", "x73", "x74", "x75", "x76")
-_NEW_THIS_ROUND = ("x77",)
+#   5. 36 of the 44-entry r8 freshness floor (histogram going into r11:
+#      r7:7 / r8:44 / r9:44 / r10:50, computed from
+#      CORRECTNESS_r01-r10), prioritizing every entry whose engine code
+#      moved this round (the dedup/minhash_store back-half unification
+#      touches x05/x07/x08/x26/x64/x66's code paths).
+# 7 + 1 + 3 + 3 + 36 = 50 with exactly EIGHT carried r8 entries
+# (q17-q20, q27, q31-q33): all single-table SQL-surface matrices
+# (top-k, distinct, set ops, count-distinct, string/date/math funcs)
+# whose engine-side code hasn't moved since r8 and whose classes stay
+# locally oracle-checked every test run; they lead the r12 rotation.
+# Post-r11 freshness floor: r8 (those eight), then r9.
+_ROTATION_FIRSTS = ("q45", "q46", "q47", "q48", "q49", "q50", "q51")
+_NEW_THIS_ROUND = ("x78",)
 _CORE_SMOKE = ("q01", "q02", "q12")
 _REGRESSION_SENTINELS = ("x16", "x56", "x65")
-_STALE_R7_REFRESH = (
-    "q40", "q41", "q42", "q43", "q44",
-    "x11", "x22", "x23", "x34", "x35", "x36", "x37", "x38", "x39",
-    "x40", "x41", "x42", "x43", "x44", "x45", "x46", "x47", "x48",
-    "x49", "x50", "x51", "x53", "x54", "x55", "x57", "x58", "x59",
-    "x60", "x61", "x62", "x63",
+_STALE_R8_REFRESH = (
+    "x05", "x07", "x08", "x18", "x26", "x64", "x66",
+    "q21", "q22", "q23", "q25", "q26", "q28", "q29", "q30", "q34",
+    "q36", "q38", "q39", "q52", "q53", "q54", "q55", "q56", "q57",
+    "q58", "q59", "q60", "q61", "q62", "q63", "q64", "q65", "q66",
+    "q67", "q68",
 )
 _WINDOW = (
     _ROTATION_FIRSTS
     + _NEW_THIS_ROUND
     + _CORE_SMOKE
     + _REGRESSION_SENTINELS
-    + _STALE_R7_REFRESH
+    + _STALE_R8_REFRESH
 )
 _PRIORITY_TIERS: tuple[tuple[str, ...], ...] = (
     _ROTATION_FIRSTS,
     _NEW_THIS_ROUND,
     _CORE_SMOKE,
     _REGRESSION_SENTINELS,
-    _STALE_R7_REFRESH,
-    # below the 50-slot window: the seven r7 carries first (they lead
-    # the r11 rotation), then r8/r9 greens -- newest proofs last
-    ("q45", "q46", "q47", "q48", "q49", "q50", "q51"),
+    _STALE_R8_REFRESH,
+    # below the 50-slot window: the eight r8 carries first (they lead
+    # the r12 rotation), then r9/r10 greens -- newest proofs last
+    ("q17", "q18", "q19", "q20", "q27", "q31", "q32", "q33"),
     tuple(
         f"q{i:02d}"
         for i in range(3, 69)
-        if f"q{i:02d}" not in _WINDOW and not 45 <= i <= 51
+        if f"q{i:02d}" not in _WINDOW
+        and i not in (17, 18, 19, 20, 27, 31, 32, 33)
     ),
     tuple(
-        f"x{i:02d}" for i in range(1, 78) if f"x{i:02d}" not in _WINDOW
+        f"x{i:02d}" for i in range(1, 79) if f"x{i:02d}" not in _WINDOW
     ),
 )
 

@@ -273,3 +273,100 @@ def test_prune_stale_stores_respects_grace(tmp_path):
     assert current.exists()  # never prunes itself
     assert fresh.exists()  # inside the grace window
     assert not stale.exists()  # superseded and aged out
+
+
+def test_compaction_preserves_pairs(spark, corpus, batch, tmp_path):
+    """Compaction is purely physical: after folding applied batches into
+    a new generation, a mine returns pair-for-pair what the uncompacted
+    batch-dir union returned, the manifest flips to generation 1 with an
+    empty applied_batches, and the folded dirs are swept."""
+    from conecta_spark.operators.minhash_store import (
+        append_batch,
+        compact_store,
+        incremental_pairs_stored,
+        read_manifest,
+        write_signature_store,
+    )
+
+    path = str(tmp_path / "store")
+    write_signature_store(corpus, path)
+    append_batch(spark, path, batch, batch_id="day-001")
+    batch2 = _docs(
+        spark, [(200, "completely unrelated fresh text nothing shared qqq")]
+    )
+    append_batch(spark, path, batch2, batch_id="day-002")
+    probe = _docs(
+        spark,
+        [
+            (300, "document number 0 about topic-0 with unique tail 0"),
+            (301, "completely unrelated fresh text nothing shared qqq"),
+        ],
+    )
+    before = _pairs(
+        incremental_pairs_stored(spark, path, probe, threshold=0.3)
+    )
+    m = compact_store(spark, path)
+    assert m["generation"] == 1
+    assert m["applied_batches"] == []
+    assert m["compacted_batches"] == ["day-001", "day-002"]
+    # counters keep their drift-signal meaning across compaction
+    assert m["n_appended"] == 4 and m["n_docs"] == 30
+    assert os.path.isdir(os.path.join(path, "shingles-g1"))
+    assert not os.path.exists(os.path.join(path, "shingles"))
+    assert not os.path.exists(os.path.join(path, "batches", "day-001"))
+    after = _pairs(
+        incremental_pairs_stored(spark, path, probe, threshold=0.3)
+    )
+    assert after == before and after  # non-vacuous: probe hits both sides
+
+
+def test_compact_store_without_batches_is_noop(spark, corpus, tmp_path):
+    from conecta_spark.operators.minhash_store import (
+        compact_store,
+        write_signature_store,
+    )
+
+    path = str(tmp_path / "store")
+    m0 = write_signature_store(corpus, path)
+    m1 = compact_store(spark, path)
+    assert m1.get("generation", 0) == 0
+    assert m1["n_docs"] == m0["n_docs"]
+    assert os.path.isdir(os.path.join(path, "shingles"))
+
+
+def test_append_after_compaction(spark, corpus, batch, tmp_path):
+    """The lifecycle keeps cycling: an append after a compaction lands
+    in the new generation's applied_batches and is served on reads, and
+    a SECOND compaction folds it into generation 2."""
+    from conecta_spark.operators.minhash_store import (
+        _store_relation,
+        append_batch,
+        compact_store,
+        incremental_pairs_stored,
+        read_manifest,
+        write_signature_store,
+    )
+
+    path = str(tmp_path / "store")
+    write_signature_store(corpus, path)
+    append_batch(spark, path, batch, batch_id="day-001")
+    compact_store(spark, path)
+    batch2 = _docs(
+        spark, [(200, "completely unrelated fresh text nothing shared qqq")]
+    )
+    append_batch(spark, path, batch2, batch_id="day-002")
+    m = read_manifest(path)
+    assert m["generation"] == 1 and m["applied_batches"] == ["day-002"]
+    assert _store_relation(spark, path, m, "shingles").count() == 34
+    probe = _docs(
+        spark, [(300, "completely unrelated fresh text nothing shared qqq")]
+    )
+    pairs = _pairs(
+        incremental_pairs_stored(spark, path, probe, threshold=0.3)
+    )
+    assert (102, 300) in pairs and (200, 300) in pairs
+    m2 = compact_store(spark, path)
+    assert m2["generation"] == 2
+    assert os.path.isdir(os.path.join(path, "shingles-g2"))
+    assert not os.path.exists(os.path.join(path, "shingles-g1"))
+    assert _store_relation(spark, path, m2, "shingles").count() == 34

@@ -32,17 +32,27 @@ def test_sentinels_and_core_smoke_stay_in_window():
         assert required in window_prefixes, required
 
 
-def test_r10_rotation_firsts_get_driver_rows():
-    """Round-10 promise (r9 verdict task 1): the seven entries with no
-    driver row under the freshness policy -- q04 (the one r6 carry) and
-    x71-x76 (added late-r9 after the window was spent) -- plus x77 (NEW
-    this round: persisted-signature-store incremental mining) must lead
-    the window so every registry entry has a driver row."""
+def test_r11_rotation_firsts_get_driver_rows():
+    """Round-11 promise (r10 verdict task 1): q45-q51 -- the only
+    entries whose last driver row is three rounds old (r7) -- rotate in
+    first, followed by x78 (NEW this round: compacted-store incremental
+    mining, the full build/append/compact/mine lifecycle)."""
     window = list(entry.queries())[:50]
     leaders = [n.split("_", 1)[0] for n in window[:8]]
     assert leaders == [
-        "q04", "x71", "x72", "x73", "x74", "x75", "x76", "x77"
+        "q45", "q46", "q47", "q48", "q49", "q50", "q51", "x78"
     ], leaders
+
+
+def test_r11_window_covers_unified_miner_entries():
+    """The r11 back-half unification touched dedup.py's shared mining
+    code; every registry entry riding those paths must re-earn a driver
+    row this round rather than coast on an r8 proof."""
+    window_prefixes = {
+        n.split("_", 1)[0] for n in list(entry.queries())[:50]
+    }
+    for touched in ("x05", "x07", "x08", "x26", "x64", "x66"):
+        assert touched in window_prefixes, touched
 
 
 def test_every_entry_is_oracled():
