@@ -449,6 +449,71 @@ def append_batch(
     return m
 
 
+def stream_mine_and_append(
+    stream_df: DataFrame,
+    store_path: str,
+    pairs_path: str,
+    checkpoint: str,
+    threshold: float = 0.5,
+    max_band_width: int | str | None = None,
+    await_seconds: int = 1800,
+) -> None:
+    """Structured-Streaming ingestion for the signature store: each
+    micro-batch is mined against the current store (new-side-driven, the
+    x77 path) and appended, inside one ``foreachBatch`` sink -- the
+    daily loop of daily_loop_rung.py driven by a stream source instead
+    of a hand-written loop.  ``availableNow`` + the file source's
+    ``maxFilesPerTrigger`` shape the micro-batches; at 100 TB the same
+    sink body runs unchanged on a continuous source with a real
+    trigger.
+
+    Idempotency rides on the streaming epoch: ``batch_id =
+    epoch-<epochId>``, so a micro-batch replayed after a crash/restart
+    (foreachBatch's at-least-once contract) is recognized in the
+    manifest's ``applied_batches`` and skipped entirely, and a restart
+    of a completed run appends ZERO new batches (the checkpoint replays
+    nothing; even if it did, the manifest guard holds).  The mined pair
+    sets land one parquet subdirectory per epoch
+    (``pairs_path/epoch-*/``, mode=overwrite), so a replay that died
+    between the pairs write and the append commit rewrites the same
+    directory instead of double-appending rows -- the pairs sink is
+    exactly-once BY PATH, the store append exactly-once by manifest.
+    """
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sess = batch_df.sparkSession
+        batch_id = f"epoch-{epoch_id:09d}"
+        if batch_id in read_manifest(store_path).get(
+            "applied_batches", []
+        ):
+            return  # replayed epoch: already mined AND appended
+        pairs = incremental_pairs_stored(
+            sess,
+            store_path,
+            batch_df,
+            threshold=threshold,
+            max_band_width=max_band_width,
+        )
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(pairs_path, batch_id)
+        )
+        append_batch(sess, store_path, batch_df, batch_id=batch_id)
+
+    q = (
+        stream_df.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(await_seconds):
+        q.stop()
+        raise RuntimeError(
+            f"stream_mine_and_append did not terminate in {await_seconds}s"
+        )
+
+
 def compact_store(spark: SparkSession, store_path: str) -> dict:
     """Fold every applied batch into the base relations -- the retention
     half of the daily-ingest contract.  :func:`append_batch` accumulates

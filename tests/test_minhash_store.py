@@ -370,3 +370,87 @@ def test_append_after_compaction(spark, corpus, batch, tmp_path):
     assert os.path.isdir(os.path.join(path, "shingles-g2"))
     assert not os.path.exists(os.path.join(path, "shingles-g1"))
     assert _store_relation(spark, path, m2, "shingles").count() == 34
+
+
+def test_stream_ingestion_matches_batch_loop(spark, corpus, tmp_path):
+    """foreachBatch ingestion: a 2-micro-batch streaming run must mine
+    and append exactly what the hand-written batch loop does (union of
+    per-epoch pair sets, store contents), and a RESTART of the completed
+    run must append zero new batches (epoch-derived batch ids + the
+    manifest guard make replay a no-op)."""
+    import glob
+    import shutil
+
+    from conecta_spark.operators.minhash_store import (
+        append_batch,
+        incremental_pairs_stored,
+        read_manifest,
+        stream_mine_and_append,
+        write_signature_store,
+    )
+
+    path_stream = str(tmp_path / "store_stream")
+    path_batch = str(tmp_path / "store_batch")
+    write_signature_store(corpus, path_stream)
+    write_signature_store(corpus, path_batch)
+
+    slices = [
+        [(100, "document number 0 about topic-0 with unique tail 0"),
+         (101, "completely unrelated fresh text nothing shared qqq")],
+        [(200, "completely unrelated fresh text nothing shared qqq"),
+         (201, "document number 1 about topic-1 with unique tail x1234567")],
+    ]
+    staging = tmp_path / "staging"
+    staging.mkdir()
+    for i, rows in enumerate(slices):
+        tmp = str(tmp_path / f"slice{i}")
+        _docs(spark, rows).coalesce(1).write.parquet(tmp)
+        part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+        dst = staging / f"{i:04d}.parquet"
+        shutil.move(os.path.join(tmp, part), dst)
+        os.utime(dst, ns=(i * 10**9, i * 10**9))  # arrival order
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(staging))
+    )
+    pairs_path = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt")
+    stream_mine_and_append(
+        stream, path_stream, pairs_path, ckpt, threshold=0.3
+    )
+    m = read_manifest(path_stream)
+    assert m["applied_batches"] == [
+        "epoch-000000000", "epoch-000000001"
+    ]
+    assert m["n_appended"] == 4
+    epoch_dirs = sorted(glob.glob(os.path.join(pairs_path, "epoch-*")))
+    assert len(epoch_dirs) == 2
+    streamed = set()
+    for d in epoch_dirs:
+        streamed |= _pairs(spark.read.parquet(d))
+
+    batch_union = set()
+    for i, rows in enumerate(slices):
+        batch_df = _docs(spark, rows)
+        batch_union |= _pairs(
+            incremental_pairs_stored(
+                spark, path_batch, batch_df, threshold=0.3
+            )
+        )
+        append_batch(spark, path_batch, batch_df, batch_id=f"day-{i}")
+    assert streamed == batch_union and streamed  # non-vacuous
+
+    # restart with the same checkpoint: nothing replays, nothing appends
+    stream2 = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(staging))
+    )
+    stream_mine_and_append(
+        stream2, path_stream, pairs_path, ckpt, threshold=0.3
+    )
+    m2 = read_manifest(path_stream)
+    assert m2["applied_batches"] == m["applied_batches"]
+    assert m2["n_appended"] == 4
