@@ -101,6 +101,12 @@ def main() -> None:
     write_signature_store(base, WORK)
     build_sec = round(time.perf_counter() - t0, 3)
 
+    # one UNTIMED probe mine first: the initial mine in a fresh session
+    # pays JVM/Janino codegen warmup (~55 s at this scale), which would
+    # otherwise dominate the 1-dir point and make the series read as
+    # decreasing; the rung measures store LAYOUT cost, not warmup
+    timed_probe_mine()
+
     mine_points = []
     append_total = 0.0
     checkpoints = {1, max(1, N_BATCHES // 2), N_BATCHES}

@@ -97,10 +97,15 @@ def _store_lock(path: str):
     read-modify-write of ``applied_batches``: two unserialized appends
     would each read the old list and the last writer would silently drop
     the other's committed batch forever.  Readers don't take the lock --
-    a committed manifest only ever points at immutable relation files
-    (appends add NEW batch dirs; compaction writes NEW generation dirs),
-    so a reader's snapshot stays intact regardless of concurrent
-    mutation."""
+    appends add NEW batch dirs and compaction writes NEW generation
+    dirs, so a reader's manifest snapshot keeps pointing at intact
+    files.  The one in-place mutator is a REBUILD
+    (:func:`write_signature_store` over an existing store), which can
+    still race a reader mid-scan; the registry entries avoid that
+    entirely by content-addressing the store path on the corpus
+    fingerprint (a changed corpus builds into a fresh directory), and
+    direct API users rebuilding a shared path owe their readers the
+    same discipline."""
     import fcntl
 
     os.makedirs(path, exist_ok=True)

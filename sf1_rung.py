@@ -176,20 +176,27 @@ def main() -> None:
         timings[name] = round(statistics.median(sorted(runs[1:])), 3)
         print(f"{name}: median {timings[name]}s runs={runs}", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "sf1_rung",
-                "lineitem_rows": n_lineitem,
-                "timings_sec": timings,
-                "reference_sf1_scan_sec": 1.796,  # BASELINE.md:17
-                "scan_vs_reference": round(
-                    timings["q01_full_scan"] / 1.796, 2
-                ),
-            },
-            separators=(",", ":"),
-        )
+    block = {
+        "lineitem_rows": n_lineitem,
+        "timings_sec": timings,
+        "reference_sf1_scan_sec": 1.796,  # BASELINE.md:17
+        "scan_vs_reference": round(timings["q01_full_scan"] / 1.796, 2),
+        "load_end": round(os.getloadavg()[0], 1),
+    }
+    # merge into the shared rung artifact so all three scale points
+    # (sf1 / sf10 / sf20) record numbers from one code version
+    rung_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "SF10_RUNG.json"
     )
+    try:
+        with open(rung_path) as f:
+            rung = json.load(f)
+    except OSError:
+        rung = {}
+    rung["sf1"] = block
+    with open(rung_path, "w") as f:
+        json.dump(rung, f, indent=1)
+    print(json.dumps({"metric": "sf1_rung", **block}, separators=(",", ":")))
 
 
 if __name__ == "__main__":
