@@ -59,6 +59,13 @@ SHOWCASE: list[tuple[str, str]] = [
         "no CartesianProduct node appears.",
     ),
     (
+        "x78_compacted_store_near_dup",
+        "Compacted-store mining: after a compaction the corpus side is ONE "
+        "generation-suffixed parquet relation (no per-batch dir union in "
+        "the scan), still ReadSchema = the three skinny band columns, "
+        "batch-driven candidates, no CartesianProduct node.",
+    ),
+    (
         "x10_knn_cosine_topk",
         "Brute-force kNN ranks via TakeOrderedAndProject: a k-row heap per "
         "partition merged on the driver, not a global sort.",
