@@ -454,3 +454,60 @@ def test_stream_ingestion_matches_batch_loop(spark, corpus, tmp_path):
     m2 = read_manifest(path_stream)
     assert m2["applied_batches"] == m["applied_batches"]
     assert m2["n_appended"] == 4
+
+
+def test_append_racing_compaction_commits_safely(spark, corpus, batch, tmp_path):
+    """The lock claim, exercised: an append racing a compaction either
+    commits before the fold (its batch is compacted in) or re-reads the
+    post-compaction manifest under the lock and lands in the fresh
+    applied_batches -- never dropped, never double-counted.  Whichever
+    interleaving the scheduler picks, the final store must hold base +
+    batch1 + batch2 exactly once each."""
+    import threading
+
+    from conecta_spark.operators.minhash_store import (
+        _store_relation,
+        append_batch,
+        compact_store,
+        read_manifest,
+        write_signature_store,
+    )
+
+    path = str(tmp_path / "store")
+    write_signature_store(corpus, path)
+    append_batch(spark, path, batch, batch_id="day-001")
+    batch2 = _docs(
+        spark, [(200, "completely unrelated fresh text nothing shared qqq")]
+    )
+    errors = []
+
+    def _append():
+        try:
+            append_batch(spark, path, batch2, batch_id="day-002")
+        except Exception as e:
+            errors.append(e)
+
+    def _compact():
+        try:
+            compact_store(spark, path)
+        except Exception as e:
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=_append),
+        threading.Thread(target=_compact),
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors
+    m = read_manifest(path)
+    # day-002 is either folded (compaction won the lock after its
+    # commit) or pending in applied_batches (compaction ran first)
+    folded = m.get("compacted_batches", [])
+    assert ("day-002" in folded) ^ ("day-002" in m["applied_batches"])
+    assert m["n_appended"] == 4  # 3 + 1, each booked exactly once
+    sh = _store_relation(spark, path, m, "shingles")
+    assert sh.count() == 34  # 30 base + 3 batch1 + 1 batch2
+    assert sh.where(sh.doc_id == 200).count() == 1
