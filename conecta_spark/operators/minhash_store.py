@@ -193,6 +193,17 @@ def write_signature_store(
         if os.path.exists(_manifest_path(path)):
             os.remove(_manifest_path(path))
         shutil.rmtree(os.path.join(path, "batches"), ignore_errors=True)
+        # a rebuild writes generation-0 dir names; generation-suffixed
+        # relations left by a prior compaction would otherwise orphan
+        # (never referenced again, never swept -- compaction's sweep
+        # only runs on stores WITH batches to fold)
+        import re as _re
+
+        for entry in os.listdir(path) if os.path.isdir(path) else []:
+            if _re.match(r"^(shingles|banded)-g\d+$", entry):
+                shutil.rmtree(
+                    os.path.join(path, entry), ignore_errors=True
+                )
 
         hashed = hashed_shingles(df, k, text_col, id_col)
         hashed.repartition(parallelism, id_col).sortWithinPartitions(

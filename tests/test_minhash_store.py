@@ -511,3 +511,30 @@ def test_append_racing_compaction_commits_safely(spark, corpus, batch, tmp_path)
     sh = _store_relation(spark, path, m, "shingles")
     assert sh.count() == 34  # 30 base + 3 batch1 + 1 batch2
     assert sh.where(sh.doc_id == 200).count() == 1
+
+
+def test_rebuild_over_compacted_store_sweeps_generations(
+    spark, corpus, batch, tmp_path
+):
+    """A rebuild writes generation-0 dir names; a prior compaction's
+    generation-suffixed relations must be swept, not orphaned (they are
+    never referenced by the fresh manifest and compaction's own sweep
+    only runs on stores with batches to fold)."""
+    from conecta_spark.operators.minhash_store import (
+        append_batch,
+        compact_store,
+        read_manifest,
+        write_signature_store,
+    )
+
+    path = str(tmp_path / "store")
+    write_signature_store(corpus, path)
+    append_batch(spark, path, batch, batch_id="day-001")
+    compact_store(spark, path)
+    assert os.path.isdir(os.path.join(path, "shingles-g1"))
+    write_signature_store(corpus, path)
+    m = read_manifest(path)
+    assert m.get("generation", 0) == 0 and m["n_docs"] == 30
+    assert os.path.isdir(os.path.join(path, "shingles"))
+    assert not os.path.exists(os.path.join(path, "shingles-g1"))
+    assert not os.path.exists(os.path.join(path, "banded-g1"))
