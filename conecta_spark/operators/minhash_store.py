@@ -137,6 +137,31 @@ def _rel_dir(path: str, m: dict, name: str) -> str:
     return os.path.join(path, name if gen == 0 else f"{name}-g{gen}")
 
 
+def _common_dir(path: str, m: dict) -> str:
+    """The frozen-DF boilerplate relation for the manifest's current
+    ``common_generation``: ``common`` at build time, ``common-g<N>``
+    after N refreezes (:func:`refreeze_common` follows the same
+    write-next-to + manifest-swap discipline as compaction; its own
+    counter because compactions bump ``generation`` without touching the
+    DF table)."""
+    cg = m.get("common_generation", 0)
+    return os.path.join(path, "common" if cg == 0 else f"common-g{cg}")
+
+
+def _committed_batches(m: dict) -> set:
+    """Every batch id the store has EVER committed: currently-applied
+    dirs plus batches a compaction already folded into the base.  Both
+    replay guards (append heal-retry, streaming epoch replay) must check
+    this set, not ``applied_batches`` alone -- after a compaction moves
+    a batch to ``compacted_batches`` and sweeps its dir, a replayed
+    epoch with the same id would otherwise re-append the same docs as
+    new rows (duplicate pair emissions, double-counted ``n_appended``),
+    silently breaking the exactly-once contract."""
+    return set(m.get("applied_batches", [])) | set(
+        m.get("compacted_batches", [])
+    )
+
+
 def _store_relation(spark: SparkSession, path: str, m: dict, name: str):
     """Read a store relation: the current generation's base parquet plus
     every APPLIED batch directory (manifest-listed -- a batch dir that
@@ -200,7 +225,7 @@ def write_signature_store(
         import re as _re
 
         for entry in os.listdir(path) if os.path.isdir(path) else []:
-            if _re.match(r"^(shingles|banded)-g\d+$", entry):
+            if _re.match(r"^(shingles|banded|common)-g\d+$", entry):
                 shutil.rmtree(
                     os.path.join(path, entry), ignore_errors=True
                 )
@@ -315,7 +340,7 @@ def incremental_pairs_stored(
     id_col = m["id_col"]
     stored_banded = _store_relation(spark, store_path, m, "banded")
     stored_sh = _store_relation(spark, store_path, m, "shingles")
-    common = spark.read.parquet(os.path.join(store_path, "common"))
+    common = spark.read.parquet(_common_dir(store_path, m))
 
     if validate_ids:
         overlap = stored_sh.select(id_col).join(
@@ -408,9 +433,10 @@ def append_batch(
     m = read_manifest(store_path)
     if batch_id is None:
         batch_id = uuid.uuid4().hex[:12]
-    applied = list(m.get("applied_batches", []))
-    if batch_id in applied:
-        return m  # already committed: idempotent no-op
+    if batch_id in _committed_batches(m):
+        return m  # already committed (applied OR since folded by a
+        # compaction): idempotent no-op -- re-appending a compacted
+        # batch would duplicate its docs in the store
     id_col = m["id_col"]
     batches_root = os.path.join(store_path, "batches")
     final_dir = os.path.join(batches_root, batch_id)
@@ -423,9 +449,7 @@ def append_batch(
             hashed_new.write.mode("overwrite").parquet(
                 os.path.join(tmp, "shingles")
             )
-            common = spark.read.parquet(
-                os.path.join(store_path, "common")
-            )
+            common = spark.read.parquet(_common_dir(store_path, m))
             _sign_and_band(
                 hashed_new, common, m["num_perms"], m["bands"], id_col
             ).write.mode("overwrite").parquet(os.path.join(tmp, "banded"))
@@ -453,8 +477,9 @@ def append_batch(
     # last-writer-wins overwrite
     with _store_lock(store_path):
         m = read_manifest(store_path)
-        if batch_id in m.get("applied_batches", []):
-            return m  # a racing retry committed first: no-op
+        if batch_id in _committed_batches(m):
+            return m  # a racing retry committed first (or a compaction
+            # folded this id between our opening read and now): no-op
         m["applied_batches"] = list(m.get("applied_batches", [])) + [
             batch_id
         ]
@@ -465,6 +490,24 @@ def append_batch(
     return m
 
 
+def stream_batch_id(checkpoint: str, epoch_id: int) -> str:
+    """Store batch id for a streaming micro-batch: the epoch id scoped
+    by a stable hash of the checkpoint path.  Epoch ids are unique only
+    per checkpoint LINEAGE -- a new stream (fresh checkpoint) over the
+    same store restarts at epoch 0, and an unscoped ``epoch-0`` would
+    collide with a previously applied id and be silently skipped as a
+    replay, dropping genuinely new data.  Hashing the checkpoint path
+    (not the query runId, which changes on every restart) keeps the id
+    STABLE across restarts of the same checkpoint, so crash-replay
+    idempotency still holds."""
+    import hashlib
+
+    lineage = hashlib.md5(
+        os.path.abspath(checkpoint).encode()
+    ).hexdigest()[:8]
+    return f"epoch-{lineage}-{epoch_id:09d}"
+
+
 def stream_mine_and_append(
     stream_df: DataFrame,
     store_path: str,
@@ -473,23 +516,29 @@ def stream_mine_and_append(
     threshold: float = 0.5,
     max_band_width: int | str | None = None,
     await_seconds: int = 1800,
-) -> None:
+    trigger: dict | None = None,
+):
     """Structured-Streaming ingestion for the signature store: each
     micro-batch is mined against the current store (new-side-driven, the
     x77 path) and appended, inside one ``foreachBatch`` sink -- the
     daily loop of daily_loop_rung.py driven by a stream source instead
-    of a hand-written loop.  ``availableNow`` + the file source's
-    ``maxFilesPerTrigger`` shape the micro-batches; at 100 TB the same
-    sink body runs unchanged on a continuous source with a real
-    trigger.
+    of a hand-written loop.  The default trigger is ``availableNow`` +
+    the file source's ``maxFilesPerTrigger`` shaping the micro-batches;
+    pass ``trigger={"processingTime": "..."}`` for a continuous run over
+    a growing directory (the 100 TB shape) -- the sink body is
+    trigger-agnostic and the call then RETURNS the live StreamingQuery
+    for the caller to stop (proven by stream_store_rung.py's triggered
+    block).
 
-    Idempotency rides on the streaming epoch: ``batch_id =
-    epoch-<epochId>``, so a micro-batch replayed after a crash/restart
-    (foreachBatch's at-least-once contract) is recognized in the
-    manifest's ``applied_batches`` and skipped entirely, and a restart
-    of a completed run appends ZERO new batches (the checkpoint replays
-    nothing; even if it did, the manifest guard holds).  The mined pair
-    sets land one parquet subdirectory per epoch
+    Idempotency rides on the streaming epoch scoped to the checkpoint
+    lineage (:func:`stream_batch_id`): a micro-batch replayed after a
+    crash/restart (foreachBatch's at-least-once contract) is recognized
+    among the manifest's committed batches -- applied OR already folded
+    by a compaction -- and skipped entirely, and a restart of a
+    completed run appends ZERO new batches (the checkpoint replays
+    nothing; even if it did, the manifest guard holds), while a FRESH
+    checkpoint over the same store gets non-colliding ids.  The mined
+    pair sets land one parquet subdirectory per epoch
     (``pairs_path/epoch-*/``, mode=overwrite), so a replay that died
     between the pairs write and the append commit rewrites the same
     directory instead of double-appending rows -- the pairs sink is
@@ -500,10 +549,8 @@ def stream_mine_and_append(
         if batch_df.isEmpty():
             return
         sess = batch_df.sparkSession
-        batch_id = f"epoch-{epoch_id:09d}"
-        if batch_id in read_manifest(store_path).get(
-            "applied_batches", []
-        ):
+        batch_id = stream_batch_id(checkpoint, epoch_id)
+        if batch_id in _committed_batches(read_manifest(store_path)):
             return  # replayed epoch: already mined AND appended
         pairs = incremental_pairs_stored(
             sess,
@@ -520,14 +567,70 @@ def stream_mine_and_append(
     q = (
         stream_df.writeStream.foreachBatch(_process)
         .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
+        .trigger(**(trigger if trigger is not None else {"availableNow": True}))
         .start()
     )
+    if trigger is not None and "availableNow" not in trigger:
+        return q  # continuous run: the caller owns the stop
     if not q.awaitTermination(await_seconds):
         q.stop()
         raise RuntimeError(
             f"stream_mine_and_append did not terminate in {await_seconds}s"
         )
+    return None
+
+
+#: Superseded generation dirs and folded batch dirs survive this long
+#: after a compaction/refreeze before the NEXT sweep removes them.
+#: Mutators serialize on the store flock but readers deliberately take
+#: no lock (:func:`_store_lock`): a mine that loaded a pre-compaction
+#: manifest may scan old-generation parquet for minutes, and an
+#: immediate rmtree would yank files mid-job (FileNotFoundException).
+#: One hour bounds any plausible in-flight mine -- the same bound as
+#: :data:`_STALE_STORE_GRACE_NS` for superseded sibling stores.
+_SWEEP_GRACE_NS = 3600 * 1_000_000_000
+
+
+def _sweep_unreferenced(store_path: str, m: dict) -> None:
+    """Remove store dirs no manifest references anymore, once they are
+    older than :data:`_SWEEP_GRACE_NS`: generation-suffixed relation
+    dirs of non-current generations, and batch dirs whose ids a
+    compaction already folded (listed in ``compacted_batches`` -- batch
+    dirs in NEITHER list are left alone: they are crash garbage or an
+    in-flight append between its rename and its manifest commit, and
+    deleting those would break append's heal-retry).  Grace is judged on
+    the dir mtime, which a superseded dir stops accumulating the moment
+    it is superseded.  Runs under the store flock (callers hold it)."""
+    import re
+    import shutil
+    import time
+
+    now_ns = time.time_ns()
+
+    def _old(d: str) -> bool:
+        try:
+            return now_ns - os.stat(d).st_mtime_ns > _SWEEP_GRACE_NS
+        except OSError:
+            return False
+
+    current = {
+        os.path.basename(_rel_dir(store_path, m, "shingles")),
+        os.path.basename(_rel_dir(store_path, m, "banded")),
+        os.path.basename(_common_dir(store_path, m)),
+    }
+    gen_re = re.compile(r"^(shingles|banded|common)(-g\d+)?$")
+    try:
+        entries = os.listdir(store_path)
+    except OSError:
+        return
+    for entry in entries:
+        d = os.path.join(store_path, entry)
+        if gen_re.match(entry) and entry not in current and _old(d):
+            shutil.rmtree(d, ignore_errors=True)
+    for b in m.get("compacted_batches", []):
+        d = os.path.join(store_path, "batches", b)
+        if os.path.isdir(d) and _old(d):
+            shutil.rmtree(d, ignore_errors=True)
 
 
 def compact_store(spark: SparkSession, store_path: str) -> dict:
@@ -553,21 +656,26 @@ def compact_store(spark: SparkSession, store_path: str) -> dict:
     live ones, and the manifest -- rewritten last, atomically -- is what
     flips readers to the new generation and empties
     ``applied_batches``.  A crash before the manifest write leaves
-    orphan next-gen dirs (removed by the next compaction's sweep); a
-    crash after it leaves orphan old-gen/batch dirs (ditto); neither is
-    ever readable as data.  The whole fold runs under the store's
-    exclusive flock, serialized with builds and with append commits --
-    an append racing a compaction either commits first (its batch is
-    folded) or re-reads the post-compaction manifest under the lock and
-    lands in the fresh ``applied_batches``."""
-    import re
-    import shutil
-
+    orphan next-gen dirs (swept by a later compaction once aged); a
+    crash after it leaves superseded old-gen/batch dirs (ditto); neither
+    is ever readable as data.  Superseded dirs are NOT removed at commit
+    time: readers take no lock, so a mine that loaded the pre-compaction
+    manifest may still be scanning them -- the sweep
+    (:func:`_sweep_unreferenced`) runs at the start of every compaction
+    and removes only dirs no manifest references that are older than
+    :data:`_SWEEP_GRACE_NS`.  Calling ``compact_store`` on a store with
+    no applied batches is therefore useful as a sweep-only pass.  The
+    whole fold runs under the store's exclusive flock, serialized with
+    builds and with append commits -- an append racing a compaction
+    either commits first (its batch is folded) or re-reads the
+    post-compaction manifest under the lock and lands in the fresh
+    ``applied_batches``."""
     parallelism = spark.sparkContext.defaultParallelism
     with _store_lock(store_path):
         m = read_manifest(store_path)
+        _sweep_unreferenced(store_path, m)
         if not m.get("applied_batches"):
-            return m  # nothing to fold: no-op
+            return m  # nothing to fold: sweep-only pass
         gen = m.get("generation", 0)
         new_gen = gen + 1
         id_col = m["id_col"]
@@ -590,28 +698,87 @@ def compact_store(spark: SparkSession, store_path: str) -> dict:
         m["applied_batches"] = []
         m["compacted_batches"] = m.get("compacted_batches", []) + folded
         _write_manifest(store_path, m)
+    return m
 
-        # post-commit sweep: the old generation's dirs and the folded
-        # batch dirs are no longer referenced by any manifest.  Batch
-        # dirs NOT in the folded list are left alone -- they are either
-        # crash garbage or an in-flight append between its rename and
-        # its manifest commit (which this lock excludes only at commit
-        # time), and deleting those would break append's heal-retry.
-        gen_re = re.compile(r"^(shingles|banded)(-g(\d+))?$")
-        for entry in os.listdir(store_path):
-            match = gen_re.match(entry)
-            if match:
-                entry_gen = int(match.group(3) or 0)
-                if entry_gen != new_gen:
-                    shutil.rmtree(
-                        os.path.join(store_path, entry),
-                        ignore_errors=True,
-                    )
-        for b in folded:
-            shutil.rmtree(
-                os.path.join(store_path, "batches", b),
-                ignore_errors=True,
-            )
+
+def refreeze_common(spark: SparkSession, store_path: str) -> dict:
+    """Recompute the frozen DF table from the STORED shingle relation --
+    the drift half of the store lifecycle.  The boilerplate set and the
+    ``max_df`` denominator freeze at build time over the then-corpus;
+    as appends accumulate, a shingle's true corpus-wide frequency can
+    drift across the threshold (the manifest's ``n_appended`` vs
+    ``n_docs`` is the monitor).  The r11 guidance was a full store
+    rebuild -- an O(corpus) re-SHINGLE over raw text.  But the shingle
+    rows are already persisted: this recomputes ``common/`` by one
+    aggregation over the stored relation and re-signs/re-bands from the
+    same stored arrays, skipping the text pass entirely (shingling is
+    the dominant CPU; signing is numeric work on the hashed arrays).
+
+    A refreeze is a compaction plus a DF recompute: the banded relation
+    embeds the boilerplate filter, so a new ``common`` forces one
+    re-band -- written as the next generation alongside folded
+    shingles, committed by the same manifest-last swap under the store
+    flock.  After it, the store is byte-equivalent in mining behavior to
+    one freshly built over the full current corpus (pinned by
+    test_refreeze_equals_fresh_build): ``n_docs`` becomes the full
+    count, ``n_appended`` resets to 0, and the drift clock restarts.
+    Superseded dirs age out via the compaction sweep's grace window."""
+    parallelism = spark.sparkContext.defaultParallelism
+    with _store_lock(store_path):
+        m = read_manifest(store_path)
+        _sweep_unreferenced(store_path, m)
+        new_gen = m.get("generation", 0) + 1
+        new_cg = m.get("common_generation", 0) + 1
+        id_col = m["id_col"]
+
+        sh = _store_relation(spark, store_path, m, "shingles")
+        sh.repartition(parallelism, id_col).sortWithinPartitions(
+            id_col
+        ).write.mode("overwrite").parquet(
+            os.path.join(store_path, f"shingles-g{new_gen}")
+        )
+        hashed = spark.read.parquet(
+            os.path.join(store_path, f"shingles-g{new_gen}")
+        )
+        stats = hashed.agg(
+            F.count(F.lit(1)).alias("n"), F.sum(F.size("sh")).alias("tot")
+        ).first()
+        n_docs, tot_hashes = stats["n"], stats["tot"] or 0
+
+        tok = hashed.select(F.col(id_col), F.explode("sh").alias("h"))
+        common = (
+            tok.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .where(F.col("c") > F.lit(m["max_df"]) * F.lit(n_docs))
+            .select("h")
+        )
+        common.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(store_path, f"common-g{new_cg}")
+        )
+        common = spark.read.parquet(
+            os.path.join(store_path, f"common-g{new_cg}")
+        )
+
+        banded = _sign_and_band(
+            hashed, common, m["num_perms"], m["bands"], id_col
+        )
+        banded.repartition(
+            parallelism, "band_idx", "band_key"
+        ).write.mode("overwrite").parquet(
+            os.path.join(store_path, f"banded-g{new_gen}")
+        )
+
+        folded = list(m.get("applied_batches", []))
+        m["generation"] = new_gen
+        m["common_generation"] = new_cg
+        m["applied_batches"] = []
+        m["compacted_batches"] = (
+            m.get("compacted_batches", []) + folded
+        )
+        m["n_docs"] = int(n_docs)
+        m["tot_hashes"] = int(tot_hashes)
+        m["n_appended"] = 0
+        _write_manifest(store_path, m)
     return m
 
 

@@ -278,13 +278,16 @@ def test_prune_stale_stores_respects_grace(tmp_path):
 def test_compaction_preserves_pairs(spark, corpus, batch, tmp_path):
     """Compaction is purely physical: after folding applied batches into
     a new generation, a mine returns pair-for-pair what the uncompacted
-    batch-dir union returned, the manifest flips to generation 1 with an
-    empty applied_batches, and the folded dirs are swept."""
+    batch-dir union returned, and the manifest flips to generation 1
+    with an empty applied_batches.  The superseded dirs are NOT removed
+    at commit time (readers take no lock and may be mid-scan on the old
+    manifest); they age out of a later sweep once past the grace
+    window."""
+    from conecta_spark.operators import minhash_store as ms
     from conecta_spark.operators.minhash_store import (
         append_batch,
         compact_store,
         incremental_pairs_stored,
-        read_manifest,
         write_signature_store,
     )
 
@@ -312,12 +315,29 @@ def test_compaction_preserves_pairs(spark, corpus, batch, tmp_path):
     # counters keep their drift-signal meaning across compaction
     assert m["n_appended"] == 4 and m["n_docs"] == 30
     assert os.path.isdir(os.path.join(path, "shingles-g1"))
-    assert not os.path.exists(os.path.join(path, "shingles"))
-    assert not os.path.exists(os.path.join(path, "batches", "day-001"))
+    # reader safety: the just-superseded generation and folded batch
+    # dirs survive the commit (grace window), so a mine that loaded the
+    # pre-compaction manifest keeps scanning intact files
+    assert os.path.isdir(os.path.join(path, "shingles"))
+    assert os.path.isdir(os.path.join(path, "batches", "day-001"))
     after = _pairs(
         incremental_pairs_stored(spark, path, probe, threshold=0.3)
     )
     assert after == before and after  # non-vacuous: probe hits both sides
+    # sweep-eventually: once the grace window has elapsed, the next
+    # compaction (sweep-only here) removes every unreferenced dir
+    orig = ms._SWEEP_GRACE_NS
+    ms._SWEEP_GRACE_NS = 0
+    try:
+        compact_store(spark, path)
+    finally:
+        ms._SWEEP_GRACE_NS = orig
+    assert not os.path.exists(os.path.join(path, "shingles"))
+    assert not os.path.exists(os.path.join(path, "banded"))
+    assert not os.path.exists(os.path.join(path, "batches", "day-001"))
+    assert not os.path.exists(os.path.join(path, "batches", "day-002"))
+    assert os.path.isdir(os.path.join(path, "shingles-g1"))
+    assert os.path.isdir(os.path.join(path, "common"))  # still referenced
 
 
 def test_compact_store_without_batches_is_noop(spark, corpus, tmp_path):
@@ -368,7 +388,9 @@ def test_append_after_compaction(spark, corpus, batch, tmp_path):
     m2 = compact_store(spark, path)
     assert m2["generation"] == 2
     assert os.path.isdir(os.path.join(path, "shingles-g2"))
-    assert not os.path.exists(os.path.join(path, "shingles-g1"))
+    # the superseded g1 survives the commit (reader grace); it ages out
+    # of a later sweep, pinned in test_compaction_preserves_pairs
+    assert os.path.isdir(os.path.join(path, "shingles-g1"))
     assert _store_relation(spark, path, m2, "shingles").count() == 34
 
 
@@ -420,9 +442,11 @@ def test_stream_ingestion_matches_batch_loop(spark, corpus, tmp_path):
     stream_mine_and_append(
         stream, path_stream, pairs_path, ckpt, threshold=0.3
     )
+    from conecta_spark.operators.minhash_store import stream_batch_id
+
     m = read_manifest(path_stream)
     assert m["applied_batches"] == [
-        "epoch-000000000", "epoch-000000001"
+        stream_batch_id(ckpt, 0), stream_batch_id(ckpt, 1)
     ]
     assert m["n_appended"] == 4
     epoch_dirs = sorted(glob.glob(os.path.join(pairs_path, "epoch-*")))
@@ -538,3 +562,192 @@ def test_rebuild_over_compacted_store_sweeps_generations(
     assert os.path.isdir(os.path.join(path, "shingles"))
     assert not os.path.exists(os.path.join(path, "shingles-g1"))
     assert not os.path.exists(os.path.join(path, "banded-g1"))
+
+
+def test_replayed_batch_after_compaction_is_noop(
+    spark, corpus, batch, tmp_path
+):
+    """The exactly-once guard must outlive compaction: after a batch id
+    moves to compacted_batches (and its dir is eventually swept), a
+    heal-retry or replayed streaming epoch with the same id must be a
+    no-op -- re-appending would duplicate its docs in the store and
+    double-count n_appended."""
+    from conecta_spark.operators import minhash_store as ms
+    from conecta_spark.operators.minhash_store import (
+        _store_relation,
+        append_batch,
+        compact_store,
+        write_signature_store,
+    )
+
+    path = str(tmp_path / "store")
+    write_signature_store(corpus, path)
+    append_batch(spark, path, batch, batch_id="day-001")
+    m1 = compact_store(spark, path)
+    assert "day-001" in m1["compacted_batches"]
+    # age the folded dir out so the replay can't shortcut on dir presence
+    orig = ms._SWEEP_GRACE_NS
+    ms._SWEEP_GRACE_NS = 0
+    try:
+        compact_store(spark, path)
+    finally:
+        ms._SWEEP_GRACE_NS = orig
+    assert not os.path.exists(os.path.join(path, "batches", "day-001"))
+    m2 = append_batch(spark, path, batch, batch_id="day-001")
+    assert m2["applied_batches"] == []
+    assert m2["n_appended"] == 3  # booked once, not twice
+    sh = _store_relation(spark, path, m2, "shingles")
+    assert sh.count() == 33
+    assert sh.where(sh.doc_id == 100).count() == 1
+
+
+def test_reader_mid_mine_survives_concurrent_compaction(
+    spark, corpus, batch, tmp_path
+):
+    """Readers take no lock: a mine that loaded the pre-compaction
+    manifest must complete across a concurrent compact_store with its
+    pair set unchanged -- the grace-deferred sweep keeps the superseded
+    generation and folded batch dirs on disk under its scan."""
+    from conecta_spark.operators.minhash_store import (
+        append_batch,
+        compact_store,
+        incremental_pairs_stored,
+        write_signature_store,
+    )
+
+    path = str(tmp_path / "store")
+    write_signature_store(corpus, path)
+    append_batch(spark, path, batch, batch_id="day-001")
+    probe = _docs(
+        spark,
+        [
+            (300, "document number 0 about topic-0 with unique tail 0"),
+            (301, "completely unrelated fresh text nothing shared qqq"),
+        ],
+    )
+    expected = _pairs(
+        incremental_pairs_stored(spark, path, probe, threshold=0.3)
+    )
+    # the reader's plan snapshots the PRE-compaction manifest here (lazy:
+    # nothing materialized yet)
+    reader = incremental_pairs_stored(spark, path, probe, threshold=0.3)
+    m = compact_store(spark, path)
+    assert m["generation"] == 1
+    got = _pairs(reader)  # materializes against the old generation's dirs
+    assert got == expected and got  # non-vacuous
+
+
+def test_refreeze_equals_fresh_build(spark, tmp_path):
+    """refreeze_common recomputes the DF table (and re-bands) from the
+    STORED shingle relation: afterwards the store must mine exactly like
+    one freshly built over the full current corpus, with the drift clock
+    reset.  The fixture makes DF genuinely drift: a boilerplate phrase
+    sits in 3/30 base docs (below the 10% build threshold) and in all 10
+    appended docs (13/40 > 10% after the append)."""
+    from conecta_spark.operators.minhash_store import (
+        append_batch,
+        incremental_pairs_stored,
+        refreeze_common,
+        write_signature_store,
+    )
+
+    phrase = "the boilerplate banner that every crawled page carries "
+    base = _docs(
+        spark,
+        [
+            (
+                i,
+                (phrase if i < 3 else "")
+                + f"document number {i} about topic-{i % 7} with unique "
+                f"tail {'x' * (i % 5)}{i * 1234567}",
+            )
+            for i in range(30)
+        ],
+    )
+    batch_df = _docs(
+        spark,
+        [(100 + i, phrase + f"fresh crawl doc {i} tail {i * 7919}")
+         for i in range(10)],
+    )
+    path = str(tmp_path / "store")
+    fresh_path = str(tmp_path / "fresh")
+    m0 = write_signature_store(base, path)
+    append_batch(spark, path, batch_df, batch_id="day-001")
+    m = refreeze_common(spark, path)
+    assert m["n_docs"] == 40 and m["n_appended"] == 0
+    assert m["generation"] == 1 and m["common_generation"] == 1
+    assert m["compacted_batches"] == ["day-001"]
+    # DF actually drifted: the phrase's shingles crossed the threshold
+    common_old = spark.read.parquet(os.path.join(path, "common"))
+    common_new = spark.read.parquet(os.path.join(path, "common-g1"))
+    assert common_new.count() > common_old.count()
+    assert m0["n_docs"] == 30  # build-time manifest untouched semantics
+
+    write_signature_store(base.unionByName(batch_df), fresh_path)
+    probe = _docs(
+        spark,
+        [
+            (300, phrase + "fresh crawl doc 3 tail 23757"),
+            (
+                301,
+                "document number 7 about topic-0 with unique tail "
+                "xx8641969",
+            ),
+        ],
+    )
+    got = _pairs(
+        incremental_pairs_stored(spark, path, probe, threshold=0.3)
+    )
+    want = _pairs(
+        incremental_pairs_stored(spark, fresh_path, probe, threshold=0.3)
+    )
+    assert got == want and got  # non-vacuous
+    # both sides of the lifecycle hit: a batch-side and a base-side dup
+    assert (103, 300) in got and (7, 301) in got
+
+
+def test_fresh_checkpoint_over_same_store_appends(spark, corpus, tmp_path):
+    """Batch ids are scoped to the checkpoint lineage: a NEW stream
+    (fresh checkpoint) over the same store restarts at epoch 0, and its
+    micro-batches must NOT collide with a previous lineage's applied
+    epoch ids (the unscoped form silently dropped them as replays)."""
+    import shutil
+
+    from conecta_spark.operators.minhash_store import (
+        read_manifest,
+        stream_batch_id,
+        stream_mine_and_append,
+        write_signature_store,
+    )
+
+    # unit shape: stable per checkpoint, distinct across checkpoints
+    assert stream_batch_id("/tmp/ck-a", 0) == stream_batch_id("/tmp/ck-a", 0)
+    assert stream_batch_id("/tmp/ck-a", 0) != stream_batch_id("/tmp/ck-b", 0)
+
+    path = str(tmp_path / "store")
+    write_signature_store(corpus, path)
+
+    def run(tag: str, rows) -> None:
+        staging = tmp_path / f"staging-{tag}"
+        staging.mkdir()
+        tmpd = str(tmp_path / f"slice-{tag}")
+        _docs(spark, rows).coalesce(1).write.parquet(tmpd)
+        part = next(p for p in os.listdir(tmpd) if p.endswith(".parquet"))
+        shutil.move(os.path.join(tmpd, part), staging / "0000.parquet")
+        stream = spark.readStream.schema(
+            "doc_id long, text string"
+        ).parquet(str(staging))
+        stream_mine_and_append(
+            stream,
+            path,
+            str(tmp_path / f"pairs-{tag}"),
+            str(tmp_path / f"ckpt-{tag}"),
+            threshold=0.3,
+        )
+
+    run("a", [(100, "completely unrelated fresh text nothing shared qqq")])
+    run("b", [(200, "completely unrelated fresh text nothing shared vvv")])
+    m = read_manifest(path)
+    # lineage b's epoch 0 was appended, not skipped as a replay of a's
+    assert m["n_appended"] == 2
+    assert len(m["applied_batches"]) == 2
