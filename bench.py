@@ -142,13 +142,29 @@ def choose_sample(loads: list[list]) -> int:
     return min(range(len(loads)), key=lambda i: (max(loads[i]), i))
 
 
+#: Registry entries the bench does NOT time (r11 verdict task 7).  They
+#: stay in queries()/oracle_sql() -- the driver's correctness gate and
+#: the twin/sweep still check them every round -- but they are
+#: deliberately NON-production baselines whose cost is quadratic by
+#: construction: x06 is the brute-force n-gram Jaccard anchor the miners
+#: are semantically pinned against (already slice-bounded to
+#: BASELINE_SLICE docs), kept as a test-only reference, not a path any
+#: 100 TB pipeline would run.  Charging the headline wall ~1.4 s for it
+#: every round masked regressions in the operators that matter (x07).
+#: The emitted JSON lists what was skipped so the artifact can't read
+#: as "timed everything".
+BENCH_EXCLUDE = ("x06_dedup_ngram_jaccard",)
+
+
 def timed_pass(spark, qs, sf_dir, run):
     """One full timed pass over the registry (the r5+ methodology:
     >=4 consecutive runs per query, cache cleared between runs, run 1 is
-    warm-up, record the median of the rest)."""
+    warm-up, record the median of the rest).  BENCH_EXCLUDE entries are
+    skipped (correctness-only baselines)."""
     timings: dict[str, float] = {}
     minima: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
+    qs = {n: f for n, f in qs.items() if n not in BENCH_EXCLUDE}
     for name, fn in sorted(qs.items()):
         try:
             runs: list[float] = []
@@ -192,7 +208,9 @@ def render_json_line(
     short = {n.split("_", 1)[0]: v for n, v in timings.items()}
     assert len(short) == len(timings), "registry prefixes must stay unique"
 
-    def emit(q: dict, extra: dict | None = None) -> str:
+    def emit(
+        q: dict, extra: dict | None = None, with_excluded: bool = True
+    ) -> str:
         payload = {
             "metric": "total_query_wall_seconds",
             "value": total,
@@ -202,6 +220,13 @@ def render_json_line(
             "queries": q,
             "sf": float(sf),
         }
+        if with_excluded and BENCH_EXCLUDE:
+            # correctness-only baselines the bench deliberately skips
+            # (still oracle-checked by the driver/twin/sweep every
+            # round); droppable before query coverage is
+            payload["excluded"] = [
+                n.split("_", 1)[0] for n in BENCH_EXCLUDE
+            ]
         if load is not None:
             # [start, end] 1-min load averages: the box-noise context for
             # this run's medians (r7 spanned 66-82 s on load alone).
@@ -214,21 +239,29 @@ def render_json_line(
             payload.update(extra)
         return json.dumps(payload, separators=(",", ":"))
 
-    for ndigits in (4, 2, 1):
-        line = emit({k: round(v, ndigits) for k, v in short.items()})
-        if len(line) <= budget:
-            return line
+    for with_excluded in (True, False):
+        # the excluded-list field drops before any query coverage does:
+        # per-query numbers are the artifact's point, the skip list is
+        # derivable from bench.BENCH_EXCLUDE in-repo
+        for ndigits in (4, 2, 1):
+            line = emit(
+                {k: round(v, ndigits) for k, v in short.items()},
+                with_excluded=with_excluded,
+            )
+            if len(line) <= budget:
+                return line
     ranked = sorted(short.items(), key=lambda kv: -kv[1])
     keep = len(ranked)
     while keep > 1:
         line = emit(
             {k: round(v, 1) for k, v in ranked[:keep]},
             {"omitted": len(ranked) - keep},
+            with_excluded=False,
         )
         if len(line) <= budget:
             return line
         keep -= max(1, keep // 10)
-    return emit({}, {"omitted": len(ranked)})
+    return emit({}, {"omitted": len(ranked)}, with_excluded=False)
 
 
 def emit_result(

@@ -51,15 +51,21 @@ def test_line_fits_and_parses(n):
 
 
 def test_current_registry_fits_at_full_precision_or_2dp():
-    """Today's real registry must fit without the omission fallback."""
-    timings = {name: 123.4567 for name in REGISTRY}
+    """Today's real registry must fit without the omission fallback.
+    timed_pass skips BENCH_EXCLUDE (correctness-only baselines), so the
+    real line carries exactly the non-excluded entries."""
+    timings = {
+        name: 123.4567
+        for name in REGISTRY
+        if name not in bench.BENCH_EXCLUDE
+    }
     line = bench.render_json_line(
         timings, 9999.1234, 9999.1234, "0.1", load=[12.3, 4.5]
     )
     parsed = json.loads(line)
     assert len(line) <= 1900
     assert "omitted" not in parsed
-    assert len(parsed["queries"]) == len(REGISTRY)
+    assert len(parsed["queries"]) == len(timings)
     assert parsed["load"] == [12.3, 4.5]
 
 
