@@ -787,15 +787,16 @@ def refreeze_common(spark: SparkSession, store_path: str) -> dict:
 from .dedup import _duck_mh_sigs, _X73_CUT  # noqa: E402
 
 
-def _corpus_fingerprint(sf_dir: str) -> str:
-    """Content fingerprint of the documents source: every parquet file
+def _corpus_fingerprint(sf_dir: str, table: str = "documents") -> str:
+    """Content fingerprint of ``table``'s parquet source: every file
     (recursive -- partitioned layouts keep part files in subdirectories)
     with its size and mtime.  Raises on an empty file set rather than
-    degenerating to a fingerprint that can't detect regeneration."""
+    degenerating to a fingerprint that can't detect regeneration.
+    (The ANN store fingerprints ``embeddings`` through the same code.)"""
     import glob
     import hashlib
 
-    src = os.path.join(sf_dir, "documents.parquet")
+    src = os.path.join(sf_dir, f"{table}.parquet")
     parts = (
         sorted(
             glob.glob(os.path.join(src, "**", "*.parquet"), recursive=True)

@@ -606,7 +606,24 @@ def build_ivf_index(
         dtype=np.float64,
     )
     centers = _lloyd_kmeans(X, n_clusters, seed)
-    C = centers.copy()
+    assigned = assign_cells(vecs, centers, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    return IVFIndex(assigned, [centers[i] for i in range(len(centers))], id_col)
+
+
+def assign_cells(vecs: DataFrame, centers, id_col: str) -> DataFrame:
+    """One Arrow-batched assignment pass: (id, v) -> (id, v, cell) with
+    ``cell`` = argmin squared-L2 to the broadcast centroid matrix.  The
+    coarse-quantization half of IVF as a standalone -- build_ivf_index
+    uses it over the training corpus, and the persisted ANN store
+    (operators/ann_store.py) uses the SAME code path to assign appended
+    batches against its stored centroids, so a stored assignment is
+    bit-identical to an in-memory rebuild's.  No shuffle: the centroid
+    matrix (KBs) ships in the closure, argmin is a per-batch matmul."""
+    import numpy as np
+
+    C = np.asarray(centers, dtype=np.float64)
     c2 = (C ** 2).sum(axis=1)
     out_schema = ", ".join(
         [
@@ -626,10 +643,7 @@ def build_ivf_index(
             pdf["cell"] = D.argmin(axis=1).astype("int32")
             yield pdf
 
-    assigned = vecs.mapInPandas(assign, out_schema).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    return IVFIndex(assigned, [centers[i] for i in range(len(centers))], id_col)
+    return vecs.select(id_col, "v").mapInPandas(assign, out_schema)
 
 
 def ivf_search(

@@ -379,6 +379,7 @@ def _load_extensions() -> None:
         "conecta_spark.operators.cluster",
         "conecta_spark.operators.skyline",
         "conecta_spark.operators.minhash_store",
+        "conecta_spark.operators.ann_store",
         "conecta_spark.operators.stringsim",
         "conecta_spark.functions.sampling",
         "conecta_spark.functions.zorder",
