@@ -820,18 +820,26 @@ _STALE_STORE_GRACE_NS = 3600 * 1_000_000_000
 
 
 def _store_path(
-    spark: SparkSession, sf_dir: str, n_docs: int, cut: int, fp: str
+    spark: SparkSession,
+    sf_dir: str,
+    n_docs: int,
+    cut: int,
+    fp: str,
+    variant: str = "",
 ) -> str:
     """Cache path for the registry's corpus store: CONTENT-ADDRESSED --
     the corpus fingerprint is part of the directory name, so regenerated
     testdata builds into a NEW directory instead of rebuilding in place
     under a concurrent reader mid-mine (a reader's store is immutable
     for its lifetime).  Superseded fingerprints of the same config are
-    pruned after :data:`_STALE_STORE_GRACE_NS` by :func:`_prune_stale_stores`."""
+    pruned after :data:`_STALE_STORE_GRACE_NS` by :func:`_prune_stale_stores`.
+    ``variant`` separates entries that share (sf_dir, n, cut) but drive
+    the store through different lifecycles (x78 compacts where x80
+    refreezes -- same base cut, incompatible end states)."""
     import hashlib
 
     key = hashlib.md5(
-        f"{sf_dir}|{n_docs}|{cut}|v{STORE_VERSION}".encode()
+        f"{sf_dir}|{n_docs}|{cut}|v{STORE_VERSION}{variant}".encode()
     ).hexdigest()[:12]
     return os.path.join("/tmp/conecta_spark_sigstore", key, fp)
 
@@ -984,5 +992,66 @@ def x78_compacted_store(spark, sf_dir) -> DataFrame:
                 )
                 append_batch(spark, path, day1, batch_id="day-001")
                 compact_store(spark, path)
+        _prune_stale_stores(path)
+    return incremental_pairs_stored(spark, path, day2, threshold=0.5)
+
+
+@register(
+    "x80_refrozen_store_near_dup",
+    _duck_mh_sigs(
+        cand_pred=(
+            f" AND (a.doc_id >= {_X73_CUT} OR b.doc_id >= {_X73_CUT})"
+        ),
+        df_pred=f"doc_id < {_X73_CUT}",
+    ),
+    "REFROZEN-STORE incremental near-dup mining -- the drift half of "
+    "the store lifecycle: the signature store is built on the oldest "
+    "three fifths of doc ids (DF table frozen there), the fourth fifth "
+    "is appended, and refreeze_common recomputes the DF table and "
+    "re-bands FROM THE STORED SHINGLE RELATION (no re-shingle of raw "
+    "text), resetting the drift clock; the newest fifth is then mined "
+    "against the refrozen store.  The oracle is EXACTLY x77's (DF "
+    "statistics frozen over the oldest 4/5, x73 cross-side candidate "
+    "predicate): a refrozen 3/5+append store must mine identically to "
+    "a store built directly on the 4/5 corpus -- refreeze equals "
+    "rebuild, at O(signing) instead of O(shingling) cost",
+)
+def x80_refrozen_store(spark, sf_dir) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    n = docs.count()
+    base_cut = (3 * n) // 5
+    new_cut = (4 * n) // 5
+    id_col = "doc_id"
+    base = docs.where(F.col(id_col) < base_cut)
+    day1 = docs.where(
+        (F.col(id_col) >= base_cut) & (F.col(id_col) < new_cut)
+    )
+    day2 = docs.where(F.col(id_col) >= new_cut)
+    fp = _corpus_fingerprint(sf_dir)
+    path = _store_path(spark, sf_dir, n, base_cut, fp, variant="|refreeze")
+
+    def _ready() -> bool:
+        try:
+            mm = read_manifest(path)
+            return (
+                mm.get("corpus_fingerprint") == fp
+                and mm.get("common_generation", 0) >= 1
+                and mm.get("n_appended") == 0
+            )
+        except (OSError, ValueError):
+            return False
+
+    if not _ready():
+        import fcntl
+
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, ".build.lock"), "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            if not _ready():
+                write_signature_store(
+                    base, path, manifest_extra={"corpus_fingerprint": fp}
+                )
+                append_batch(spark, path, day1, batch_id="day-001")
+                refreeze_common(spark, path)
         _prune_stale_stores(path)
     return incremental_pairs_stored(spark, path, day2, threshold=0.5)

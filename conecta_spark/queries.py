@@ -400,68 +400,73 @@ def _load_extensions() -> None:
 # The driver's CORRECTNESS file records at most ~50 registry entries in
 # iteration order (r1 truncated at exactly 50, leaving x12-x29 unchecked).
 # Emit the registry in an explicit priority order so the cap always lands on
-# the least informative tail: core operators (q01-q16) first, then every
-# extension operator (x01-x29), then the SQL-surface queries whose oracle SQL
-# changed this round (re-proof needed), then the remaining SQL-surface
-# variants that were already hash-green in round 1.
-# Window composition for round 11 (exactly 50 slots), per the round-10
-# verdict (task 1 -- rotate the r7-stale carries first):
-#   1. q45-q51, the seven entries whose last driver row is r7 (the only
-#      three-round-old proofs in the registry; the r10 verdict's top
-#      task);
-#   2. x78, NEW this round (compacted-store incremental mining: build ->
-#      append -> compact -> mine behind one frozen-DF oracle) -- first
-#      driver row;
+# the least informative tail: new/changed oracles first, then the oldest
+# freshness floor, refilled per round.
+# Window composition for round 12 (exactly 50 slots), per the round-11
+# verdict (task 2 -- rotate the eight r8-stale carries first):
+#   1. q17-q20/q27/q31-q33, the eight entries whose last driver row is
+#      r8 (the registry's only three-round-old proofs; the r11 verdict's
+#      documented rotation plan);
+#   2. NEW this round: x79 (persisted IVF ANN store -- build/append/
+#      search lifecycle behind the x14 metric oracle) and x80 (refrozen
+#      signature store -- build 3/5, append, refreeze_common, mine,
+#      behind exactly x77's frozen-4/5-DF oracle) -- first driver rows;
 #   3. core q01/q02/q12 (every-round scan/projection/agg smoke);
 #   4. standing regression sentinels: x16 (TIMESTAMP_NTZ testdata
 #      drift), x56 (oracle numeric-kind class), x65 (real Structured
 #      Streaming driver row);
-#   5. 36 of the 44-entry r8 freshness floor (histogram going into r11:
-#      r7:7 / r8:44 / r9:44 / r10:50, computed from
-#      CORRECTNESS_r01-r10), prioritizing every entry whose engine code
-#      moved this round (the dedup/minhash_store back-half unification
-#      touches x05/x07/x08/x26/x64/x66's code paths).
-# 7 + 1 + 3 + 3 + 36 = 50 with exactly EIGHT carried r8 entries
-# (q17-q20, q27, q31-q33): all single-table SQL-surface matrices
-# (top-k, distinct, set ops, count-distinct, string/date/math funcs)
-# whose engine-side code hasn't moved since r8 and whose classes stay
-# locally oracle-checked every test run; they lead the r12 rotation.
-# Post-r11 freshness floor: r8 (those eight), then r9.
-_ROTATION_FIRSTS = ("q45", "q46", "q47", "q48", "q49", "q50", "q51")
-_NEW_THIS_ROUND = ("x78",)
+#   5. engine-moved re-proofs: the minhash_store lifecycle rework
+#      (grace-sweep compaction, committed-batch guards, generation-aware
+#      common/) touches x77/x78's code paths, and the assign_cells
+#      factor-out of build_ivf_index touches x14 (x42 shares the file);
+#   6. 30 of the 43-entry r9 freshness floor (histogram going into r12:
+#      r8:8 / r9:44 / r10:44 / r11:50 from CORRECTNESS_r01-r11, minus
+#      x14 pulled into tier 5): all fifteen r9 q-entries + the fifteen
+#      lowest-numbered r9 x-entries.
+# 8 + 2 + 3 + 3 + 4 + 30 = 50 with exactly THIRTEEN carried r9 entries
+# (x25, x27-x33, x52, x67-x70): extension operators whose engine code
+# hasn't moved since r9 and whose classes stay locally oracle-checked
+# every test run; they lead the r13 rotation.  Post-r12 freshness
+# floor: r9 (those thirteen), then r10.
+_ROTATION_FIRSTS = (
+    "q17", "q18", "q19", "q20", "q27", "q31", "q32", "q33",
+)
+_NEW_THIS_ROUND = ("x79", "x80")
 _CORE_SMOKE = ("q01", "q02", "q12")
 _REGRESSION_SENTINELS = ("x16", "x56", "x65")
-_STALE_R8_REFRESH = (
-    "x05", "x07", "x08", "x18", "x26", "x64", "x66",
-    "q21", "q22", "q23", "q25", "q26", "q28", "q29", "q30", "q34",
-    "q36", "q38", "q39", "q52", "q53", "q54", "q55", "q56", "q57",
-    "q58", "q59", "q60", "q61", "q62", "q63", "q64", "q65", "q66",
-    "q67", "q68",
+_ENGINE_MOVED = ("x77", "x78", "x14", "x42")
+_STALE_R9_REFRESH = (
+    "q03", "q05", "q06", "q07", "q08", "q09", "q10", "q11", "q13",
+    "q14", "q15", "q16", "q24", "q35", "q37",
+    "x01", "x02", "x03", "x04", "x06", "x09", "x10", "x12", "x13",
+    "x15", "x17", "x19", "x20", "x21", "x24",
 )
 _WINDOW = (
     _ROTATION_FIRSTS
     + _NEW_THIS_ROUND
     + _CORE_SMOKE
     + _REGRESSION_SENTINELS
-    + _STALE_R8_REFRESH
+    + _ENGINE_MOVED
+    + _STALE_R9_REFRESH
 )
 _PRIORITY_TIERS: tuple[tuple[str, ...], ...] = (
     _ROTATION_FIRSTS,
     _NEW_THIS_ROUND,
     _CORE_SMOKE,
     _REGRESSION_SENTINELS,
-    _STALE_R8_REFRESH,
-    # below the 50-slot window: the eight r8 carries first (they lead
-    # the r12 rotation), then r9/r10 greens -- newest proofs last
-    ("q17", "q18", "q19", "q20", "q27", "q31", "q32", "q33"),
-    tuple(
-        f"q{i:02d}"
-        for i in range(3, 69)
-        if f"q{i:02d}" not in _WINDOW
-        and i not in (17, 18, 19, 20, 27, 31, 32, 33)
+    _ENGINE_MOVED,
+    _STALE_R9_REFRESH,
+    # below the 50-slot window: the thirteen r9 carries first (they
+    # lead the r13 rotation), then r10/r11 greens -- newest proofs last
+    (
+        "x25", "x27", "x28", "x29", "x30", "x31", "x32", "x33",
+        "x52", "x67", "x68", "x69", "x70",
     ),
     tuple(
-        f"x{i:02d}" for i in range(1, 79) if f"x{i:02d}" not in _WINDOW
+        f"q{i:02d}" for i in range(3, 69) if f"q{i:02d}" not in _WINDOW
+    ),
+    tuple(
+        f"x{i:02d}" for i in range(1, 81) if f"x{i:02d}" not in _WINDOW
     ),
 )
 

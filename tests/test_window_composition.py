@@ -32,26 +32,28 @@ def test_sentinels_and_core_smoke_stay_in_window():
         assert required in window_prefixes, required
 
 
-def test_r11_rotation_firsts_get_driver_rows():
-    """Round-11 promise (r10 verdict task 1): q45-q51 -- the only
-    entries whose last driver row is three rounds old (r7) -- rotate in
-    first, followed by x78 (NEW this round: compacted-store incremental
-    mining, the full build/append/compact/mine lifecycle)."""
+def test_r12_rotation_firsts_get_driver_rows():
+    """Round-12 promise (r11 verdict task 2): q17-q20/q27/q31-q33 -- the
+    only entries whose last driver row is three rounds old (r8) --
+    rotate in first, followed by the two NEW entries: x79 (persisted
+    IVF ANN store lifecycle) and x80 (refrozen signature store)."""
     window = list(entry.queries())[:50]
-    leaders = [n.split("_", 1)[0] for n in window[:8]]
+    leaders = [n.split("_", 1)[0] for n in window[:10]]
     assert leaders == [
-        "q45", "q46", "q47", "q48", "q49", "q50", "q51", "x78"
+        "q17", "q18", "q19", "q20", "q27", "q31", "q32", "q33",
+        "x79", "x80",
     ], leaders
 
 
-def test_r11_window_covers_unified_miner_entries():
-    """The r11 back-half unification touched dedup.py's shared mining
-    code; every registry entry riding those paths must re-earn a driver
-    row this round rather than coast on an r8 proof."""
+def test_r12_window_covers_engine_moved_entries():
+    """The r12 store-lifecycle rework touched minhash_store.py
+    (x77/x78's code paths) and the assign_cells factor-out touched
+    simsearch's IVF build (x14; x42 shares the file); each must re-earn
+    a driver row this round rather than coast on an old proof."""
     window_prefixes = {
         n.split("_", 1)[0] for n in list(entry.queries())[:50]
     }
-    for touched in ("x05", "x07", "x08", "x26", "x64", "x66"):
+    for touched in ("x77", "x78", "x14", "x42"):
         assert touched in window_prefixes, touched
 
 
