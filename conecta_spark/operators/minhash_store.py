@@ -162,6 +162,30 @@ def _committed_batches(m: dict) -> set:
     )
 
 
+def _link_fold(dst: str, src_dirs: list) -> None:
+    """Fold parquet relations at the FILE level: hard-link every part
+    file of ``src_dirs`` into a fresh ``dst`` (copy on filesystems that
+    refuse the link).  Zero data pass -- the union of the sources' rows
+    IS the folded relation (ids are disjoint by append validation), and
+    each source keeps the locality its own write gave it.  ``dst`` is
+    cleared first so a crashed earlier fold into the same generation
+    can't leave stale extras; until the manifest swap commits it, the
+    dir is unreferenced and invisible to readers."""
+    import shutil
+
+    shutil.rmtree(dst, ignore_errors=True)
+    os.makedirs(dst)
+    for i, src in enumerate(src_dirs):
+        for f in sorted(os.listdir(src)):
+            if not f.endswith(".parquet"):
+                continue
+            target = os.path.join(dst, f"f{i:04d}-{f}")
+            try:
+                os.link(os.path.join(src, f), target)
+            except OSError:
+                shutil.copy2(os.path.join(src, f), target)
+
+
 def _store_relation(spark: SparkSession, path: str, m: dict, name: str):
     """Read a store relation: the current generation's base parquet plus
     every APPLIED batch directory (manifest-listed -- a batch dir that
@@ -714,15 +738,26 @@ def refreeze_common(spark: SparkSession, store_path: str) -> dict:
     same stored arrays, skipping the text pass entirely (shingling is
     the dominant CPU; signing is numeric work on the hashed arrays).
 
-    A refreeze is a compaction plus a DF recompute: the banded relation
-    embeds the boilerplate filter, so a new ``common`` forces one
-    re-band -- written as the next generation alongside folded
-    shingles, committed by the same manifest-last swap under the store
-    flock.  After it, the store is byte-equivalent in mining behavior to
-    one freshly built over the full current corpus (pinned by
+    A refreeze is a LOGICAL fold plus a DF recompute: the banded
+    relation embeds the boilerplate filter, so a new ``common`` forces
+    one re-band -- written as the next generation, committed by the same
+    manifest-last swap under the store flock.  The shingle fold is done
+    at the FILE level (:func:`_link_fold`: every part file of the base
+    and batch shingle dirs hard-linked into the new generation dir) --
+    zero data pass, because the union of those files IS the folded
+    relation (append validation keeps ids disjoint) and each source dir
+    keeps the locality its own write gave it; physical re-layout stays
+    :func:`compact_store`'s job.  ``n_docs``/``tot_hashes`` come from
+    the manifest (append_batch books exact deltas from the committed
+    files), so the only data the refreeze reads is the one cached
+    shingle pass feeding the DF aggregation and the re-band.  After it,
+    the store is byte-equivalent in mining behavior to one freshly
+    built over the full current corpus (pinned by
     test_refreeze_equals_fresh_build): ``n_docs`` becomes the full
     count, ``n_appended`` resets to 0, and the drift clock restarts.
     Superseded dirs age out via the compaction sweep's grace window."""
+    from pyspark import StorageLevel
+
     parallelism = spark.sparkContext.defaultParallelism
     with _store_lock(store_path):
         m = read_manifest(store_path)
@@ -731,42 +766,48 @@ def refreeze_common(spark: SparkSession, store_path: str) -> dict:
         new_cg = m.get("common_generation", 0) + 1
         id_col = m["id_col"]
 
-        sh = _store_relation(spark, store_path, m, "shingles")
-        sh.repartition(parallelism, id_col).sortWithinPartitions(
-            id_col
-        ).write.mode("overwrite").parquet(
-            os.path.join(store_path, f"shingles-g{new_gen}")
+        sh_dst = os.path.join(store_path, f"shingles-g{new_gen}")
+        _link_fold(
+            sh_dst,
+            [_rel_dir(store_path, m, "shingles")]
+            + [
+                os.path.join(store_path, "batches", b, "shingles")
+                for b in m.get("applied_batches", [])
+            ],
         )
-        hashed = spark.read.parquet(
-            os.path.join(store_path, f"shingles-g{new_gen}")
-        )
-        stats = hashed.agg(
-            F.count(F.lit(1)).alias("n"), F.sum(F.size("sh")).alias("tot")
-        ).first()
-        n_docs, tot_hashes = stats["n"], stats["tot"] or 0
+        # exact by construction: build counted its corpus, every append
+        # booked the committed batch's delta under the flock
+        n_docs = int(m["n_docs"]) + int(m["n_appended"])
+        tot_hashes = int(m["tot_hashes"])
 
-        tok = hashed.select(F.col(id_col), F.explode("sh").alias("h"))
-        common = (
-            tok.groupBy("h")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .where(F.col("c") > F.lit(m["max_df"]) * F.lit(n_docs))
-            .select("h")
+        hashed = spark.read.parquet(sh_dst).persist(
+            StorageLevel.MEMORY_AND_DISK
         )
-        common.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(store_path, f"common-g{new_cg}")
-        )
-        common = spark.read.parquet(
-            os.path.join(store_path, f"common-g{new_cg}")
-        )
+        try:
+            tok = hashed.select(F.col(id_col), F.explode("sh").alias("h"))
+            common = (
+                tok.groupBy("h")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .where(F.col("c") > F.lit(m["max_df"]) * F.lit(n_docs))
+                .select("h")
+            )
+            common.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(store_path, f"common-g{new_cg}")
+            )
+            common = spark.read.parquet(
+                os.path.join(store_path, f"common-g{new_cg}")
+            )
 
-        banded = _sign_and_band(
-            hashed, common, m["num_perms"], m["bands"], id_col
-        )
-        banded.repartition(
-            parallelism, "band_idx", "band_key"
-        ).write.mode("overwrite").parquet(
-            os.path.join(store_path, f"banded-g{new_gen}")
-        )
+            banded = _sign_and_band(
+                hashed, common, m["num_perms"], m["bands"], id_col
+            )
+            banded.repartition(
+                parallelism, "band_idx", "band_key"
+            ).write.mode("overwrite").parquet(
+                os.path.join(store_path, f"banded-g{new_gen}")
+            )
+        finally:
+            hashed.unpersist()
 
         folded = list(m.get("applied_batches", []))
         m["generation"] = new_gen

@@ -408,9 +408,11 @@ def _load_extensions() -> None:
 #      r8 (the registry's only three-round-old proofs; the r11 verdict's
 #      documented rotation plan);
 #   2. NEW this round: x79 (persisted IVF ANN store -- build/append/
-#      search lifecycle behind the x14 metric oracle) and x80 (refrozen
+#      search lifecycle behind the x14 metric oracle), x80 (refrozen
 #      signature store -- build 3/5, append, refreeze_common, mine,
-#      behind exactly x77's frozen-4/5-DF oracle) -- first driver rows;
+#      behind exactly x77's frozen-4/5-DF oracle), and x81 (reclustered
+#      ANN store -- build 3/5, two appends, recluster_ann_store from
+#      the stored vectors, search) -- first driver rows;
 #   3. core q01/q02/q12 (every-round scan/projection/agg smoke);
 #   4. standing regression sentinels: x16 (TIMESTAMP_NTZ testdata
 #      drift), x56 (oracle numeric-kind class), x65 (real Structured
@@ -419,19 +421,19 @@ def _load_extensions() -> None:
 #      (grace-sweep compaction, committed-batch guards, generation-aware
 #      common/) touches x77/x78's code paths, and the assign_cells
 #      factor-out of build_ivf_index touches x14 (x42 shares the file);
-#   6. 30 of the 43-entry r9 freshness floor (histogram going into r12:
+#   6. 29 of the 43-entry r9 freshness floor (histogram going into r12:
 #      r8:8 / r9:44 / r10:44 / r11:50 from CORRECTNESS_r01-r11, minus
-#      x14 pulled into tier 5): all fifteen r9 q-entries + the fifteen
+#      x14 pulled into tier 5): all fifteen r9 q-entries + the fourteen
 #      lowest-numbered r9 x-entries.
-# 8 + 2 + 3 + 3 + 4 + 30 = 50 with exactly THIRTEEN carried r9 entries
-# (x25, x27-x33, x52, x67-x70): extension operators whose engine code
-# hasn't moved since r9 and whose classes stay locally oracle-checked
-# every test run; they lead the r13 rotation.  Post-r12 freshness
-# floor: r9 (those thirteen), then r10.
+# 8 + 3 + 3 + 3 + 4 + 29 = 50 with exactly FOURTEEN carried r9 entries
+# (x24, x25, x27-x33, x52, x67-x70): extension operators whose engine
+# code hasn't moved since r9 and whose classes stay locally
+# oracle-checked every test run; they lead the r13 rotation.  Post-r12
+# freshness floor: r9 (those fourteen), then r10.
 _ROTATION_FIRSTS = (
     "q17", "q18", "q19", "q20", "q27", "q31", "q32", "q33",
 )
-_NEW_THIS_ROUND = ("x79", "x80")
+_NEW_THIS_ROUND = ("x79", "x80", "x81")
 _CORE_SMOKE = ("q01", "q02", "q12")
 _REGRESSION_SENTINELS = ("x16", "x56", "x65")
 _ENGINE_MOVED = ("x77", "x78", "x14", "x42")
@@ -439,7 +441,7 @@ _STALE_R9_REFRESH = (
     "q03", "q05", "q06", "q07", "q08", "q09", "q10", "q11", "q13",
     "q14", "q15", "q16", "q24", "q35", "q37",
     "x01", "x02", "x03", "x04", "x06", "x09", "x10", "x12", "x13",
-    "x15", "x17", "x19", "x20", "x21", "x24",
+    "x15", "x17", "x19", "x20", "x21",
 )
 _WINDOW = (
     _ROTATION_FIRSTS
@@ -456,17 +458,17 @@ _PRIORITY_TIERS: tuple[tuple[str, ...], ...] = (
     _REGRESSION_SENTINELS,
     _ENGINE_MOVED,
     _STALE_R9_REFRESH,
-    # below the 50-slot window: the thirteen r9 carries first (they
+    # below the 50-slot window: the fourteen r9 carries first (they
     # lead the r13 rotation), then r10/r11 greens -- newest proofs last
     (
-        "x25", "x27", "x28", "x29", "x30", "x31", "x32", "x33",
+        "x24", "x25", "x27", "x28", "x29", "x30", "x31", "x32", "x33",
         "x52", "x67", "x68", "x69", "x70",
     ),
     tuple(
         f"q{i:02d}" for i in range(3, 69) if f"q{i:02d}" not in _WINDOW
     ),
     tuple(
-        f"x{i:02d}" for i in range(1, 81) if f"x{i:02d}" not in _WINDOW
+        f"x{i:02d}" for i in range(1, 82) if f"x{i:02d}" not in _WINDOW
     ),
 )
 

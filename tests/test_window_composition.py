@@ -35,13 +35,14 @@ def test_sentinels_and_core_smoke_stay_in_window():
 def test_r12_rotation_firsts_get_driver_rows():
     """Round-12 promise (r11 verdict task 2): q17-q20/q27/q31-q33 -- the
     only entries whose last driver row is three rounds old (r8) --
-    rotate in first, followed by the two NEW entries: x79 (persisted
-    IVF ANN store lifecycle) and x80 (refrozen signature store)."""
+    rotate in first, followed by the three NEW entries: x79 (persisted
+    IVF ANN store lifecycle), x80 (refrozen signature store), and x81
+    (reclustered ANN store)."""
     window = list(entry.queries())[:50]
-    leaders = [n.split("_", 1)[0] for n in window[:10]]
+    leaders = [n.split("_", 1)[0] for n in window[:11]]
     assert leaders == [
         "q17", "q18", "q19", "q20", "q27", "q31", "q32", "q33",
-        "x79", "x80",
+        "x79", "x80", "x81",
     ], leaders
 
 
