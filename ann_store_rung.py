@@ -17,7 +17,15 @@ point from the ``ann`` block):
   index must be rebuilt in memory first (the pre-store world);
 * ``results_equal_in_memory`` -- stored search row-for-row equal to the
   in-memory engine over base-index + batch assigned with the same
-  stored centroids (the frozen-centroid twin).
+  stored centroids (the frozen-centroid twin);
+* ``recluster_sec`` vs ``rebuild_store_sec`` -- the drift half:
+  ``recluster_ann_store`` retrains + re-assigns FROM THE STORED VECTORS
+  while the rebuild baseline re-reads the source embeddings; at this
+  rung both read similar bytes (the source table IS basically (id,
+  vector)), so the claim measured is parity-or-better cost with ZERO
+  source access, plus ``reclustered_equals_fresh`` -- the reclustered
+  store's search row-for-row equal to a store freshly built over the
+  full corpus (the bit-identity contract, here proven at 200k).
 
 Writes an ``ann_store_200k`` block into SF10_RUNG.json and prints one
 JSON line.  Run: python ann_store_rung.py   (requires testdata_sf10;
@@ -46,6 +54,7 @@ def main() -> None:
         ann_store_search,
         append_ann_batch,
         read_ann_manifest,
+        recluster_ann_store,
         write_ann_store,
     )
     from conecta_spark.operators.simsearch import (
@@ -143,6 +152,25 @@ def main() -> None:
     rebuild_plus_search = round(time.perf_counter() - t0, 3)
     index.unpersist()
 
+    # the drift half: recluster from the STORE vs rebuild from SOURCE
+    t0 = time.perf_counter()
+    m2 = recluster_ann_store(spark, WORK)
+    recluster_sec = round(time.perf_counter() - t0, 3)
+    assert m2["n_appended"] == 0 and m2["n_vecs"] == n
+
+    fresh = WORK + "_fresh"
+    shutil.rmtree(fresh, ignore_errors=True)
+    t0 = time.perf_counter()
+    write_ann_store(emb, fresh, n_clusters=N_CELLS)
+    rebuild_store_sec = round(time.perf_counter() - t0, 3)
+    reclustered_rows = rows(
+        ann_store_search(spark, WORK, ANN_QUERY_IDS, k=10, n_probe=N_PROBE)
+    )
+    fresh_rows = rows(
+        ann_store_search(spark, fresh, ANN_QUERY_IDS, k=10, n_probe=N_PROBE)
+    )
+    shutil.rmtree(fresh, ignore_errors=True)
+
     block = {
         "vectors": n,
         "base_vectors": int(m["n_vecs"]),
@@ -159,6 +187,9 @@ def main() -> None:
         ),
         "result_rows": len(stored_rows),
         "results_equal_in_memory": stored_rows == mem_rows,
+        "recluster_sec": recluster_sec,
+        "rebuild_store_sec": rebuild_store_sec,
+        "reclustered_equals_fresh": reclustered_rows == fresh_rows,
         "load_end": round(os.getloadavg()[0], 1),
     }
     rung_path = os.path.join(
