@@ -243,11 +243,15 @@ def render_json_line(
         # the excluded-list field drops before any query coverage does:
         # per-query numbers are the artifact's point, the skip list is
         # derivable from bench.BENCH_EXCLUDE in-repo
-        for ndigits in (4, 2, 1):
-            line = emit(
-                {k: round(v, ndigits) for k, v in short.items()},
-                with_excluded=with_excluded,
-            )
+        for ndigits in (4, 2, 1, 0):
+            # ndigits=0 renders whole seconds as ints ("124", not
+            # "124.0"): at ~150 entries the 1dp worst case overflows the
+            # window, and integer seconds still beat dropping coverage
+            q = {
+                k: (int(round(v)) if ndigits == 0 else round(v, ndigits))
+                for k, v in short.items()
+            }
+            line = emit(q, with_excluded=with_excluded)
             if len(line) <= budget:
                 return line
     ranked = sorted(short.items(), key=lambda kv: -kv[1])
