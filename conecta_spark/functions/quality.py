@@ -592,7 +592,9 @@ def oov_stats(
     "-- no exploded-token join-back at any scale",
 )
 def x56_oov(spark, sf_dir) -> DataFrame:
-    return oov_stats(t(spark, sf_dir, "documents"), vocab_size=16)
+    # spread: per-doc tokenize + broadcast-map scoring is map-side-heavy
+    # on a single-row-group scan (the x19/x69 pattern)
+    return oov_stats(spread(t(spark, sf_dir, "documents")), vocab_size=16)
 
 
 #: One-slot cache for source_quality_norm's quantized score relation
@@ -978,6 +980,10 @@ _X69_ORACLE = (
     "expressions, zero shuffle",
 )
 def x69_repetition(spark, sf_dir) -> DataFrame:
+    # spread: the gram-mass lambdas are the heaviest per-row expressions
+    # in the registry, and a single-row-group scan would run them on one
+    # core (measured 1.67 s single-task at sf0.1; ~0.3 s spread) -- the
+    # x19 precedent, no-op once the input is wider than the cluster
     return with_repetition_signals(
-        t(spark, sf_dir, "documents").select("doc_id", "text")
+        spread(t(spark, sf_dir, "documents").select("doc_id", "text"))
     ).drop("text")

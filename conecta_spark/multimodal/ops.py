@@ -41,6 +41,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from ..plans.skew import spread
 from ..queries import register, t
 
 if TYPE_CHECKING:
@@ -147,7 +148,9 @@ def decode_images(df: DataFrame, payload_col: str = "payload",
                 rows, columns=[f.name for f in IMAGE_SCHEMA.fields]
             )
 
-    return df.select(id_col, payload_col).mapInPandas(
+    # spread: per-row Python decode on a single-row-group scan would
+    # run in ONE worker; no-op once the scan is wide (guide 2.5)
+    return spread(df.select(id_col, payload_col)).mapInPandas(
         decode_batches, schema=IMAGE_SCHEMA
     )
 
@@ -186,7 +189,7 @@ def sample_frames(
                 out, columns=[f.name for f in FRAME_SCHEMA.fields]
             )
 
-    return df.select(id_col, payload_col).mapInPandas(sample, schema=FRAME_SCHEMA)
+    return spread(df.select(id_col, payload_col)).mapInPandas(sample, schema=FRAME_SCHEMA)
 
 
 RESIZE_SCHEMA = StructType(
@@ -233,7 +236,7 @@ def resize_images(
                 rows, columns=[f.name for f in RESIZE_SCHEMA.fields]
             )
 
-    return df.select(id_col, payload_col).mapInPandas(
+    return spread(df.select(id_col, payload_col)).mapInPandas(
         resize, schema=RESIZE_SCHEMA
     )
 
@@ -289,7 +292,7 @@ def extract_features(
                 rows, columns=[f.name for f in FEATURE_SCHEMA.fields]
             )
 
-    return df.select(id_col, payload_col).mapInPandas(
+    return spread(df.select(id_col, payload_col)).mapInPandas(
         feats, schema=FEATURE_SCHEMA
     )
 
@@ -430,7 +433,9 @@ def png_roundtrip_stats(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 rows, columns=[f.name for f in PNG_SYNTH_SCHEMA.fields]
             )
 
-    return df.select(id_col).mapInPandas(batches, schema=PNG_SYNTH_SCHEMA)
+    # spread: the PNG encode/decode round-trip is pure per-row Python
+    # (the heaviest map in the registry); parallelize a narrow scan
+    return spread(df.select(id_col)).mapInPandas(batches, schema=PNG_SYNTH_SCHEMA)
 
 
 @register(

@@ -33,6 +33,7 @@ from ..functions.vector import (
     l2_expr,
     normalize_expr,
 )
+from ..plans.skew import spread
 from ..queries import register, t
 
 DIM = 64  # driver embeddings are 64-dim (FIXTURES.md 4)
@@ -220,7 +221,11 @@ def embedding_near_dup_pairs(
             )
     if n_blocks is None:
         n_blocks = max(1, min(256, -(-n_rows // 1024)))
-    e = _vectors(df, vec_col, id_col).select(
+    # spread: normalize + block packing are per-row-heavy interpreted
+    # expressions, and the pack aggregation feeds a broadcast build -- on
+    # a single-row-group scan the whole prep ran as ONE task (measured
+    # 0.83 s single-task at sf0.1); no-op once the scan is wide
+    e = spread(_vectors(df, vec_col, id_col)).select(
         F.col(id_col).alias("vid"),
         F.expr(normalize_expr("v", DIM)).alias("nv"),
         F.pmod(F.col(id_col), F.lit(n_blocks)).cast("long").alias("bid"),
@@ -865,8 +870,12 @@ def _panel_prep(spark, sf_dir: str) -> DataFrame:
     if _ANN_PREP:
         _ANN_PREP.pop()[1].unpersist()
     emb = t(spark, sf_dir, "embeddings")
+    # spread before the cast/vectorize projections: the persisted prep
+    # inherits the scan's partitioning, and a single-row-group scan would
+    # leave every downstream consumer (exact panels, ml fit, IVF assign)
+    # reading ONE cached partition -- serializing their per-row work
     prep = (
-        valid_vectors(emb)
+        spread(valid_vectors(emb))
         .select(
             F.col("vec_id"),
             F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
@@ -1341,7 +1350,10 @@ def semantic_dedup(
     import pandas as pd
     from pyspark.sql.types import LongType, StructField, StructType
 
-    e = _vectors(df, vec_col, id_col)
+    # spread: quantize/argmax/normalize are interpreted per-row lambdas;
+    # a single-row-group scan would evaluate the whole assignment prep
+    # single-task (measured 3 x 1.47 s one-task stages at sf0.1)
+    e = spread(_vectors(df, vec_col, id_col))
     qe = e.withColumn("qa", F.expr(quantize_int8_expr("v")))
     cents = (
         qe.where(F.col(id_col) < k)
@@ -1523,7 +1535,9 @@ def semantic_contamination(
         .orderBy(id_col)
         .collect()
     )
-    corpus = ev.where(F.col(label_col) != bench_label).select(
+    # spread: the per-row normalize + Arrow scoring map ran single-task
+    # on a single-row-group scan (measured 0.93 s one-task at sf0.1)
+    corpus = spread(ev.where(F.col(label_col) != bench_label)).select(
         id_col, F.expr(normalize_expr("v", DIM)).alias("nv")
     )
     out_schema = StructType(
@@ -1643,7 +1657,10 @@ def batch_knn(
         .orderBy(id_col)
         .collect()
     )
-    corpus = ev.select(id_col, F.expr(normalize_expr("v", DIM)).alias("nv"))
+    # spread: normalize + per-batch matmul on a narrow scan ran one-task
+    corpus = spread(ev).select(
+        id_col, F.expr(normalize_expr("v", DIM)).alias("nv")
+    )
     out_schema = StructType(
         [
             StructField("query_id", LongType()),

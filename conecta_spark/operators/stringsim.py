@@ -46,6 +46,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..plans.skew import spread
 from ..queries import register, t
 
 #: At most one cached prefix-label relation per session: each
@@ -108,6 +109,11 @@ def edit_distance_join(
             threshold=threshold, sig_count_cap=sig_count_cap,
             gram_backend="auto",
         )
+    # spread: the deletion-neighborhood transform is an interpreted
+    # per-row lambda; a single-row-group scan would evaluate it (and the
+    # broadcast build over the signature relation) on one core -- guide
+    # 2.5 input-skew medicine, no-op when the scan is already wide
+    df = spread(df)
     # Evict-first, then persist (the CacheManager dedupes canonically-
     # equal plans, so evicting after would uncache the new relation too
     # -- see _qgram_candidates for both measured traps).
@@ -354,6 +360,9 @@ def _qgram_candidates(
             pass
     if threshold < 1:
         raise ValueError("threshold must be >= 1")
+    # spread: gram labeling (expr O(L^2) lambda or the pandas labeler)
+    # is per-row-heavy; a single-row-group scan would run it on one core
+    df = spread(df)
     d = threshold
     # PAIR-label prefixes: the single-label bound (q*d+1 rarest labels
     # share >= 1) puts every string holding one hot rare gram into one
