@@ -518,7 +518,10 @@ def minhash_lsh_pairs(
             F.col(f"a.{id_col}").alias("doc_a"),
             F.col(f"b.{id_col}").alias("doc_b"),
         )
-        .distinct()
+        # dedup happens inside _verify_candidates AFTER its repartition
+        # on doc_a: hashpartitioning(doc_a) co-locates equal (doc_a,
+        # doc_b) rows, so the dedup aggregate reuses that one exchange
+        # instead of adding its own (2 Exchange -> 1 on the skinny pairs)
     )
     return _verify_candidates(df, cands, hashed, threshold, id_col, broadcast_verify)
 
@@ -725,7 +728,8 @@ def _new_driven_pairs(
                 "doc_b"
             ),
         )
-        .distinct()
+        # dedup folds into _verify_candidates' doc_a repartition (see
+        # minhash_lsh_pairs: one exchange carries the raw pairs once)
     )
     return _verify_candidates(
         hashed_all, cands, hashed_all, threshold, id_col, broadcast_verify
@@ -756,9 +760,19 @@ def _verify_candidates(
     burned ~250 s of interpreted CPU on a stage that takes ~7 s compiled."""
     from pyspark import StorageLevel
 
-    cands = cands.repartition(
-        df.sparkSession.sparkContext.defaultParallelism, "doc_a"
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # Repartition FIRST, then dedup: hashpartitioning(doc_a) already
+    # co-locates equal (doc_a, doc_b) rows, so the dedup aggregate
+    # satisfies its clustering requirement from this one exchange --
+    # previously distinct shuffled the pairs and the repartition
+    # shuffled them AGAIN (2 Exchange -> 1; the raw multi-band
+    # duplicates ride the single exchange as skinny 16-byte rows).
+    cands = (
+        cands.repartition(
+            df.sparkSession.sparkContext.defaultParallelism, "doc_a"
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     _MINE_LIVE.append(cands)
     cands.count()
     sh = hashed.withColumn("n_sh", F.size("sh"))

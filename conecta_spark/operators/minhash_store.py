@@ -965,7 +965,13 @@ def x77_stored_incremental(spark, sf_dir) -> DataFrame:
                     corpus, path, manifest_extra={"corpus_fingerprint": fp}
                 )
         _prune_stale_stores(path)
-    return incremental_pairs_stored(spark, path, new, threshold=0.5)
+    # validate_ids=False: store base and batch are two disjoint id
+    # slices of ONE keyed table (doc_id < cut vs >= cut), so overlap
+    # is impossible by construction -- the guard's documented escape
+    # hatch (the x73 precedent); skips a per-run stored-shingle scan
+    return incremental_pairs_stored(
+        spark, path, new, threshold=0.5, validate_ids=False
+    )
 
 
 #: x78's store is built on the OLDEST three fifths of doc ids, one
@@ -1034,7 +1040,10 @@ def x78_compacted_store(spark, sf_dir) -> DataFrame:
                 append_batch(spark, path, day1, batch_id="day-001")
                 compact_store(spark, path)
         _prune_stale_stores(path)
-    return incremental_pairs_stored(spark, path, day2, threshold=0.5)
+    # validate_ids=False: same disjoint-slice construction as x77
+    return incremental_pairs_stored(
+        spark, path, day2, threshold=0.5, validate_ids=False
+    )
 
 
 @register(
@@ -1095,4 +1104,7 @@ def x80_refrozen_store(spark, sf_dir) -> DataFrame:
                 append_batch(spark, path, day1, batch_id="day-001")
                 refreeze_common(spark, path)
         _prune_stale_stores(path)
-    return incremental_pairs_stored(spark, path, day2, threshold=0.5)
+    # validate_ids=False: same disjoint-slice construction as x77
+    return incremental_pairs_stored(
+        spark, path, day2, threshold=0.5, validate_ids=False
+    )
