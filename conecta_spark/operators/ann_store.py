@@ -622,6 +622,7 @@ from ..queries import register, t  # noqa: E402
 from .minhash_store import (  # noqa: E402
     _corpus_fingerprint,
     _prune_stale_stores,
+    footer_row_count,
 )
 from .simsearch import (  # noqa: E402
     ANN_QUERY_IDS,
@@ -680,7 +681,7 @@ def x79_ann_store(spark, sf_dir) -> DataFrame:
         return _with_recall_flag(
             _exact_topk_panel(emb, "cosine", vecs=prep), {}, 0.5
         )
-    n = emb.count()
+    n = footer_row_count(spark, sf_dir, "embeddings")
     cut = (4 * n) // 5
     fp = _corpus_fingerprint(sf_dir, table="embeddings")
     path = _ann_store_path(sf_dir, f"{n}|{cut}", fp)
@@ -749,7 +750,7 @@ def x81_reclustered_ann(spark, sf_dir) -> DataFrame:
         return _with_recall_flag(
             _exact_topk_panel(emb, "cosine", vecs=prep), {}, 0.5
         )
-    n = emb.count()
+    n = footer_row_count(spark, sf_dir, "embeddings")
     c1, c2 = (3 * n) // 5, (4 * n) // 5
     fp = _corpus_fingerprint(sf_dir, table="embeddings")
     path = _ann_store_path(sf_dir, f"recluster|{n}|{c1}|{c2}", fp)

@@ -76,6 +76,44 @@ def connected_components(
     """
     if max_iter < 1:
         raise ValueError(f"max_iter must be >= 1, got {max_iter}")
+    # Small-graph probe: union-find needs neither symmetrization nor
+    # dedup (parent pointers make both implicit), so probe the RAW pair
+    # relation with ONE bounded collect -- a limit(threshold+1) either
+    # returns the whole graph (solve it on the driver right here) or
+    # proves it big (discard the probe rows, go distributed).  The
+    # previous shape paid explode+distinct+persist+count+collect -- two
+    # jobs and a shuffle -- before the driver saw a single edge.  The
+    # threshold now counts raw pairs rather than deduped directed edges
+    # (<= 2x looser); it is an explicit latency/size trade either way,
+    # and both branches compute the same fixpoint.
+    if small_graph_threshold > 0:
+        raw = edges.select(src, dst).limit(
+            small_graph_threshold + 1
+        ).collect()
+        if len(raw) <= small_graph_threshold:
+            parent: dict = {}
+
+            def find(x):
+                root = x
+                while parent[root] != root:
+                    root = parent[root]
+                while parent[x] != root:  # path compression
+                    parent[x], x = root, parent[x]
+                return root
+
+            for u, v in raw:
+                parent.setdefault(u, u)
+                parent.setdefault(v, v)
+                ru, rv = find(u), find(v)
+                if ru != rv:
+                    # union by min so the root IS the canonical min id
+                    lo, hi = (ru, rv) if ru < rv else (rv, ru)
+                    parent[hi] = lo
+            rows = [(x, find(x)) for x in parent]
+            return edges.sparkSession.createDataFrame(
+                rows, "doc_id long, cluster_id long"
+            )
+
     # Symmetrize in ONE pass over the edge relation (explode of the forward
     # + reversed struct).  A self-union would reference `edges` twice and
     # re-run the expensive pair-mining pipeline feeding it once per branch
@@ -94,31 +132,6 @@ def connected_components(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    n_edges = sym.count()
-    if n_edges <= small_graph_threshold:
-        parent: dict = {}
-
-        def find(x):
-            root = x
-            while parent[root] != root:
-                root = parent[root]
-            while parent[x] != root:  # path compression
-                parent[x], x = root, parent[x]
-            return root
-
-        for u, v in sym.collect():
-            parent.setdefault(u, u)
-            parent.setdefault(v, v)
-            ru, rv = find(u), find(v)
-            if ru != rv:
-                # union by min so the root IS the canonical min id
-                lo, hi = (ru, rv) if ru < rv else (rv, ru)
-                parent[hi] = lo
-        rows = [(x, find(x)) for x in parent]
-        sym.unpersist()
-        return edges.sparkSession.createDataFrame(
-            rows, "doc_id long, cluster_id long"
-        )
 
     # Deliberately NOT narrowing spark.sql.shuffle.partitions to the
     # measured edge count: a quiet-host experiment showed 6.2s -> 4.6s at

@@ -1537,8 +1537,12 @@ _X73_CUT = "(4 * (SELECT COUNT(*) FROM documents)) // 5"
     "candidate predicate",
 )
 def x73_incremental(spark, sf_dir) -> DataFrame:
+    from .minhash_store import footer_row_count
+
     docs = t(spark, sf_dir, "documents")
-    cut = (4 * docs.count()) // 5
+    # O9 footer count: the cut only needs COUNT(*), which parquet footers
+    # answer exactly -- no Spark job before the mining pipeline starts.
+    cut = (4 * footer_row_count(spark, sf_dir, "documents")) // 5
     new = docs.where(F.col("doc_id") >= cut)
     corpus = docs.where(F.col("doc_id") < cut)
     # validate_ids=False: both sides are cut from ONE keyed table, so

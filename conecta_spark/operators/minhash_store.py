@@ -828,14 +828,10 @@ def refreeze_common(spark: SparkSession, store_path: str) -> dict:
 from .dedup import _duck_mh_sigs, _X73_CUT  # noqa: E402
 
 
-def _corpus_fingerprint(sf_dir: str, table: str = "documents") -> str:
-    """Content fingerprint of ``table``'s parquet source: every file
-    (recursive -- partitioned layouts keep part files in subdirectories)
-    with its size and mtime.  Raises on an empty file set rather than
-    degenerating to a fingerprint that can't detect regeneration.
-    (The ANN store fingerprints ``embeddings`` through the same code.)"""
+def _part_files(sf_dir: str, table: str) -> list[str]:
+    """Sorted parquet part files of ``table`` (recursive -- partitioned
+    layouts keep part files in subdirectories).  Raises on an empty set."""
     import glob
-    import hashlib
 
     src = os.path.join(sf_dir, f"{table}.parquet")
     parts = (
@@ -847,11 +843,46 @@ def _corpus_fingerprint(sf_dir: str, table: str = "documents") -> str:
     )
     if not parts:
         raise ValueError(f"no parquet files under {src}")
+    return parts
+
+
+def _corpus_fingerprint(sf_dir: str, table: str = "documents") -> str:
+    """Content fingerprint of ``table``'s parquet source: every file
+    with its size and mtime.  Raises on an empty file set rather than
+    degenerating to a fingerprint that can't detect regeneration.
+    (The ANN store fingerprints ``embeddings`` through the same code.)"""
+    import hashlib
+
     stats = []
-    for p in parts:
+    for p in _part_files(sf_dir, table):
         st = os.stat(p)
         stats.append(f"{p}:{st.st_size}:{st.st_mtime_ns}")
     return hashlib.md5("|".join(stats).encode()).hexdigest()[:16]
+
+
+#: Above this many part files, a serial driver-side footer walk stops
+#: being "metadata-cheap"; hand the count to a distributed Spark job.
+_FOOTER_COUNT_MAX_FILES = 256
+
+
+def footer_row_count(spark: SparkSession, sf_dir: str, table: str) -> int:
+    """COUNT(*) of an unfiltered base table from parquet footer metadata
+    alone (reference O9: count answered from metadata, not a data pass).
+    ``num_rows`` is part of the parquet footer contract, so this equals
+    ``t(spark, sf_dir, table).count()`` exactly -- but costs a few
+    driver-side footer reads instead of a full Spark job (~0.15 s fixed
+    overhead per bench entry).  O(#files) on the driver: past
+    ``_FOOTER_COUNT_MAX_FILES`` part files (the 100 TB layout) it falls
+    back to the distributed count rather than serializing a huge file
+    walk on the driver."""
+    parts = _part_files(sf_dir, table)
+    if len(parts) > _FOOTER_COUNT_MAX_FILES:
+        from ..queries import t
+
+        return t(spark, sf_dir, table).count()
+    import pyarrow.parquet as pq
+
+    return sum(pq.read_metadata(p).num_rows for p in parts)
 
 
 #: Stale sibling stores (older corpus fingerprints of the same config)
@@ -933,7 +964,7 @@ def _prune_stale_stores(path: str) -> None:
 )
 def x77_stored_incremental(spark, sf_dir) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    n = docs.count()
+    n = footer_row_count(spark, sf_dir, "documents")
     cut = (4 * n) // 5
     id_col = "doc_id"
     corpus = docs.where(F.col(id_col) < cut)
@@ -1004,7 +1035,7 @@ _X78_BASE_CUT = "(3 * (SELECT COUNT(*) FROM documents)) // 5"
 )
 def x78_compacted_store(spark, sf_dir) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    n = docs.count()
+    n = footer_row_count(spark, sf_dir, "documents")
     base_cut = (3 * n) // 5
     new_cut = (4 * n) // 5
     id_col = "doc_id"
@@ -1068,7 +1099,7 @@ def x78_compacted_store(spark, sf_dir) -> DataFrame:
 )
 def x80_refrozen_store(spark, sf_dir) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    n = docs.count()
+    n = footer_row_count(spark, sf_dir, "documents")
     base_cut = (3 * n) // 5
     new_cut = (4 * n) // 5
     id_col = "doc_id"

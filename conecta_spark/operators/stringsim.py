@@ -501,7 +501,13 @@ def x66_edit_join_d2(spark, sf_dir) -> DataFrame:
     c = t(spark, sf_dir, "customer").where(
         F.col("c_mktsegment") == "BUILDING"
     )
-    return edit_distance_join(c, "c_name", "c_custkey", threshold=2)
+    # Explicit expr backend: customer names are ~18 chars, far below the
+    # 96-char pandas crossover, so the "auto" probe's eager avg-length
+    # job would buy information this entry already has (guide 1.2: don't
+    # pay a measurement for a known input).
+    return edit_distance_join_qgram(
+        c, "c_name", "c_custkey", threshold=2, gram_backend="expr"
+    )
 
 
 @register(

@@ -751,3 +751,22 @@ def test_fresh_checkpoint_over_same_store_appends(spark, corpus, tmp_path):
     # lineage b's epoch 0 was appended, not skipped as a replay of a's
     assert m["n_appended"] == 2
     assert len(m["applied_batches"]) == 2
+
+
+def test_footer_row_count_equals_spark_count(spark, sf_dir, tmp_path):
+    """The O9 footer probe must equal a real Spark count bit-for-bit --
+    it feeds the x73/x77-x81 slice cuts, so a drift here silently changes
+    declared-query results.  Checked on the single-file testdata layout
+    AND a multi-part Spark-written directory."""
+    from conecta_spark.operators.minhash_store import footer_row_count
+
+    n_spark = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).count()
+    assert footer_row_count(spark, sf_dir, "documents") == n_spark
+
+    multi = tmp_path / "multi" / "docs.parquet"
+    spark.range(0, 1234, numPartitions=7).selectExpr(
+        "id AS doc_id", "CAST(id AS STRING) AS text"
+    ).write.parquet(str(multi))
+    assert footer_row_count(spark, str(tmp_path / "multi"), "docs") == 1234

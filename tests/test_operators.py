@@ -808,3 +808,28 @@ class TestRepetitionSignals:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "Python" in lp
+
+
+def test_connected_components_small_path_raw_edges(spark):
+    """The small-graph probe collects RAW pairs (no symmetrize/distinct
+    pass): duplicate, self, and reversed edges must still produce the
+    same fixpoint as the distributed branch."""
+    from conecta_spark.operators.cluster import connected_components
+
+    edges = spark.createDataFrame(
+        [(2, 1), (1, 2), (2, 1), (3, 3), (4, 3), (10, 11), (11, 10)],
+        ["doc_a", "doc_b"],
+    )
+    expect = {(1, 1), (2, 1), (3, 3), (4, 3), (10, 10), (11, 10)}
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components(edges).collect()
+    }
+    assert got == expect
+    got_dist = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components(
+            edges, small_graph_threshold=0
+        ).collect()
+    }
+    assert got_dist == expect
