@@ -38,7 +38,13 @@ def build_corpus(df: DataFrame, sample_pct: int = 50,
     the order a production corpus build uses anyway."""
     from pyspark.sql.window import Window
 
-    gated = redact_pii(df.where(gopher_pass("text")))
+    from ..plans.skew import spread
+
+    # spread: the gate's ~6 signal regex/lambda expressions and the
+    # 3-pattern redaction are the pipeline's per-row CPU; on a
+    # narrower-than-cluster scan they would run on one core (measured
+    # single-task at sf0.1).  No-op once the scan is cluster-wide.
+    gated = redact_pii(spread(df).where(gopher_pass("text")))
     w = Window.partitionBy(F.sha2(F.col("text_redacted"), 256)).orderBy(
         id_col
     )

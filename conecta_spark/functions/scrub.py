@@ -174,7 +174,12 @@ def top_bigram_fraction(
     "PII redaction: email/ipv4/phone counts + redacted text, pure JVM regex",
 )
 def x30_pii(spark, sf_dir) -> DataFrame:
-    d = t(spark, sf_dir, "documents")
+    from ..plans.skew import spread
+
+    # spread: the 3-pattern regexp_replace + 3 regexp counts are per-row
+    # JVM CPU on a narrower-than-cluster scan (single-task at sf0.1);
+    # no-op once the scan is cluster-wide.
+    d = spread(t(spark, sf_dir, "documents"))
     return redact_pii(d).select(
         "doc_id",
         *[f"n_{label}" for label, _, _ in PII_PATTERNS],

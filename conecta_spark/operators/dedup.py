@@ -1914,8 +1914,15 @@ def span_hashes(
     lambda re-evaluates it once per span (higher-order functions are
     interpreted; common-subexpression elimination does not reach into
     them), which is quadratic in document length -- measured 36 s for one
-    50k-word document vs <1 s with the bound column."""
-    words = df.where(F.col(text_col).isNotNull()).select(
+    50k-word document vs <1 s with the bound column.
+
+    spread: the span explode + per-span sha256 is the operator's CPU;
+    on a narrower-than-cluster scan it would run on one core (guide
+    §2.5 input skew) -- widen the skinny (id, text) projection first
+    (no-op at real scale, where the scan exceeds the cluster)."""
+    from ..plans.skew import spread
+
+    words = spread(df.where(F.col(text_col).isNotNull())).select(
         id_col, F.split(F.col(text_col), " ").alias("__w")
     )
     w = F.col("__w")
@@ -2057,6 +2064,11 @@ def span_scrub(
     surviving spans rebuild the text.  Returns (id, span count, dropped
     count, clean text).
 
+    spread: the span explode + sha256 and the rebuild's flatten/slice
+    lambdas are per-row-heavy and ``words`` feeds both subtrees; widen
+    the narrow scan once so neither runs single-task (no-op at real
+    scale).
+
     Scale design: only fixed-width (id, span index, 16-hex hash) rows
     shuffle -- the drop decision travels back to each document as a
     skinny integer array, and the rebuild is a map-side slice/flatten
@@ -2066,7 +2078,9 @@ def span_scrub(
     beyond this operator: chunk first), so no struct-ordering semantics
     are relied on cross-engine.
     """
-    words = df.where(F.col(text_col).isNotNull()).select(
+    from ..plans.skew import spread
+
+    words = spread(df.where(F.col(text_col).isNotNull())).select(
         id_col, F.split(F.col(text_col), " ").alias("__w")
     )
     w = F.col("__w")

@@ -193,8 +193,9 @@ def read_event_stream(spark, sf_dir: str, max_files_per_trigger: int | None = No
     # testdata stored ts as TIMESTAMP(NANOS) (surfaced as raw long ns via
     # nanosAsLong); current testdata stores timestamp[us], which the session
     # may read as TIMESTAMP or TIMESTAMP_NTZ.  Normalize all three to a
-    # watermarkable timestamp column.
-    disk_schema = spark.read.parquet(src_file).schema
+    # watermarkable timestamp column.  Cached per content fingerprint --
+    # repeated invocations must not re-read the footer every call.
+    disk_schema = _stream_schema(spark, src_file)
     reader = spark.readStream.schema(disk_schema).format("parquet")
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -432,8 +433,25 @@ def x65_streaming_hourly(spark, sf_dir) -> DataFrame:
     # unique query name per invocation: bench and the driver both run a
     # registry callable several times in one session
     name = f"x65_hourly_{next(_X65_SEQ)}"
+    # Size the state partitioning to the state volume (the x76 pattern:
+    # each state-store instance pays a fixed open/commit cost per
+    # micro-batch, so partition count must track state bytes, not the
+    # session's scan parallelism).  State here is one row per open
+    # (hour window, event_type) group -- exactly the batch twin's output
+    # cardinality, probed once per corpus version and cached.
+    src = os.path.join(sf_dir, "events.parquet")
+    probe_key = ("x65", src, _source_fingerprint(src))
+    n_state = _STATE_PROBE_CACHE.get(probe_key)
+    if n_state is None:
+        n_state = hourly_rollup(t(spark, sf_dir, "events")).count()
+        _STATE_PROBE_CACHE[probe_key] = n_state
+    parts = derive_state_partitions(
+        n_state, max_partitions=spark.sparkContext.defaultParallelism
+    )
+    sess = _stream_session(spark, parts)
+    _remember_stream_view(spark, parts, name)
     q = (
-        streaming_hourly_rollup(read_event_stream(spark, sf_dir))
+        streaming_hourly_rollup(read_event_stream(sess, sf_dir))
         .writeStream.format("memory")
         .queryName(name)
         .outputMode("complete")
@@ -443,7 +461,7 @@ def x65_streaming_hourly(spark, sf_dir) -> DataFrame:
     if not q.awaitTermination(300):
         q.stop()
         raise RuntimeError("x65 streaming query did not terminate in 300s")
-    return spark.table(name)
+    return sess.table(name)
 
 
 def streaming_session_windows(
@@ -518,8 +536,22 @@ _X72_SEQ = iter(range(1, 1 << 30))
 )
 def x72_streaming_session_window(spark, sf_dir) -> DataFrame:
     name = f"x72_sess_{next(_X72_SEQ)}"
+    # State-volume-derived partitioning (the x76 pattern): session-window
+    # state is one row per session; the batch twin's output cardinality
+    # is exactly that, probed once per corpus version and cached.
+    src = os.path.join(sf_dir, "events.parquet")
+    probe_key = ("x72", src, _source_fingerprint(src))
+    n_state = _STATE_PROBE_CACHE.get(probe_key)
+    if n_state is None:
+        n_state = sessionize_batch(t(spark, sf_dir, "events")).count()
+        _STATE_PROBE_CACHE[probe_key] = n_state
+    parts = derive_state_partitions(
+        n_state, max_partitions=spark.sparkContext.defaultParallelism
+    )
+    sess = _stream_session(spark, parts)
+    _remember_stream_view(spark, parts, name)
     q = (
-        streaming_session_windows(read_event_stream(spark, sf_dir))
+        streaming_session_windows(read_event_stream(sess, sf_dir))
         .writeStream.format("memory")
         .queryName(name)
         .outputMode("complete")
@@ -529,7 +561,7 @@ def x72_streaming_session_window(spark, sf_dir) -> DataFrame:
     if not q.awaitTermination(300):
         q.stop()
         raise RuntimeError("x72 streaming query did not terminate in 300s")
-    return spark.table(name)
+    return sess.table(name)
 
 
 #: Estimated in-store bytes per buffered stream-stream join state row
@@ -666,6 +698,23 @@ def _source_fingerprint(src: str) -> str:
         st = os.stat(p)
         stats.append(f"{p}:{st.st_size}:{st.st_mtime_ns}")
     return hashlib.md5("|".join(stats).encode()).hexdigest()[:16]
+
+
+#: On-disk schema per (source, content fingerprint): the registry/bench
+#: invoke each streaming entry repeatedly, and every invocation paid a
+#: driver-side footer read (spark.read.parquet(...).schema) just to
+#: restate an immutable schema.  Keyed by content fingerprint so a
+#: regenerated corpus re-reads; the StructType is session-independent.
+_STREAM_SCHEMA_CACHE: dict = {}
+
+
+def _stream_schema(spark, src_file: str):
+    key = (src_file, _source_fingerprint(src_file))
+    schema = _STREAM_SCHEMA_CACHE.get(key)
+    if schema is None:
+        schema = spark.read.parquet(src_file).schema
+        _STREAM_SCHEMA_CACHE[key] = schema
+    return schema
 
 
 _X76_SEQ = iter(range(1, 1 << 30))
@@ -813,7 +862,7 @@ def read_document_stream(spark, sf_dir: str) -> DataFrame:
 
     src_file = os.path.join(sf_dir, "documents.parquet")
     stage = _stage_stream_dir(src_file, "documents")
-    schema = spark.read.parquet(src_file).schema
+    schema = _stream_schema(spark, src_file)
     return spark.readStream.schema(schema).parquet(stage)
 
 
@@ -859,8 +908,25 @@ _X71_SEQ = iter(range(1, 1 << 30))
 )
 def x71_streaming_dedup(spark, sf_dir) -> DataFrame:
     name = f"x71_dedup_{next(_X71_SEQ)}"
+    # State-volume-derived partitioning (the x76 pattern).  Dedup state
+    # is one fixed-width row per DISTINCT content hash, bounded above by
+    # the document count -- which the parquet footer answers driver-side
+    # with no job at all (the footer_row_count discipline).
+    src = os.path.join(sf_dir, "documents.parquet")
+    probe_key = ("x71", src, _source_fingerprint(src))
+    n_state = _STATE_PROBE_CACHE.get(probe_key)
+    if n_state is None:
+        from ..operators.minhash_store import footer_row_count
+
+        n_state = footer_row_count(spark, sf_dir, "documents")
+        _STATE_PROBE_CACHE[probe_key] = n_state
+    parts = derive_state_partitions(
+        n_state, max_partitions=spark.sparkContext.defaultParallelism
+    )
+    sess = _stream_session(spark, parts)
+    _remember_stream_view(spark, parts, name)
     q = (
-        streaming_dedup_state(read_document_stream(spark, sf_dir))
+        streaming_dedup_state(read_document_stream(sess, sf_dir))
         .writeStream.format("memory")
         .queryName(name)
         .outputMode("complete")
@@ -870,4 +936,4 @@ def x71_streaming_dedup(spark, sf_dir) -> DataFrame:
     if not q.awaitTermination(300):
         q.stop()
         raise RuntimeError("x71 streaming query did not terminate in 300s")
-    return spark.table(name)
+    return sess.table(name)

@@ -658,6 +658,45 @@ def test_x76_does_not_leak_shuffle_partitions(spark, sf_dir):
     assert spark.conf.get("spark.sql.shuffle.partitions") == prev
 
 
+def test_state_partition_conversion_does_not_leak(spark, sf_dir):
+    """x65/x71/x72 now run in derived-state-partition child sessions
+    (the x76 pattern, r12 optimization); the override must not escape
+    the parent session and the entries must still return rows through
+    the child-session memory sink."""
+    from conecta_spark.queries import REGISTRY
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    for name in (
+        "x65_streaming_hourly_parity",
+        "x71_streaming_dedup_state",
+        "x72_streaming_session_window",
+    ):
+        assert REGISTRY[name].fn(spark, sf_dir).count() > 0
+        assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+
+
+def test_stream_schema_cache_hits_and_invalidates(spark, tmp_path):
+    """_stream_schema must serve repeats from the cache (no footer
+    re-read per invocation) yet re-read when the source content
+    fingerprint changes (r12 optimization)."""
+    import os
+
+    from conecta_spark.streaming import events as ev
+
+    src = str(tmp_path / "schema_cache.parquet")
+    spark.createDataFrame([(1,)], "a long").coalesce(1).write.parquet(src)
+    s1 = ev._stream_schema(spark, src)
+    key = (src, ev._source_fingerprint(src))
+    sentinel = object()
+    ev._STREAM_SCHEMA_CACHE[key] = sentinel
+    # same content -> cache hit, the sentinel proves no re-read happened
+    assert ev._stream_schema(spark, src) is sentinel
+    # content rewrite (same names, new mtime) -> fresh footer read
+    part = next(p for p in os.listdir(src) if p.endswith(".parquet"))
+    os.utime(os.path.join(src, part), ns=(1, 1))
+    assert ev._stream_schema(spark, src) == s1
+
+
 def test_stage_dir_rebuilds_when_targets_change(spark, tmp_path):
     """Same part COUNT but different part filenames (a Spark rewrite with
     fresh UUID names) must repoint the stage -- staleness is detected by
