@@ -175,9 +175,14 @@ def test_x73_incremental_candidates_driven_by_new_side(spark, sf):
 
 
 def test_pii_redaction_is_pure_map(spark, sf):
-    """x30: regex redaction is a single projection -- no shuffle, no UDF."""
+    """x30: regex redaction is a pure per-row projection -- no
+    aggregation/join exchange, no UDF; since r12 the only exchange is
+    spread()'s deliberate round-robin input widening (the x69 pattern:
+    the 3-pattern redaction ran single-task on a single-row-group
+    scan)."""
     p = plan(REGISTRY["x30_pii_redaction"].fn(spark, sf))
-    assert node_count(p, "Exchange") == 0
+    assert node_count(p, "Exchange") <= 1
+    assert "hashpartitioning" not in p
     assert "Python" not in p  # JVM regexp, not a Python UDF
 
 
@@ -249,10 +254,13 @@ def test_dup_rate_two_uniform_shuffles(spark, sf):
 
 
 def test_corpus_pipeline_two_shuffles_no_python(spark, sf):
-    """x37: redaction + gating + sampling fuse into the scan stage; only
-    the dedup hash window and the per-lang aggregate shuffle."""
+    """x37: redaction + gating + sampling fuse into one map stage; only
+    the dedup hash window and the per-lang aggregate shuffle by key.
+    Since r12 spread() may add one deliberate round-robin exchange to
+    widen the narrow scan feeding the gate's per-row regex work."""
     p = plan(REGISTRY["x37_corpus_pipeline"].fn(spark, sf))
-    assert node_count(p, "Exchange") == 2
+    assert node_count(p, "Exchange") <= 3
+    assert p.count("hashpartitioning") == 2
     assert "Python" not in p
 
 
