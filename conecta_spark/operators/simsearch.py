@@ -845,6 +845,12 @@ ANN_QUERY_IDS = (0, 1, 2, 3, 4)
 #: unpersist-after would uncache the new entry too).
 _ANN_PREP: list = []
 
+#: Rows of 64-dim vectors per partition of the shared panel-prep cache.
+#: Sized so the per-row work a partition carries (~0.5 ms/row of
+#: interpreted cosine/cast expressions) stays well above the per-task
+#: dispatch cost its consumers pay per ML-fit iteration.
+_PREP_ROWS_PER_PART = 512
+
 
 def _panel_prep(spark, sf_dir: str) -> DataFrame:
     """(vec_id, v: array<double>, features: ml VectorUDT) over the valid
@@ -873,9 +879,23 @@ def _panel_prep(spark, sf_dir: str) -> DataFrame:
     # spread before the cast/vectorize projections: the persisted prep
     # inherits the scan's partitioning, and a single-row-group scan would
     # leave every downstream consumer (exact panels, ml fit, IVF assign)
-    # reading ONE cached partition -- serializing their per-row work
+    # reading ONE cached partition -- serializing their per-row work.
+    # Width is derived from the corpus row count (parquet footer, a
+    # driver-side metadata read), NOT blanket cluster width: the prep
+    # feeds ITERATIVE ml fits (KMeans runs ~25 jobs over this cache), so
+    # every surplus partition is paid per iteration -- at 2k vectors a
+    # 32-wide cache cost x14 ~0.7 s of pure task dispatch.  Past
+    # _PREP_ROWS_PER_PART rows per core the derived width saturates at
+    # cluster width, so real-scale inputs still spread fully.
+    from .minhash_store import footer_row_count
+
+    rows = footer_row_count(spark, sf_dir, "embeddings")
+    width = max(1, min(
+        spark.sparkContext.defaultParallelism,
+        -(-rows // _PREP_ROWS_PER_PART),
+    ))
     prep = (
-        spread(valid_vectors(emb))
+        spread(valid_vectors(emb), parts=width)
         .select(
             F.col("vec_id"),
             F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),

@@ -232,6 +232,30 @@ class TestIVFQuantizerContract:
         c.unpersist()
         ss._ANN_PREP.clear()
 
+    def test_panel_prep_width_tracks_row_count(self, spark, sf_dir):
+        """r12: the prep cache's partition count is derived from the
+        corpus footer row count (ceil(rows / _PREP_ROWS_PER_PART), capped
+        at cluster width), NOT blanket defaultParallelism -- the prep
+        feeds iterative ML fits that pay every surplus partition once
+        per iteration.  At testdata scale the derived width must be far
+        below cluster width while still >= 1."""
+        from conecta_spark.operators import simsearch as ss
+        from conecta_spark.operators.minhash_store import footer_row_count
+
+        rows = footer_row_count(spark, sf_dir, "embeddings")
+        expect = max(1, min(
+            spark.sparkContext.defaultParallelism,
+            -(-rows // ss._PREP_ROWS_PER_PART),
+        ))
+        prep = ss._panel_prep(spark, sf_dir)
+        try:
+            assert prep.rdd.getNumPartitions() == expect
+            if spark.sparkContext.defaultParallelism > 1:
+                assert expect < spark.sparkContext.defaultParallelism
+        finally:
+            prep.unpersist()
+            ss._ANN_PREP.clear()
+
     def test_shared_pairs_cache_contract(self, spark, sf_dir):
         """shared_minhash_pairs: hit returns the same persisted DataFrame,
         a different (limit) key evicts the previous slot, clearCache reads
