@@ -148,9 +148,14 @@ def decode_images(df: DataFrame, payload_col: str = "payload",
                 rows, columns=[f.name for f in IMAGE_SCHEMA.fields]
             )
 
-    # spread: per-row Python decode on a single-row-group scan would
-    # run in ONE worker; no-op once the scan is wide (guide 2.5)
-    return spread(df.select(id_col, payload_col)).mapInPandas(
+    # Deliberately NOT spread: the decode here is cheap per row (header
+    # byte arithmetic, not pixel work), so widening a narrow scan pays a
+    # payload-bytes shuffle + 32-way Arrow batch dispatch for less
+    # per-row CPU than it costs (A/B measured x18 0.30 -> 0.55 s with
+    # spread at sf0.1).  Real image corpora never arrive as one row
+    # group, so the narrow-input case is a bench-scale artifact; the
+    # genuinely heavy per-row map (png_roundtrip_stats) keeps spread.
+    return df.select(id_col, payload_col).mapInPandas(
         decode_batches, schema=IMAGE_SCHEMA
     )
 
@@ -189,7 +194,9 @@ def sample_frames(
                 out, columns=[f.name for f in FRAME_SCHEMA.fields]
             )
 
-    return spread(df.select(id_col, payload_col)).mapInPandas(sample, schema=FRAME_SCHEMA)
+    # not spread: frame "sampling" here is byte slicing, cheap per row
+    # (see decode_images for the measured trade)
+    return df.select(id_col, payload_col).mapInPandas(sample, schema=FRAME_SCHEMA)
 
 
 RESIZE_SCHEMA = StructType(
@@ -236,7 +243,9 @@ def resize_images(
                 rows, columns=[f.name for f in RESIZE_SCHEMA.fields]
             )
 
-    return spread(df.select(id_col, payload_col)).mapInPandas(
+    # not spread: the fake-codec resize is byte arithmetic, cheap per
+    # row (see decode_images for the measured trade)
+    return df.select(id_col, payload_col).mapInPandas(
         resize, schema=RESIZE_SCHEMA
     )
 
@@ -292,7 +301,9 @@ def extract_features(
                 rows, columns=[f.name for f in FEATURE_SCHEMA.fields]
             )
 
-    return spread(df.select(id_col, payload_col)).mapInPandas(
+    # not spread: the byte-histogram features are cheap per row (see
+    # decode_images for the measured trade)
+    return df.select(id_col, payload_col).mapInPandas(
         feats, schema=FEATURE_SCHEMA
     )
 
