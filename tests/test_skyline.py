@@ -165,3 +165,35 @@ def test_skyline_nd_partitioning_invariant(spark):
     one = {r.id for r in skyline_nd(spark.createDataFrame(rows).coalesce(1), ["a", "b"]).collect()}
     many = {r.id for r in skyline_nd(spark.createDataFrame(rows).repartition(16), ["a", "b"]).collect()}
     assert one == many
+
+
+def test_skyline_nd_corner_prefilter_is_exact_with_ties(spark):
+    """r12: the JVM corner pre-filter (prune against the mini-skyline of
+    the 64 smallest-sum rows before the Python boundary) must keep exact
+    frontier duplicates and match the quadratic reference on a corpus
+    big enough to exercise both the pre-filter and the in-partition
+    prune (>256 rows/partition)."""
+    from conecta_spark.operators.skyline import skyline_nd
+
+    rng = random.Random(37)
+    pts = [
+        (i, rng.randint(0, 40), rng.randint(0, 40), float(rng.randint(0, 40)))
+        for i in range(3000)
+    ]
+    # duplicate a guaranteed-frontier point: both copies must survive
+    pts.append((9001, 0, 0, 0.0))
+    pts.append((9002, 0, 0, 0.0))
+    df = spark.createDataFrame(
+        [Row(id=i, a=a, b=b, c=c) for i, a, b, c in pts]
+    ).repartition(4)
+    got = {r.id for r in skyline_nd(df, ["a", "b", "c"]).collect()}
+    want = {
+        i
+        for i, a, b, c in pts
+        if not any(
+            qa <= a and qb <= b and qc <= c and (qa < a or qb < b or qc < c)
+            for _, qa, qb, qc in pts
+        )
+    }
+    assert {9001, 9002} <= got
+    assert got == want
